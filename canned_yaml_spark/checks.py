@@ -1,0 +1,134 @@
+"""Check model: the compiled form of a spec.
+
+The reference compiles each schema keyword into inline C++ that
+appends a located note to a severity-ranked ``swoc::Errata`` and
+returns false (/root/reference/canner/src/canner.cc:363-366,1008).
+Our compiled form is a ``Check``: a named, severity-ranked, *vectorized*
+violation predicate (a pyspark Column) evaluated over every row at
+once. The verdict rule is the reference's (canner.cc:1101):
+a row/partition passes iff its max violation severity < ERROR.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import TYPE_CHECKING, Any, Callable
+
+if TYPE_CHECKING:
+    from pyspark.sql import Column
+
+
+class Severity(enum.IntEnum):
+    """Severity ladder, mirroring swoc::Errata severities used by the
+    reference (DIAG/INFO/WARN/ERROR; verdict threshold is ERROR,
+    canner.cc:1098-1101)."""
+
+    INFO = 0
+    WARN = 1
+    ERROR = 2
+
+
+@dataclass(frozen=True)
+class Check:
+    """One compiled row-level constraint.
+
+    ``violation`` is a boolean Column that is True exactly where the
+    row violates the constraint (NULL-safe: absent values only violate
+    ``required``-style checks). ``order`` preserves the reference's
+    keyword evaluation order ($ref → type → object → array → anyOf →
+    oneOf → enum; canner.cc:764-829) so violation listings sort the
+    same way the reference's fail-fast walk would have reported them.
+    """
+
+    rule_id: str
+    severity: Severity
+    violation: "Column"
+    message: "Column"
+    order: int
+    column: str = ""            # subject column, "" for whole-row rules
+    static_ok: bool = False     # proven satisfied by the table schema
+
+
+@dataclass(frozen=True)
+class UniqueCheck:
+    """x-unique: values of ``column`` must be globally unique (#18)."""
+
+    rule_id: str
+    column: str
+    severity: Severity = Severity.ERROR
+
+
+@dataclass(frozen=True)
+class RefCheck:
+    """x-ref: values of ``column`` must exist in dimension ``table``.``key``
+    (the $ref-at-scale analog, SURVEY.md §2.2 #17)."""
+
+    rule_id: str
+    column: str
+    table: str
+    key: str
+    severity: Severity = Severity.ERROR
+
+
+@dataclass(frozen=True)
+class DriftCheck:
+    """x-drift: per-partition histogram of ``column`` must not drift
+    from a reference distribution (PSI + KS, SURVEY.md §2.2 #21)."""
+
+    rule_id: str
+    column: str
+    buckets: int = 20
+    lo: float = 0.0
+    hi: float = 12000.0
+    psi_max: float = 0.25
+    ks_alpha: float = 0.01
+    severity: Severity = Severity.WARN
+
+
+@dataclass(frozen=True)
+class PayloadCheck:
+    """x-payload: decode audio ``column`` and assert SNR ≥ snr_db_min vs
+    the per-clip reference PCM + transcript equality (input_hint)."""
+
+    rule_id: str
+    column: str
+    snr_db_min: float = 30.0
+    ref_table: str = "clips_ref"
+    severity: Severity = Severity.ERROR
+
+
+@dataclass
+class CheckSuite:
+    """Everything compiled from one spec.
+
+    row_checks evaluate in a single scan (no shuffle); table_checks
+    each have their own distributed plan (hash agg / broadcast join /
+    histogram agg / Arrow UDF).
+    """
+
+    row_checks: list[Check] = field(default_factory=list)
+    unique_checks: list[UniqueCheck] = field(default_factory=list)
+    ref_checks: list[RefCheck] = field(default_factory=list)
+    drift_checks: list[DriftCheck] = field(default_factory=list)
+    payload_checks: list[PayloadCheck] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+    @property
+    def active_row_checks(self) -> list[Check]:
+        return [c for c in self.row_checks if not c.static_ok]
+
+    def describe(self) -> str:
+        lines = [f"row checks ({len(self.row_checks)}):"]
+        for c in sorted(self.row_checks, key=lambda c: c.order):
+            tag = " [static-ok]" if c.static_ok else ""
+            lines.append(f"  {c.order:3d} {c.severity.name:5s} {c.rule_id}{tag}")
+        for group, items in (
+            ("unique", self.unique_checks), ("ref", self.ref_checks),
+            ("drift", self.drift_checks), ("payload", self.payload_checks),
+        ):
+            for c in items:
+                lines.append(f"  tbl {group}: {c.rule_id}")
+        for w in self.warnings:
+            lines.append(f"  warn: {w}")
+        return "\n".join(lines)

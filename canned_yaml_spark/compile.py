@@ -1,0 +1,534 @@
+"""Spec → CheckSuite compiler (the ``canner`` analog).
+
+The reference compiles a schema spec into specialized C++ once, at
+generation time (/root/reference/canner/src/canner.cc:999-1103); every
+schema constant is baked into the emitted code. This compiler does the
+same thing one level up: it folds the spec into literal-bearing
+``pyspark.sql.Column`` expression trees on the driver, and Catalyst's
+ConstantFolding + Tungsten whole-stage codegen produce the actual
+machine code. No RDDs, no custom Catalyst rules, no per-row Python.
+
+Keyword evaluation order matches the reference's ``validate_node``
+dispatcher (canner.cc:764-829): $ref → type → object properties →
+array properties → anyOf → oneOf → enum; the range/pattern/length
+keywords the reference's corpus uses but its generators silently drop
+(SURVEY.md §2 #16) slot in right after ``type``.
+
+Static elision: when the table schema already guarantees a constraint
+(e.g. ``type: integer`` on an IntegerType column), the check is marked
+``static_ok`` and costs nothing at runtime — the tabular analog of the
+reference's redundant-guard elision (canner.cc:613-623,726-731).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import and_, or_
+from typing import Any, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from canned_yaml_spark.checks import (
+    Check, CheckSuite, DriftCheck, PayloadCheck, RefCheck, Severity,
+    UniqueCheck,
+)
+from canned_yaml_spark.errors import SpecError
+from canned_yaml_spark.spec import load_spec, resolve_ref
+
+# Keyword order inside one schema node, per the reference dispatcher
+# (canner.cc:764-829) with the extension keywords slotted after type.
+_KW_ORDER = {
+    "$ref": 0, "type": 1,
+    "minimum": 2, "exclusiveMinimum": 2, "maximum": 3, "exclusiveMaximum": 3,
+    "pattern": 4, "minLength": 5, "maxLength": 6,
+    "properties": 7, "required": 7,
+    "minItems": 8, "maxItems": 9, "items": 10,
+    "anyOf": 11, "oneOf": 12, "enum": 13,
+}
+
+_ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
+           T.TimestampType, T.NumericType)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+#: Full-parse integer text, mirroring the reference's svtoi check
+#: (canner.cc:1068-1079): entire trimmed text must parse.
+_INT_RE = r"^\s*[+-]?[0-9]+\s*$"
+
+StaticOrCol = Union[bool, Column]
+
+
+def _dt(dtype: T.DataType | None, *classes) -> bool:
+    return dtype is not None and isinstance(dtype, classes)
+
+
+class _Pred:
+    """One keyword's compiled predicate on a value expression.
+
+    ``ok`` is True (statically satisfied by the schema), False
+    (statically unsatisfiable), or a boolean Column. ``message`` is a
+    Column so combinators can emit dynamic text (oneOf's 0-vs->1)."""
+
+    __slots__ = ("keyword", "rule_id", "ok", "message", "severity")
+
+    def __init__(self, keyword: str, rule_id: str, ok: StaticOrCol,
+                 message: Column | str, severity: Severity = Severity.ERROR):
+        self.keyword = keyword
+        self.rule_id = rule_id
+        self.ok = ok
+        self.message = F.lit(message) if isinstance(message, str) else message
+        self.severity = severity
+
+
+def _and_all(oks: list[StaticOrCol]) -> StaticOrCol:
+    """Conjunction over static/Column predicates with folding."""
+    if any(o is False for o in oks):
+        return False
+    cols = [o for o in oks if o is not True]
+    if not cols:
+        return True
+    return reduce(and_, cols)
+
+
+def _or_all(oks: list[StaticOrCol]) -> StaticOrCol:
+    if any(o is True for o in oks):
+        return True
+    cols = [o for o in oks if o is not False]
+    if not cols:
+        return False
+    return reduce(or_, cols)
+
+
+class _Compiler:
+    def __init__(self, root: dict, schema: T.StructType | None):
+        self.root = root
+        self.schema = schema
+        self.suite = CheckSuite()
+        self._order = 0
+        self._ref_stack: list[str] = []
+
+    # ---------------------------------------------------------- helpers
+    def _next_order(self) -> int:
+        self._order += 1
+        return self._order
+
+    def warn(self, msg: str) -> None:
+        self.suite.warnings.append(msg)
+
+    # ------------------------------------------------------ value preds
+    def value_preds(self, node: dict, expr: Column, dtype: T.DataType | None,
+                    path: str) -> list[_Pred]:
+        """Compile one schema node against a value expression.
+
+        Returns one _Pred per constraint keyword present, in reference
+        dispatcher order. NULL values are *not* gated here — the
+        caller decides (top level gates on isNotNull; `required`
+        covers presence), matching JSON-Schema semantics where an
+        absent property is simply not validated.
+        """
+        if "$ref" in node:
+            extra = [k for k in node if k not in ("$ref", "description", "title")]
+            if extra:
+                # Reference ignores $ref siblings with a warning
+                # (canner.cc:772-784); we do the same.
+                self.warn(f"{path}: keys {extra} ignored because of $ref "
+                          f"(reference: canner.cc:772-784)")
+            name, target = resolve_ref(self.root, node["$ref"], path)
+            if name in self._ref_stack:
+                raise SpecError(path, f"$ref cycle through '{name}'")
+            self._ref_stack.append(name)
+            try:
+                preds = self.value_preds(target, expr, dtype, f"#/{name}")
+            finally:
+                self._ref_stack.pop()
+            return preds
+
+        preds: list[_Pred] = []
+        add = preds.append
+        sev = Severity[node.get("x-severity", "ERROR").upper()]
+
+        if "type" in node:
+            names = node["type"] if isinstance(node["type"], list) else [node["type"]]
+            ok = _or_all([self._type_ok(n, expr, dtype) for n in names])
+            add(_Pred("type", f"{path}.type", ok,
+                      f"value is not of type {'/'.join(names)}", sev))
+
+        num = self._as_number(expr, dtype)
+        if "minimum" in node:
+            add(_Pred("minimum", f"{path}.minimum",
+                      False if num is None else num >= F.lit(node["minimum"]),
+                      f"value < minimum {node['minimum']}", sev))
+        if "exclusiveMinimum" in node:
+            add(_Pred("minimum", f"{path}.exclusiveMinimum",
+                      False if num is None else num > F.lit(node["exclusiveMinimum"]),
+                      f"value <= exclusiveMinimum {node['exclusiveMinimum']}", sev))
+        if "maximum" in node:
+            add(_Pred("maximum", f"{path}.maximum",
+                      False if num is None else num <= F.lit(node["maximum"]),
+                      f"value > maximum {node['maximum']}", sev))
+        if "exclusiveMaximum" in node:
+            add(_Pred("maximum", f"{path}.exclusiveMaximum",
+                      False if num is None else num < F.lit(node["exclusiveMaximum"]),
+                      f"value >= exclusiveMaximum {node['exclusiveMaximum']}", sev))
+
+        if "pattern" in node:
+            ok: StaticOrCol
+            if _dt(dtype, T.StringType) or dtype is None:
+                ok = expr.rlike(node["pattern"])
+            else:
+                ok = expr.cast("string").rlike(node["pattern"])
+            add(_Pred("pattern", f"{path}.pattern", ok,
+                      f"value does not match pattern {node['pattern']!r}", sev))
+
+        if "minLength" in node:
+            add(_Pred("minLength", f"{path}.minLength",
+                      F.length(expr) >= F.lit(node["minLength"]),
+                      f"length < minLength {node['minLength']}", sev))
+        if "maxLength" in node:
+            add(_Pred("maxLength", f"{path}.maxLength",
+                      F.length(expr) <= F.lit(node["maxLength"]),
+                      f"length > maxLength {node['maxLength']}", sev))
+
+        if "properties" in node or ("required" in node and not _dt(dtype, type(None))):
+            preds.extend(self._object_preds(node, expr, dtype, path, sev))
+
+        is_arr = _dt(dtype, T.ArrayType) or dtype is None
+        if "minItems" in node:
+            add(_Pred("minItems", f"{path}.minItems",
+                      (F.size(expr) >= F.lit(node["minItems"])) if is_arr else False,
+                      f"fewer than minItems {node['minItems']} elements "
+                      f"(reference: canner.cc:360-376)", sev))
+        if "maxItems" in node:
+            add(_Pred("maxItems", f"{path}.maxItems",
+                      (F.size(expr) <= F.lit(node["maxItems"])) if is_arr else False,
+                      f"more than maxItems {node['maxItems']} elements", sev))
+        if "items" in node:
+            preds.extend(self._items_preds(node, expr, dtype, path, sev))
+
+        if "anyOf" in node:
+            child_oks = [
+                self._node_ok(sub, expr, dtype, f"{path}.anyOf[{i}]")
+                for i, sub in enumerate(node["anyOf"])
+            ]
+            add(_Pred("anyOf", f"{path}.anyOf", _or_all(child_oks),
+                      f"anyOf: none of {len(child_oks)} branches matched "
+                      f"(reference: canner.cc:469-514)", sev))
+
+        if "oneOf" in node:
+            child_oks = [
+                self._node_ok(sub, expr, dtype, f"{path}.oneOf[{i}]")
+                for i, sub in enumerate(node["oneOf"])
+            ]
+            n = len(child_oks)
+            statics = sum(1 for o in child_oks if o is True)
+            cols = [o for o in child_oks if isinstance(o, Column)]
+            if statics > 1:
+                ok: StaticOrCol = False     # >1 branches always match
+                msg: Column | str = f"oneOf: {statics} branches always match"
+            elif not cols:
+                ok = statics == 1
+                msg = "oneOf: no branch matched"
+            else:
+                matches = reduce(
+                    lambda a, b: a + b,
+                    [o.cast("int") for o in cols],
+                    F.lit(statics),
+                )
+                ok = matches == 1
+                # 0 matches vs >1 matches are distinct errors in the
+                # reference (canner.cc:540-559); keep that distinction.
+                msg = F.when(matches == 0, F.lit(
+                    f"oneOf: none of {n} branches matched"))\
+                    .otherwise(F.concat(F.lit("oneOf: "), matches.cast("string"),
+                                        F.lit(f" of {n} branches matched")))
+            add(_Pred("oneOf", f"{path}.oneOf", ok, msg, sev))
+
+        if "enum" in node:
+            add(_Pred("enum", f"{path}.enum",
+                      self._enum_ok(node["enum"], expr, dtype, path),
+                      f"value not in enum {node['enum']!r} "
+                      f"(reference: canner.cc:564-605)", sev))
+
+        preds.sort(key=lambda p: _KW_ORDER.get(p.keyword, 99))
+        return preds
+
+    def _node_ok(self, node: dict, expr: Column, dtype: T.DataType | None,
+                 path: str) -> StaticOrCol:
+        """A sub-schema 'matches' iff all its keyword predicates pass.
+        Used by anyOf/oneOf branches (canner.cc:481-511: each branch is
+        one lambda returning a single bool)."""
+        preds = self.value_preds(node, expr, dtype, path)
+        return _and_all([p.ok for p in preds])
+
+    # ----------------------------------------------------------- object
+    def _object_preds(self, node: dict, expr: Column,
+                      dtype: T.DataType | None, path: str,
+                      sev: Severity) -> list[_Pred]:
+        """Nested object (StructType / MapType column) properties.
+
+        Top-level (root) properties are handled separately in
+        compile_root — there, properties are table columns.
+        """
+        preds: list[_Pred] = []
+        if _dt(dtype, T.StructType):
+            fields = {f.name: f.dataType for f in dtype.fields}
+            for k in node.get("required", []):
+                ok: StaticOrCol = (expr.getField(k).isNotNull()
+                                   if k in fields else False)
+                preds.append(_Pred("required", f"{path}.required.{k}", ok,
+                                   f"required key '{k}' missing "
+                                   f"(reference: canner.cc:378-398)", sev))
+            for k, sub in node.get("properties", {}).items():
+                if k not in fields:
+                    self.warn(f"{path}.properties.{k}: field absent from struct; "
+                              f"skipped (open-world, canner.cc:741-756)")
+                    continue
+                child = expr.getField(k)
+                for p in self.value_preds(sub, child, fields[k],
+                                          f"{path}.properties.{k}"):
+                    gated = p.ok if isinstance(p.ok, bool) else \
+                        (child.isNull() | p.ok)
+                    preds.append(_Pred("properties", p.rule_id, gated,
+                                       p.message, p.severity))
+        elif _dt(dtype, T.MapType):
+            for k in node.get("required", []):
+                preds.append(_Pred("required", f"{path}.required.{k}",
+                                   F.map_contains_key(expr, F.lit(k)),
+                                   f"required key '{k}' missing", sev))
+            for k, sub in node.get("properties", {}).items():
+                child = F.try_element_at(expr, F.lit(k))
+                for p in self.value_preds(sub, child, dtype.valueType,
+                                          f"{path}.properties.{k}"):
+                    gated = p.ok if isinstance(p.ok, bool) else \
+                        (child.isNull() | p.ok)
+                    preds.append(_Pred("properties", p.rule_id, gated,
+                                       p.message, p.severity))
+        else:
+            # 'object' keywords on a non-object value: the reference
+            # guards with is_object_type (canner.cc:726-731) and the
+            # checks simply never fire; same here.
+            if dtype is not None:
+                self.warn(f"{path}: object keywords on non-struct value; elided")
+        return preds
+
+    # ------------------------------------------------------------ items
+    def _items_preds(self, node: dict, expr: Column,
+                     dtype: T.DataType | None, path: str,
+                     sev: Severity) -> list[_Pred]:
+        preds: list[_Pred] = []
+        if not (_dt(dtype, T.ArrayType) or dtype is None):
+            self.warn(f"{path}.items: on non-array value; statically violated")
+            preds.append(_Pred("items", f"{path}.items", False,
+                               "items constraint on non-array value", sev))
+            return preds
+        elem_t = dtype.elementType if _dt(dtype, T.ArrayType) else None
+        items = node["items"]
+        if isinstance(items, dict):
+            # Uniform items: every element validates (canner.cc:662-672)
+            # → higher-order forall, no explode/shuffle.
+            def elem_ok(x: Column) -> Column:
+                ok = self._node_ok(items, x, elem_t, f"{path}.items")
+                if ok is True:
+                    return F.lit(True)
+                if ok is False:
+                    return F.lit(False)
+                return x.isNull() | ok
+            preds.append(_Pred("items", f"{path}.items",
+                               F.forall(expr, elem_ok),
+                               "an element violates the items schema "
+                               "(reference: canner.cc:662-672)", sev))
+        else:
+            # Positional/tuple items (canner.cc:673-705): element i
+            # validates against sub-schema i; schemas beyond maxItems
+            # are dropped with a warning (canner.cc:676-681).
+            subs = items
+            max_items = node.get("maxItems")
+            if max_items is not None and len(subs) > max_items:
+                self.warn(f"{path}.items: {len(subs) - max_items} tuple schemas "
+                          f"beyond maxItems dropped (reference: canner.cc:676-681)")
+                subs = subs[:max_items]
+            for i, sub in enumerate(subs):
+                elem = F.get(expr, i)      # 0-based, NULL when out of range
+                ok = self._node_ok(sub, elem, elem_t, f"{path}.items[{i}]")
+                if isinstance(ok, Column):
+                    # Short arrays don't violate positional schemas
+                    # (the reference switches on size, canner.cc:690-704).
+                    ok = (F.size(expr) <= i) | elem.isNull() | ok
+                preds.append(_Pred("items", f"{path}.items[{i}]", ok,
+                                   f"element {i} violates its tuple schema", sev))
+        return preds
+
+    # ------------------------------------------------------------ types
+    def _as_number(self, expr: Column, dtype: T.DataType | None) -> Column | None:
+        if _dt(dtype, T.NumericType) or dtype is None:
+            return expr
+        if _dt(dtype, T.StringType):
+            return expr.try_cast("double")
+        return None
+
+    def _type_ok(self, name: str, expr: Column,
+                 dtype: T.DataType | None) -> StaticOrCol:
+        """Duck-typed type check, mirroring the reference's prelude
+        predicates (canner.cc:1048-1083). On a typed table most of
+        these fold to static True/False; on string staging columns the
+        reference's text-based duck checks apply. 'number' is the
+        predicate the reference declares but never defines
+        (canner.cc:100 — SURVEY.md §2 #6): implemented properly here.
+        """
+        if name == "null":
+            return expr.isNull()
+        if dtype is None:  # untyped (treat as string staging)
+            dtype = T.StringType()
+        if name == "boolean":
+            if _dt(dtype, T.BooleanType):
+                return True
+            if _dt(dtype, T.StringType):
+                # case-insensitive true/false (canner.cc:1052-1058)
+                return F.lower(F.trim(expr)).isin("true", "false")
+            return False
+        if name == "integer":
+            if _dt(dtype, *_INTEGRAL):
+                return True
+            if _dt(dtype, T.StringType):
+                return expr.rlike(_INT_RE)   # full-parse svtoi semantics
+            if _dt(dtype, T.NumericType):
+                return expr == F.floor(expr).cast(dtype)
+            return False
+        if name == "number":
+            if _dt(dtype, T.NumericType):
+                return True
+            if _dt(dtype, T.StringType):
+                return expr.try_cast("double").isNotNull()
+            return False
+        if name == "string":
+            # Any scalar satisfies 'string' (canner.cc:1081-1083).
+            return bool(_dt(dtype, _ATOMIC))
+        if name == "object":
+            return bool(_dt(dtype, T.StructType, T.MapType))
+        if name == "array":
+            return bool(_dt(dtype, T.ArrayType))
+        raise SpecError("type", f"unknown type name {name!r}")  # pragma: no cover
+
+    # ------------------------------------------------------------- enum
+    def _enum_ok(self, values: list, expr: Column,
+                 dtype: T.DataType | None, path: str) -> StaticOrCol:
+        """Enum membership with *correct* deep equality.
+
+        The reference's equal() only compares the first element of
+        sequences/maps (equal.cc:11-28 — SURVEY.md §2.4); Spark's
+        native struct/array equality is genuinely deep, so we get the
+        fixed semantics for free. Scalars use isin (hash-set lookup);
+        composite literals compare against F.array/F.struct literals.
+        """
+        scalars = [v for v in values if not isinstance(v, (list, dict))]
+        composites = [v for v in values if isinstance(v, (list, dict))]
+        oks: list[StaticOrCol] = []
+        if scalars:
+            non_null = [v for v in scalars if v is not None]
+            if non_null:
+                oks.append(expr.isin(*non_null))
+            if any(v is None for v in scalars):
+                oks.append(expr.isNull())
+        for v in composites:
+            oks.append(expr.eqNullSafe(_literal(v, path)))
+        return _or_all(oks)
+
+    # ------------------------------------------------------------- root
+    def compile_root(self) -> CheckSuite:
+        node = self.root
+        declared = node.get("type", "object")
+        if declared != "object" and declared != ["object"]:
+            raise SpecError("$.type", "root spec must describe an object "
+                                      "(one row = one document)")
+        fields = ({f.name: f.dataType for f in self.schema.fields}
+                  if self.schema is not None else {})
+
+        for k in node.get("required", []):
+            if self.schema is not None and k not in fields:
+                raise SpecError(f"$.required.{k}",
+                                f"required column '{k}' absent from the table "
+                                f"schema {sorted(fields)}")
+            self.suite.row_checks.append(Check(
+                rule_id=f"required.{k}", severity=Severity.ERROR,
+                violation=F.col(k).isNull(),
+                message=F.lit(f"required column '{k}' is null "
+                              f"(reference: canner.cc:378-398)"),
+                order=self._next_order(), column=k))
+
+        for k, sub in node.get("properties", {}).items():
+            if self.schema is not None and k not in fields:
+                self.warn(f"$.properties.{k}: column absent from table; "
+                          f"checks skipped (open-world, canner.cc:741-756)")
+                continue
+            dtype = fields.get(k)
+            col = F.col(k)
+            for p in self.value_preds(sub, col, dtype, f"properties.{k}"):
+                if p.ok is True:
+                    self.suite.row_checks.append(Check(
+                        rule_id=p.rule_id, severity=p.severity,
+                        violation=F.lit(False), message=p.message,
+                        order=self._next_order(), column=k, static_ok=True))
+                    continue
+                if p.ok is False:
+                    violation = col.isNotNull()
+                else:
+                    violation = col.isNotNull() & ~p.ok
+                self.suite.row_checks.append(Check(
+                    rule_id=p.rule_id, severity=p.severity,
+                    violation=violation, message=p.message,
+                    order=self._next_order(), column=k))
+            self._extensions(k, sub)
+
+        if "x-drift" in node:
+            xd = node["x-drift"]
+            self.suite.drift_checks.append(DriftCheck(
+                rule_id=f"x-drift.{xd['column']}", column=xd["column"],
+                buckets=int(xd.get("buckets", 20)),
+                lo=float(xd.get("lo", 0.0)), hi=float(xd.get("hi", 12000.0)),
+                psi_max=float(xd.get("psi_max", 0.25)),
+                ks_alpha=float(xd.get("ks_alpha", 0.01)),
+                severity=Severity[xd.get("severity", "WARN").upper()]))
+        return self.suite
+
+    def _extensions(self, column: str, sub: dict) -> None:
+        if sub.get("x-unique"):
+            self.suite.unique_checks.append(UniqueCheck(
+                rule_id=f"x-unique.{column}", column=column))
+        if "x-ref" in sub:
+            xr = sub["x-ref"]
+            self.suite.ref_checks.append(RefCheck(
+                rule_id=f"x-ref.{column}", column=column,
+                table=xr["table"], key=xr["key"]))
+        if "x-payload" in sub:
+            xp = sub["x-payload"] if isinstance(sub["x-payload"], dict) else {}
+            self.suite.payload_checks.append(PayloadCheck(
+                rule_id=f"x-payload.{column}", column=column,
+                snr_db_min=float(xp.get("snr_db_min", 30.0)),
+                ref_table=xp.get("ref_table", "clips_ref")))
+
+
+def _literal(v: Any, path: str) -> Column:
+    if isinstance(v, list):
+        return F.array(*[_literal(x, path) for x in v])
+    if isinstance(v, dict):
+        return F.struct(*[_literal(x, path).alias(k) for k, x in v.items()])
+    return F.lit(v)
+
+
+def compile_spec(source: str | dict,
+                 schema: T.StructType | None = None) -> CheckSuite:
+    """Compile a YAML/JSON spec into a CheckSuite.
+
+    ``schema`` is the target table's StructType; when provided, checks
+    the table schema already guarantees are statically elided and
+    required-column presence is verified at compile time.
+    """
+    root = load_spec(source)
+    from pyspark import SparkContext
+    if SparkContext._active_spark_context is None:  # noqa: SLF001
+        from canned_yaml_spark.errors import EngineError
+        raise EngineError(
+            "compile_spec builds pyspark Column expressions and needs an "
+            "active SparkSession — create one first (session.get_spark())")
+    return _Compiler(root, schema).compile_root()

@@ -1,0 +1,216 @@
+"""Spec loading + eager structural validation.
+
+The reference loads the schema spec with YAML::Load — so both JSON and
+YAML specs parse (/root/reference/canner/src/canner.cc:978-983) — and
+requires the root to be a map (canner.cc:991-997). We do the same with
+``yaml.safe_load`` (JSON is a YAML subset) and validate the spec shape
+eagerly with located ``SpecError``s before any Spark work happens.
+
+Supported vocabulary (the reference's, canner.cc:106-129, plus the
+keywords its corpus uses but its generators silently ignore — see
+SURVEY.md §2 #16 — plus dataset-level extensions mandated by
+BASELINE.json):
+
+  row-level:    type, properties, required, items, minItems, maxItems,
+                oneOf, anyOf, enum, $ref/definitions,
+                minimum, maximum (exclusiveMinimum/Maximum),
+                pattern, minLength, maxLength
+  dataset-level (x- extensions): x-unique, x-ref, x-drift, x-payload
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from canned_yaml_spark.errors import SpecError
+
+try:  # pyyaml ships with the environment; JSON fallback if not
+    import yaml as _yaml
+except ImportError:  # pragma: no cover
+    _yaml = None
+
+#: The 7 logical types of the reference's SchemaType enum
+#: (/root/reference/canner/src/canner.cc:73,83-91).
+SCHEMA_TYPES = ("null", "boolean", "object", "array", "number", "integer", "string")
+
+#: Keywords understood at a schema node. Anything else is tolerated
+#: (open vocabulary, like the reference which skips unknown keys) but
+#: a '$ref' with siblings warns per canner.cc:772-784.
+NODE_KEYWORDS = {
+    "type", "properties", "required", "items", "minItems", "maxItems",
+    "oneOf", "anyOf", "enum", "$ref", "definitions",
+    "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
+    "pattern", "minLength", "maxLength",
+    "x-unique", "x-ref", "x-drift", "x-payload", "x-severity",
+    "$schema", "title", "description",
+}
+
+
+def load_spec(source: str | dict) -> dict:
+    """Load a spec from a path, a YAML/JSON string, or a dict.
+
+    Mirrors the reference's load path (canner.cc:972-997): file →
+    YAML parse → root-must-be-a-map check.
+    """
+    if isinstance(source, dict):
+        spec = source
+    else:
+        text = source
+        if os.path.exists(source):
+            with open(source, "r", encoding="utf-8") as fh:
+                text = fh.read()
+        if _yaml is not None:
+            spec = _yaml.safe_load(text)
+        else:  # pragma: no cover
+            spec = json.loads(text)
+    if not isinstance(spec, dict):
+        raise SpecError("$", "root of the spec must be a map "
+                             "(reference: canner.cc:991-997)")
+    validate_spec(spec, "$")
+    return spec
+
+
+def _is_int(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _is_num(v: Any) -> bool:
+    return _is_int(v) or isinstance(v, float)
+
+
+def validate_spec(node: Any, path: str) -> None:
+    """Eager structural validation of one spec node (recursive).
+
+    Consistency checks mirror the reference: bounds must be
+    non-negative ints with min ≤ max (canner.cc:625-658); type names
+    must be from the 7-type lexicon (canner.cc:448-449); enum values
+    must be present; $ref must be a string path. We additionally
+    reject sloppy constructs the reference tolerates or crashes on,
+    e.g. an empty enum slot (schema/wccp.schema.json:85 has a trailing
+    empty string — SURVEY.md §2.4: we reject loudly).
+    """
+    if not isinstance(node, dict):
+        raise SpecError(path, f"schema node must be a map, got {type(node).__name__}")
+
+    if "type" in node:
+        tv = node["type"]
+        names = tv if isinstance(tv, list) else [tv]
+        if not names:
+            raise SpecError(path + ".type", "type list must not be empty")
+        for i, name in enumerate(names):
+            if name not in SCHEMA_TYPES:
+                raise SpecError(f"{path}.type[{i}]",
+                                f"'{name}' is not a valid type; must be one of "
+                                f"{', '.join(SCHEMA_TYPES)}")
+
+    for kw in ("minItems", "maxItems", "minLength", "maxLength"):
+        if kw in node:
+            v = node[kw]
+            if not _is_int(v) or v < 0:
+                raise SpecError(f"{path}.{kw}",
+                                f"must be a non-negative integer, got {v!r}")
+    for lo_kw, hi_kw in (("minItems", "maxItems"), ("minLength", "maxLength")):
+        if lo_kw in node and hi_kw in node and node[lo_kw] > node[hi_kw]:
+            raise SpecError(f"{path}.{lo_kw}",
+                            f"{lo_kw} ({node[lo_kw]}) > {hi_kw} ({node[hi_kw]}) "
+                            f"(reference rejects this: canner.cc:653-658)")
+
+    for kw in ("minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+        if kw in node and not _is_num(node[kw]):
+            raise SpecError(f"{path}.{kw}", f"must be a number, got {node[kw]!r}")
+    lo = node.get("minimum", node.get("exclusiveMinimum"))
+    hi = node.get("maximum", node.get("exclusiveMaximum"))
+    if lo is not None and hi is not None and lo > hi:
+        raise SpecError(f"{path}.minimum", f"minimum ({lo}) > maximum ({hi})")
+
+    if "pattern" in node and not isinstance(node["pattern"], str):
+        raise SpecError(f"{path}.pattern", "must be a regex string")
+
+    if "required" in node:
+        req = node["required"]
+        if not isinstance(req, list) or not all(isinstance(k, str) for k in req):
+            raise SpecError(f"{path}.required", "must be a list of property names")
+
+    if "enum" in node:
+        vals = node["enum"]
+        if not isinstance(vals, list) or not vals:
+            raise SpecError(f"{path}.enum", "must be a non-empty list")
+        for i, v in enumerate(vals):
+            if v is None and len(vals) > 1 and all(
+                x is None or (isinstance(x, str) and x == "") for x in vals
+            ):
+                raise SpecError(f"{path}.enum[{i}]",
+                                "empty/None enum slot (sloppy spec; cf. "
+                                "wccp.schema.json:85) — rejected")
+        if any(isinstance(v, str) and v == "" for v in vals):
+            raise SpecError(f"{path}.enum",
+                            "empty-string enum slot (sloppy spec; cf. "
+                            "wccp.schema.json:85) — rejected")
+
+    if "properties" in node:
+        props = node["properties"]
+        if not isinstance(props, dict):
+            raise SpecError(f"{path}.properties", "must be a map")
+        for name, sub in props.items():
+            validate_spec(sub, f"{path}.properties.{name}")
+
+    if "items" in node:
+        items = node["items"]
+        if isinstance(items, dict):
+            validate_spec(items, f"{path}.items")
+        elif isinstance(items, list):
+            for i, sub in enumerate(items):
+                validate_spec(sub, f"{path}.items[{i}]")
+        else:
+            raise SpecError(f"{path}.items", "must be a map or a list of maps")
+
+    for comb in ("anyOf", "oneOf"):
+        if comb in node:
+            subs = node[comb]
+            if not isinstance(subs, list) or not subs:
+                raise SpecError(f"{path}.{comb}", "must be a non-empty list")
+            for i, sub in enumerate(subs):
+                validate_spec(sub, f"{path}.{comb}[{i}]")
+
+    if "$ref" in node:
+        ref = node["$ref"]
+        if not isinstance(ref, str) or not ref.startswith("#/"):
+            raise SpecError(f"{path}.$ref",
+                            f"must be a '#/...' JSON-pointer string, got {ref!r}")
+
+    if "definitions" in node:
+        defs = node["definitions"]
+        if not isinstance(defs, dict):
+            raise SpecError(f"{path}.definitions", "must be a map")
+        for name, sub in defs.items():
+            validate_spec(sub, f"{path}.definitions.{name}")
+
+    if "x-ref" in node:
+        xr = node["x-ref"]
+        if not isinstance(xr, dict) or "table" not in xr or "key" not in xr:
+            raise SpecError(f"{path}.x-ref", "must be a map with 'table' and 'key'")
+
+    if "x-drift" in node:
+        xd = node["x-drift"]
+        if not isinstance(xd, dict) or "column" not in xd:
+            raise SpecError(f"{path}.x-drift", "must be a map with at least 'column'")
+
+
+def resolve_ref(root: dict, ref: str, path: str) -> tuple[str, dict]:
+    """Resolve a '#/definitions/x'-style JSON pointer against the root.
+
+    Mirrors the reference's ``locate`` walk (canner.cc:831-856).
+    Returns (mangled_name, target_node).
+    """
+    parts = ref[2:].split("/")
+    node: Any = root
+    for part in parts:
+        if not isinstance(node, dict) or part not in node:
+            raise SpecError(path, f"$ref '{ref}' does not resolve "
+                                  f"(reference: canner.cc:781,897)")
+        node = node[part]
+    if not isinstance(node, dict):
+        raise SpecError(path, f"$ref '{ref}' target is not a schema node")
+    return "_".join(parts), node

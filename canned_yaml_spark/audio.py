@@ -1,0 +1,130 @@
+"""Deterministic audio synthesis, (stub) codecs, and SNR.
+
+The audio decode libraries (libsndfile/ffmpeg/opus) are NOT in this
+container, so the non-PCM codecs are **clearly-marked deterministic
+stubs**: each wraps the real PCM16 samples in a magic-tagged container
+(optionally quantized to simulate lossy coding, optionally
+zlib-compressed). The Spark-side plumbing — binary columns, Arrow
+batches, vectorized decode, SNR math — is real and is what the engine
+exercises; swapping a stub for a real codec changes only this module.
+
+Everything is a pure function of its arguments (seeded, no RNG state),
+so executors regenerate identical bytes on retry — a requirement for
+exactly-once resume semantics.
+
+Reference analog: deep payload equality lifts the reference's equal()
+(/root/reference/canner/src/equal.cc:3-34) from YAML node values to
+audio payloads; equal.cc's first-element-only bug (SURVEY.md §2.4) is
+exactly the class of error the full-signal SNR check avoids.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+#: container magics for the stub codecs (real formats' magic bytes, so
+#: corrupt/garbage payloads are detected the same way real decoders do)
+_MAGIC = {
+    "pcm_s16le": b"",
+    "flac": b"fLaC",
+    "opus": b"OpusHead",
+    "mp3": b"ID3\x04",
+}
+
+#: bits of quantization applied by the lossy stubs (keeps SNR well
+#: above the 30 dB gate for intact payloads, far below it for damage)
+_LOSSY_SHIFT = {"opus": 4, "mp3": 3}
+
+SEMITONE = 2.0 ** (1.0 / 12.0)
+
+
+def has_decoder(codec: str) -> bool:
+    """Whether the (stub) codec registry can decode this codec. Unknown
+    codecs are enum/referential violations, not payload ones — the
+    payload check skips them."""
+    return codec in _MAGIC
+
+
+def synth_pcm(key: int, sr_hz: int, dur_ms: int,
+              max_samples: int | None = 4096) -> np.ndarray:
+    """Deterministic PCM16 mono signal for a clip key.
+
+    FIXTURES.md table 1: 0.5·sin(2π·f0·t) + 0.3·sin(2π·2f0·t), f0
+    varied per row by (key % 32) semitones from 220 Hz. max_samples
+    caps the payload for sandbox-scale tables (at production scale
+    clips stream from object storage; the validation math is
+    length-independent).
+    """
+    n = int(dur_ms) * int(sr_hz) // 1000
+    if max_samples is not None:
+        n = min(n, max_samples)
+    if n <= 0:
+        return np.zeros(0, dtype=np.int16)
+    f0 = 220.0 * SEMITONE ** (key % 32)
+    t = np.arange(n, dtype=np.float64) / float(sr_hz)
+    x = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(2 * np.pi * 2 * f0 * t)
+    return np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+
+
+def encode(pcm: np.ndarray, codec: str) -> bytes:
+    """Encode PCM16 → payload bytes under a (stub) codec."""
+    raw = np.asarray(pcm, dtype="<i2")
+    if codec == "pcm_s16le":
+        return raw.tobytes()
+    if codec in ("flac", "opus", "mp3"):
+        shift = _LOSSY_SHIFT.get(codec, 0)
+        if shift:
+            raw = ((raw.astype(np.int32) >> shift) << shift).astype("<i2")
+        return _MAGIC[codec] + zlib.compress(raw.tobytes(), level=1)
+    raise NotImplementedError(
+        f"codec {codec!r}: no encoder in this sandbox (stub registry: "
+        f"{sorted(_MAGIC)})")
+
+
+def decode(data: bytes | bytearray | memoryview, codec: str) -> np.ndarray | None:
+    """Decode payload bytes → PCM16, or None when undecodable.
+
+    Returns None (rather than raising) for unknown codecs, bad magic,
+    or corrupt streams — the payload check turns None into an ERROR
+    violation row.
+    """
+    if data is None:
+        return None
+    buf = bytes(data)
+    if codec == "pcm_s16le":
+        if len(buf) % 2:
+            return None
+        return np.frombuffer(buf, dtype="<i2")
+    magic = _MAGIC.get(codec)
+    if magic is None or not buf.startswith(magic):
+        return None
+    try:
+        raw = zlib.decompress(buf[len(magic):])
+    except zlib.error:
+        return None
+    if len(raw) % 2:
+        return None
+    return np.frombuffer(raw, dtype="<i2")
+
+
+def snr_db(ref: np.ndarray, dec: np.ndarray | None) -> float:
+    """Signal-to-noise ratio of decoded vs reference PCM, in dB.
+
+    Length mismatch or failed decode → -inf (hard fail). Bit-exact
+    match → +inf.
+    """
+    if dec is None or ref.size != dec.size:
+        return float("-inf")
+    if ref.size == 0:
+        return float("inf")
+    r = ref.astype(np.float64)
+    n = r - dec.astype(np.float64)
+    p_sig = float(np.dot(r, r))
+    p_noise = float(np.dot(n, n))
+    if p_noise == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_noise)

@@ -1,0 +1,67 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files canned_yaml_spark.zip \
+        -m canned_yaml_spark.cli -- \
+        --spec specs/clips.spec.yaml --table /data/clips.parquet \
+        --ref /data/clips_ref.parquet --dim codec_dim=/data/codec_dim.parquet \
+        --out /data/validation_run
+
+Exit code 0 iff no ERROR-severity violation (the reference's process
+contract, /root/reference/canner/src/validate.cpp:12-26 /
+canner.cc:1116).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from canned_yaml_spark import fixtures, job
+from canned_yaml_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="canned-yaml-spark")
+    ap.add_argument("--spec", required=True, help="YAML/JSON spec path")
+    ap.add_argument("--table", required=True, help="clips parquet path")
+    ap.add_argument("--ref", help="clips_ref parquet path (payload checks)")
+    ap.add_argument("--dim", action="append", default=[],
+                    help="name=path of a dimension table (repeatable)")
+    ap.add_argument("--out", help="output dir (violations/verdicts/metrics/manifest)")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local[N] cores (ignored under a real cluster master)")
+    args = ap.parse_args(argv)
+
+    import os
+    if not os.path.exists(args.spec):
+        ap.error(f"--spec: no such file: {args.spec}")
+    for d in args.dim:
+        if "=" not in d:
+            ap.error(f"--dim expects name=path, got {d!r}")
+
+    spark = get_spark("canned-yaml-spark", cores=args.cores)
+    clips = spark.read.parquet(args.table)
+    dims = {}
+    for d in args.dim:
+        name, path = d.split("=", 1)
+        dims[name] = spark.read.parquet(path)
+    clips_ref = spark.read.parquet(args.ref) if args.ref else None
+
+    result = job.run(
+        spark, args.spec, clips,
+        dims=dims, clips_ref=clips_ref,
+        expected_hist=fixtures.reference_hist_df(spark),
+        ks_reference=fixtures.reference_dur_sample(),
+        out_dir=args.out, resume=not args.no_resume)
+
+    verd = result.verdicts.orderBy("part_id").collect()
+    n_fail = sum(0 if r["pass"] else 1 for r in verd)
+    print(f"partitions: {len(verd)}  failing: {n_fail}  ok: {result.ok}")
+    if result.ok:
+        print("Nice job!")   # validate.cpp:23 salute
+    return 0 if result.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

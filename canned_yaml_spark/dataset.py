@@ -1,0 +1,125 @@
+"""Dataset-level checks: uniqueness, referential integrity, column stats.
+
+The reference validates one document at a time and has no cross-row
+operators (SURVEY.md §2.2); BASELINE.json lifts its corpus-level
+behavior to table scale. Each check here is one deliberately chosen
+distributed plan:
+
+- uniqueness  → hash aggregation on the key (partial map-side combine
+  + final agg; AQE coalesces post-shuffle partitions). We return the
+  duplicate *keys* with counts, not every duplicate row — at 10^12
+  rows the groupBy+filter plan is one shuffle of (key, partial count)
+  pairs, dramatically smaller than a window over all rows.
+- referential → broadcast LEFT ANTI join against the (small) dimension
+  table: no shuffle of the fact side at all.
+- stats       → one scan, one hash agg per partition key; all
+  aggregates are Tungsten built-ins (no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from canned_yaml_spark.checks import RefCheck, Severity, UniqueCheck
+
+
+def duplicate_keys(df: DataFrame, check: UniqueCheck) -> DataFrame:
+    """(key, n_dup) for every key appearing more than once.
+
+    Plan: partial count per input partition → one shuffle on the key →
+    final count + filter. The reference has no uniqueItems keyword
+    (canner.cc:106-120); this is the north_star's uniqueness check.
+    """
+    c = check.column
+    return (df.groupBy(F.col(c))
+              .agg(F.count(F.lit(1)).alias("n_dup"))
+              .filter(F.col("n_dup") > 1))
+
+
+def unique_violations(df: DataFrame, check: UniqueCheck,
+                      id_col: str = "clip_id",
+                      part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows for duplicated keys, with row context.
+
+    Keeps (clip_id, part_id) per offending row by broadcast-joining
+    the (small) duplicate-key set back to the fact table: dup keys are
+    proportional to defects, not table size, so the join side is tiny
+    and the fact table is NOT shuffled.
+    """
+    c = check.column
+    dups = duplicate_keys(df, check)
+    return (df.join(F.broadcast(dups), on=c, how="inner")
+              .select(F.col(id_col).alias("clip_id"),
+                      F.col(part_col).alias("part_id"),
+                      F.lit(check.rule_id).alias("rule_id"),
+                      F.lit(int(check.severity)).alias("severity"),
+                      F.concat(F.lit(f"duplicate {c} (x"),
+                               F.col("n_dup").cast("string"),
+                               F.lit(")")).alias("message")))
+
+
+def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
+                           id_col: str = "clip_id",
+                           part_col: str = "part_id") -> DataFrame:
+    """Rows whose ``column`` value does not exist in dim.``key``.
+
+    The $ref-at-scale analog (SURVEY.md §2.2 #17,
+    /root/reference/schema/ip_allow.schema.json:16): broadcast left
+    anti join — dim ships to every executor, fact side stays in place.
+    NULL fact keys are presence problems (`required`), not referential
+    ones, so they are excluded here.
+    """
+    c = check.column
+    dim_keys = dim.select(F.col(check.key).alias(c)).distinct()
+    return (df.filter(F.col(c).isNotNull())
+              .join(F.broadcast(dim_keys), on=c, how="left_anti")
+              .select(F.col(id_col).alias("clip_id"),
+                      F.col(part_col).alias("part_id"),
+                      F.lit(check.rule_id).alias("rule_id"),
+                      F.lit(int(check.severity)).alias("severity"),
+                      F.concat(F.lit(f"{c} '"), F.col(c),
+                               F.lit(f"' not present in {check.table}.{check.key}")
+                               ).alias("message")))
+
+
+def column_stats(df: DataFrame, columns: list[str],
+                 part_col: str = "part_id") -> DataFrame:
+    """Per-partition profile of numeric columns (SURVEY.md §2.2 #20).
+
+    One scan, one hash agg. Used for the metrics table written next to
+    verdicts (reporting + drift context, validate.cpp:16 analog).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"{c}_n"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.avg(c).alias(f"{c}_avg"),
+            F.stddev_samp(c).alias(f"{c}_std"),
+            F.approx_count_distinct(c).alias(f"{c}_approx_distinct"),
+        ]
+    return df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+
+def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 16,
+                       seed: int = 42) -> DataFrame:
+    """Two-stage aggregation for skewed keys (SURVEY.md §2.2 #24).
+
+    Counting by a skewed key (codec has a 0.70 hot value) in one
+    groupBy funnels the hot key's partial counts into one reducer.
+    With map-side partial aggregation Spark already combines per
+    input partition, so a plain count is usually fine — this explicit
+    two-stage (key, salt) → key variant is for aggregates without
+    cheap partial forms and as the documented skew pattern. Salting
+    uses a deterministic hash of a row-local value, not rand(), so
+    retries are idempotent.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(salt_buckets)))
+    stage1 = (salted.groupBy(key, "_salt")
+                    .agg(F.count(F.lit(1)).alias("_partial")))
+    return (stage1.groupBy(key)
+                  .agg(F.sum("_partial").alias("n"))
+                  .orderBy(F.desc("n")))

@@ -1,0 +1,152 @@
+"""Deterministic clips table derived from the driver's `orders` parquet.
+
+The reference's test corpus is "valid documents + documents with known
+injected defects" (/root/reference/config.yaml is the valid fixture;
+SURVEY.md §5). At table scale we need the same corpus in TWO engines —
+Spark (the system under test) and DuckDB (the driver's oracle) — so the
+derivation is pure integer arithmetic on the contiguous ``o_orderkey``
+of the pre-generated orders table: no engine hash functions, no RNG,
+no floats. The same SELECT (modulo tiny dialect spelling) produces
+bit-identical rows in both engines.
+
+Injection plan (mirrors FIXTURES.md table 2): every 10th key carries
+exactly one defect, cycling through 8 rules; partition 7 additionally
+gets a +5000 ms duration shift (distribution drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: 16-word vocabulary for synthetic transcripts (deterministic).
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa",
+]
+
+SAMPLE_RATES = [8000, 16000, 22050, 44100, 48000]
+
+#: codec frequency weights per FIXTURES.md (0.70 hot key → skew).
+CODEC_CASE = (
+    "CASE WHEN r_codec < 700 THEN 'pcm_s16le' "
+    "WHEN r_codec < 850 THEN 'flac' "
+    "WHEN r_codec < 950 THEN 'opus' ELSE 'mp3' END"
+)
+
+#: duration multiplier: coprime to 9801 (full-range lattice) and chosen
+#: so the per-partition walk (step 64·M mod 9801 = 6058 ≈ 0.618·9801)
+#: is low-discrepancy — partitions sample the whole [200, 10001) range
+#: evenly even with ~30 rows each (otherwise KS/PSI false-fires at
+#: small scale).
+DUR_MULT = 5914
+
+N_PARTS = 64          # part_id granularity (verdicts / drift / resume)
+DRIFT_PART = 7        # partition with injected +5000ms duration shift
+INJECT_EVERY = 10     # every 10th key carries one defect
+N_RULES = 8
+
+
+def _word_case(idx_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{w}'" for i, w in enumerate(WORDS)
+    )
+    return f"CASE {idx_expr} {whens} END"
+
+
+def _sr_case(idx_expr: str) -> str:
+    whens = " ".join(f"WHEN {i} THEN {sr}" for i, sr in enumerate(SAMPLE_RATES))
+    return f"CASE {idx_expr} {whens} END"
+
+
+def clips_select(dialect: str, orders_rel: str = "orders") -> str:
+    """The clips derivation as a SELECT over ``orders_rel``.
+
+    dialect: 'spark' or 'duckdb'. The only differences are the
+    printf/format_string spelling and integer division.
+    """
+    if dialect == "spark":
+        fmt = "format_string"
+        idiv = "div"
+    elif dialect == "duckdb":
+        fmt = "printf"
+        idiv = "//"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 2654435761) % 1000 AS r_codec,
+         (o_orderkey * 40503 + 17) % 5    AS r_sr,
+         (o_orderkey * {DUR_MULT} + 1) % 9801 AS r_dur,
+         (o_orderkey * 7919) % {len(WORDS)} AS r_word,
+         (o_orderkey * 104729) % 40 + 1   AS r_nw,
+         (o_orderkey % {INJECT_EVERY} = 0) AS inject,
+         (o_orderkey {idiv} {INJECT_EVERY}) % {N_RULES} AS rule_k
+  FROM {orders_rel}
+),
+base AS (
+  SELECT k, inject, rule_k,
+         {fmt}('clip_%010d', k) AS clip_id0,
+         {_sr_case('r_sr')} AS sr_hz0,
+         CASE WHEN k % {N_PARTS} = {DRIFT_PART}
+              THEN 200 + r_dur + 5000 ELSE 200 + r_dur END AS dur_ms0,
+         {CODEC_CASE} AS codec0,
+         rtrim(repeat(concat({_word_case('r_word')}, ' '), CAST(r_nw AS INT))) AS transcript0,
+         CAST(k % {N_PARTS} AS INT) AS part_id
+  FROM keyed
+)
+SELECT
+  CASE WHEN inject AND rule_k = 4 THEN {fmt}('CLIP-%d', k)
+       WHEN inject AND rule_k = 5 AND k > 0 THEN {fmt}('clip_%010d', k - 1)
+       ELSE clip_id0 END AS clip_id,
+  CAST(CASE WHEN inject AND rule_k = 0 THEN 3000 ELSE sr_hz0 END AS INT) AS sr_hz,
+  CAST(CASE WHEN inject AND rule_k = 1 THEN 0 ELSE dur_ms0 END AS INT) AS dur_ms,
+  CASE WHEN inject AND rule_k = 2 THEN 'wav'
+       WHEN inject AND rule_k = 3 THEN 'vorbis'
+       ELSE codec0 END AS codec,
+  CASE WHEN inject AND rule_k = 6 THEN NULL
+       WHEN inject AND rule_k = 7 THEN repeat('x', 5000)
+       ELSE transcript0 END AS transcript,
+  part_id
+FROM base
+""".strip()
+
+
+def clips_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived clips DataFrame for a testdata sf dir (Spark side).
+
+    The parquet scan reads exactly one column (o_orderkey) — column
+    pruning reaches the source; all derived columns are Catalyst
+    expressions inside one whole-stage-codegen span.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(clips_select("spark"))
+
+
+def clips_duckdb_cte() -> str:
+    """`clips AS (...)` CTE fragment for DuckDB oracle SQL (the driver
+    pre-registers `orders` as a view over the same parquet)."""
+    return f"clips AS ({clips_select('duckdb')})"
+
+
+# ---------------------------------------------------------------- codec dim
+CODEC_DIM_ROWS = [
+    ("pcm_s16le", False, 48000),
+    ("flac", False, 48000),
+    ("opus", True, 48000),
+    ("mp3", True, 44100),
+]
+
+
+def codec_dim_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(CODEC_DIM_ROWS,
+                                 "codec string, lossy boolean, max_sr_hz int")
+
+
+def codec_dim_duckdb_cte() -> str:
+    vals = ", ".join(f"('{c}', {str(l).lower()}, {m})"
+                     for c, l, m in CODEC_DIM_ROWS)
+    return f"codec_dim AS (SELECT * FROM (VALUES {vals}) t(codec, lossy, max_sr_hz))"

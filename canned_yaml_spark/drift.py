@@ -1,0 +1,176 @@
+"""Distribution-drift checks: PSI (pure DataFrame) + KS (applyInPandas).
+
+No reference analog (single-document validator); mandated by
+BASELINE.json north_star: "KS/PSI distribution-drift checks on
+per-partition dur_ms histograms".
+
+Scale shape: the expensive part — bucketing 10^12 rows — is one scan
+plus one hash aggregation on (part_id, bucket); everything after runs
+on ≤ parts × buckets rows (tiny). The bucket→expected-fraction join is
+a broadcast. The KS path ships a bounded reference sample (≤ ks_max_ref
+values) to executors via closure and runs numpy per partition-group
+through Arrow — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from canned_yaml_spark.checks import DriftCheck
+
+_EPS = 1e-6
+
+
+def bucketize(df: DataFrame, check: DriftCheck,
+              part_col: str = "part_id") -> DataFrame:
+    """(part_id, bucket, cnt): histogram of check.column per partition.
+    Values are clamped into [lo, hi) buckets; NULLs excluded."""
+    width = (check.hi - check.lo) / check.buckets
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(check.column) - F.lit(check.lo)) / F.lit(width)),
+            F.lit(0)),
+        F.lit(check.buckets - 1)).cast("int")
+    return (df.filter(F.col(check.column).isNotNull())
+              .select(F.col(part_col).alias("part_id"), b.alias("bucket"))
+              .groupBy("part_id", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def psi_per_partition(df: DataFrame, check: DriftCheck,
+                      expected: DataFrame | None = None,
+                      part_col: str = "part_id") -> DataFrame:
+    """(part_id, psi): population stability index of each partition's
+    histogram vs an expected distribution.
+
+    ``expected``: (bucket, expected_frac) reference histogram
+    (FIXTURES.md table 5). When None, the global distribution of the
+    table itself is the reference — partitions are then compared
+    against the all-partition blend, which flags localized shifts.
+
+    psi = Σ_b (p_b − e_b) · ln((p_b + ε)/(e_b + ε)) over the FULL
+    bucket grid (missing buckets count as 0 — a sparse join would
+    silently drop exactly the buckets that drifted to zero).
+    """
+    hist = bucketize(df, check, part_col).cache()
+    if expected is None:
+        tot = hist.agg(F.sum("cnt").alias("n")).select(
+            F.col("n"), F.lit(1).alias("_j"))
+        expected = (hist.groupBy("bucket").agg(F.sum("cnt").alias("bcnt"))
+                        .select(F.col("bucket"), F.lit(1).alias("_j"),
+                                F.col("bcnt"))
+                        .join(F.broadcast(tot), "_j")
+                        .select("bucket",
+                                (F.col("bcnt") / F.col("n")).alias("expected_frac")))
+
+    parts = hist.select("part_id").distinct()
+    buckets = hist.sparkSession.range(check.buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    grid = parts.crossJoin(F.broadcast(buckets))
+
+    part_tot = hist.groupBy("part_id").agg(F.sum("cnt").alias("part_n"))
+    full = (grid.join(hist, ["part_id", "bucket"], "left")
+                .join(F.broadcast(expected), "bucket", "left")
+                .join(F.broadcast(part_tot), "part_id")
+                .select("part_id", "bucket", "part_n",
+                        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+                        F.coalesce(F.col("expected_frac"), F.lit(0.0))
+                         .alias("e")))
+    p = F.col("cnt") / F.col("part_n")
+    term = (p - F.col("e")) * F.log((p + F.lit(_EPS)) / (F.col("e") + F.lit(_EPS)))
+    return (full.groupBy("part_id")
+                .agg(F.sum(term).alias("psi")))
+
+
+def psi_violations(df: DataFrame, check: DriftCheck,
+                   expected: DataFrame | None = None,
+                   part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped) for
+    partitions whose PSI exceeds check.psi_max."""
+    return (psi_per_partition(df, check, expected, part_col)
+            .filter(F.col("psi") > check.psi_max)
+            .select(F.lit(None).cast("string").alias("clip_id"),
+                    "part_id",
+                    F.lit(check.rule_id + ".psi").alias("rule_id"),
+                    F.lit(int(check.severity)).alias("severity"),
+                    F.concat(F.lit("PSI "),
+                             F.round(F.col("psi"), 4).cast("string"),
+                             F.lit(f" > {check.psi_max} on {check.column}")
+                             ).alias("message")))
+
+
+# ------------------------------------------------------------------- KS
+def _ks_2samp(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
+    """Two-sample Kolmogorov–Smirnov statistic + asymptotic p-value.
+
+    scipy is not in the sandbox; this is the standard formulation
+    (statistic = sup |ECDF_a − ECDF_b|, p ≈ Kolmogorov distribution
+    asymptotic — the same approximation scipy uses in 'asymp' mode).
+    """
+    a = np.sort(a)
+    b = np.sort(b)
+    all_v = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, all_v, side="right") / a.size
+    cdf_b = np.searchsorted(b, all_v, side="right") / b.size
+    d = float(np.max(np.abs(cdf_a - cdf_b)))
+    en = math.sqrt(a.size * b.size / (a.size + b.size))
+    t = (en + 0.12 + 0.11 / en) * d
+    # Kolmogorov Q-function, truncated series
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
+                  for k in range(1, 101))
+    return d, float(min(max(p, 0.0), 1.0))
+
+
+def ks_per_partition(df: DataFrame, check: DriftCheck,
+                     reference: np.ndarray,
+                     part_col: str = "part_id",
+                     max_sample_per_part: int = 100_000) -> DataFrame:
+    """(part_id, ks_stat, p_value, n) via applyInPandas per partition.
+
+    ``reference`` is a bounded driver-side sample of the expected
+    distribution (fixed size, broadcast in the UDF closure). Each
+    partition group arrives as Arrow batches; numpy does the work.
+    Partitions larger than max_sample_per_part are deterministically
+    thinned (every k-th sorted value) — the KS statistic is stable
+    under uniform thinning at these sizes.
+    """
+    ref = np.asarray(reference, dtype=np.float64)
+    col = check.column
+
+    def ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[col].dropna().to_numpy(dtype=np.float64)
+        if vals.size == 0:
+            return pd.DataFrame({"part_id": [pdf["part_id"].iloc[0]],
+                                 "ks_stat": [0.0], "p_value": [1.0], "n": [0]})
+        if vals.size > max_sample_per_part:
+            vals = np.sort(vals)[:: vals.size // max_sample_per_part]
+        d, p = _ks_2samp(vals, ref)
+        return pd.DataFrame({"part_id": [int(pdf["part_id"].iloc[0])],
+                             "ks_stat": [d], "p_value": [p],
+                             "n": [int(vals.size)]})
+
+    return (df.select(F.col(part_col).alias("part_id"), col)
+              .groupBy("part_id")
+              .applyInPandas(ks, "part_id int, ks_stat double, "
+                                 "p_value double, n long"))
+
+
+def ks_violations(df: DataFrame, check: DriftCheck, reference: np.ndarray,
+                  part_col: str = "part_id") -> DataFrame:
+    return (ks_per_partition(df, check, reference, part_col)
+            .filter(F.col("p_value") < check.ks_alpha)
+            .select(F.lit(None).cast("string").alias("clip_id"),
+                    "part_id",
+                    F.lit(check.rule_id + ".ks").alias("rule_id"),
+                    F.lit(int(check.severity)).alias("severity"),
+                    F.concat(F.lit("KS stat "),
+                             F.round(F.col("ks_stat"), 4).cast("string"),
+                             F.lit(", p "),
+                             F.round(F.col("p_value"), 6).cast("string"),
+                             F.lit(f" < alpha {check.ks_alpha} on {check.column}")
+                             ).alias("message")))

@@ -1,0 +1,132 @@
+"""End-to-end validation job: the analog of the reference's runtime
+driver (/root/reference/canner/src/validate.cpp:8-26) at table scale.
+
+    load spec → compile → scan table once for row checks →
+    dataset checks (uniqueness / referential / drift / payload) →
+    write violations + verdicts + metrics (+ manifest) →
+    exit code = any ERROR   (validate.cpp prints notes + verdict;
+                             we persist tables and return the verdict)
+
+The run is resumable: row-level checks skip manifest-completed
+partitions; table-level checks are recomputed over the full table
+each run (they are cross-partition by nature) — both are idempotent
+because every write is partition-atomic and the data path is
+deterministic (checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from canned_yaml_spark import checkpoint, dataset, drift, payload
+from canned_yaml_spark.checks import CheckSuite, Severity
+from canned_yaml_spark.compile import compile_spec
+from canned_yaml_spark.runner import row_violations
+
+
+@dataclass
+class ValidationResult:
+    violations: DataFrame          # (clip_id, part_id, rule_id, severity, message)
+    verdicts: DataFrame            # (part_id, n_rows, n_violations, max_severity, pass)
+    metrics: DataFrame | None      # per-partition column stats
+    ok: bool                       # no ERROR-severity violation anywhere
+
+
+def all_violations(clips: DataFrame, suite: CheckSuite, *,
+                   dims: dict[str, DataFrame] | None = None,
+                   clips_ref: DataFrame | None = None,
+                   expected_hist: DataFrame | None = None,
+                   ks_reference: np.ndarray | None = None,
+                   id_col: str = "clip_id",
+                   part_col: str = "part_id") -> DataFrame:
+    """Union of every check family's long-form violations."""
+    dims = dims or {}
+    out = row_violations(clips, suite, id_col, part_col)
+    for uc in suite.unique_checks:
+        out = out.unionByName(
+            dataset.unique_violations(clips, uc, id_col, part_col))
+    for rc in suite.ref_checks:
+        if rc.table not in dims:
+            raise KeyError(f"x-ref check {rc.rule_id} needs dimension table "
+                           f"'{rc.table}' in dims")
+        out = out.unionByName(
+            dataset.referential_violations(clips, dims[rc.table], rc,
+                                           id_col, part_col))
+    for dc in suite.drift_checks:
+        out = out.unionByName(
+            drift.psi_violations(clips, dc, expected_hist, part_col))
+        if ks_reference is not None:
+            out = out.unionByName(
+                drift.ks_violations(clips, dc, ks_reference, part_col))
+    for pc in suite.payload_checks:
+        if clips_ref is not None:
+            out = out.unionByName(
+                payload.payload_violations(clips, clips_ref, pc,
+                                           id_col, part_col))
+    return out
+
+
+def run(spark: SparkSession, spec_source: str | dict, clips: DataFrame, *,
+        dims: dict[str, DataFrame] | None = None,
+        clips_ref: DataFrame | None = None,
+        expected_hist: DataFrame | None = None,
+        ks_reference: np.ndarray | None = None,
+        out_dir: str | None = None,
+        resume: bool = True,
+        stats_columns: tuple[str, ...] = ("sr_hz", "dur_ms"),
+        id_col: str = "clip_id",
+        part_col: str = "part_id") -> ValidationResult:
+    """Compile the spec and validate `clips` end to end.
+
+    With out_dir set, writes violations/, verdicts/, metrics/ and
+    manifest/ under it (partition-atomic, resumable). Without it,
+    returns lazy DataFrames only.
+    """
+    suite = compile_spec(spec_source, clips.schema)
+    run_id = uuid.uuid4().hex[:12]
+
+    scope = clips
+    if out_dir and resume:
+        scope = checkpoint.pending_only(clips, spark,
+                                        f"{out_dir}/manifest", part_col)
+
+    viol = all_violations(scope, suite, dims=dims, clips_ref=clips_ref,
+                          expected_hist=expected_hist,
+                          ks_reference=ks_reference,
+                          id_col=id_col, part_col=part_col)
+    # Each family's plan executes once: verdicts aggregate the unified
+    # violations table instead of recomputing the families.
+    base = (scope.groupBy(F.col(part_col).alias("part_id"))
+                 .agg(F.count(F.lit(1)).alias("n_rows")))
+    viol_agg = (viol.groupBy("part_id")
+                    .agg(F.count(F.lit(1)).alias("n_violations"),
+                         F.max("severity").alias("max_severity")))
+    verd = (base.join(viol_agg, "part_id", "left")
+                .select("part_id", "n_rows",
+                        F.coalesce(F.col("n_violations"), F.lit(0))
+                         .alias("n_violations"),
+                        "max_severity",
+                        (F.coalesce(F.col("max_severity"), F.lit(-1))
+                         < int(Severity.ERROR)).alias("pass")))
+
+    metrics = dataset.column_stats(scope, list(stats_columns), part_col)
+
+    if out_dir:
+        checkpoint.write_partitioned(viol, f"{out_dir}/violations")
+        checkpoint.write_partitioned(metrics, f"{out_dir}/metrics")
+        checkpoint.write_partitioned(
+            verd.withColumn("run_id", F.lit(run_id)), f"{out_dir}/verdicts")
+        # manifest append is the commit point (checkpoint.py)
+        checkpoint.append_manifest(verd, f"{out_dir}/manifest", run_id)
+        verd = spark.read.parquet(f"{out_dir}/verdicts")
+        viol = spark.read.parquet(f"{out_dir}/violations")
+
+    n_err = (viol.filter(F.col("severity") >= int(Severity.ERROR))
+                 .limit(1).count())
+    return ValidationResult(violations=viol, verdicts=verd,
+                            metrics=metrics, ok=n_err == 0)

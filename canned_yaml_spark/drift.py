@@ -120,9 +120,17 @@ def _ks_2samp(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
     d = float(np.max(np.abs(cdf_a - cdf_b)))
     en = math.sqrt(a.size * b.size / (a.size + b.size))
     t = (en + 0.12 + 0.11 / en) * d
-    # Kolmogorov Q-function, truncated series
-    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
-                  for k in range(1, 101))
+    # Kolmogorov Q-function: the alternating series diverges as t→0,
+    # so below t≈1.18 use the equivalent theta-function form (both are
+    # the standard asymptotic kolmogorov() formulations).
+    if t < 1e-9:
+        p = 1.0
+    elif t < 1.18:
+        w = math.exp(-math.pi ** 2 / (8.0 * t * t))
+        p = 1.0 - (math.sqrt(2.0 * math.pi) / t) * (w + w ** 9 + w ** 25)
+    else:
+        p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
+                      for k in range(1, 101))
     return d, float(min(max(p, 0.0), 1.0))
 
 

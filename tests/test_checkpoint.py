@@ -1,0 +1,57 @@
+"""Checkpoint / exact resume (SURVEY.md §2.2 #25)."""
+
+import pyspark.sql.functions as F
+
+from canned_yaml_spark import checkpoint, fixtures, job
+
+
+def test_resume_skips_completed_and_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "run")
+    clips = fixtures.clips_df(spark, 400, max_samples=16)
+    ref = fixtures.clips_ref_df(spark, 400, max_samples=16)
+    dim = fixtures.codec_dim_df(spark)
+
+    r1 = job.run(spark, "specs/clips.spec.yaml", clips,
+                 dims={"codec_dim": dim}, clips_ref=ref, out_dir=out)
+    assert not r1.ok
+    mani1 = spark.read.parquet(f"{out}/manifest")
+    assert mani1.count() == 64
+    v1 = spark.read.parquet(f"{out}/violations").count()
+
+    # second run: nothing pending, outputs unchanged
+    r2 = job.run(spark, "specs/clips.spec.yaml", clips,
+                 dims={"codec_dim": dim}, clips_ref=ref, out_dir=out)
+    mani2 = spark.read.parquet(f"{out}/manifest")
+    assert mani2.count() == 64        # no duplicate manifest rows
+    assert spark.read.parquet(f"{out}/violations").count() == v1
+
+
+def test_partial_manifest_resume(spark, tmp_path):
+    out = str(tmp_path / "partial")
+    clips = fixtures.clips_df(spark, 400, max_samples=16)
+
+    # fake a crash: partitions 0..31 committed, rest pending
+    done = spark.createDataFrame(
+        [(p, 10, 0, -1, True, "run0", 0.0) for p in range(32)],
+        checkpoint.MANIFEST_SCHEMA)
+    done.write.parquet(f"{out}/manifest")
+
+    pending = checkpoint.pending_only(clips, spark, f"{out}/manifest")
+    parts = {r.part_id for r in pending.select("part_id").distinct().collect()}
+    assert parts == set(range(32, 64))
+
+
+def test_manifest_probe_absent_dir(spark, tmp_path):
+    m = checkpoint.read_manifest(spark, str(tmp_path / "nope"))
+    assert m.count() == 0
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    out = str(tmp_path / "dyn")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "part_id int, v string")
+    checkpoint.write_partitioned(df1, out)
+    # rewrite only partition 2; partition 1 must survive
+    df2 = spark.createDataFrame([(2, "B")], "part_id int, v string")
+    checkpoint.write_partitioned(df2, out)
+    rows = {(r.part_id, r.v) for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "a"), (2, "B")}

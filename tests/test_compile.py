@@ -1,0 +1,259 @@
+"""Per-operator compiler tests (SURVEY.md §5 item 1): each §2 keyword
+compiled against a tiny DataFrame with known-valid/invalid rows."""
+
+import pytest
+from pyspark.sql import types as T
+
+from canned_yaml_spark import compile_spec
+from canned_yaml_spark.runner import row_violations
+
+
+def _schema(*fields):
+    base = [T.StructField("clip_id", T.StringType()),
+            T.StructField("part_id", T.IntegerType())]
+    return T.StructType(base + list(fields))
+
+
+def _viols(spark, spec, schema, rows):
+    suite = compile_spec(spec, schema)
+    df = spark.createDataFrame(rows, schema)
+    out = row_violations(df, suite).collect()
+    return {(r.clip_id, r.rule_id) for r in out}, suite
+
+
+# ------------------------------------------------------------ type duck
+def test_integer_duck_on_string_staging(spark):
+    # full-parse svtoi semantics (canner.cc:1068-1079): '5 ' ok, '5x' not
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {"type": "integer"}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "5"), ("b", 0, " +42 "), ("c", 0, "5x"),
+        ("d", 0, "4.2"), ("e", 0, None)])
+    assert v == {("c", "properties.v.type"), ("d", "properties.v.type")}
+
+
+def test_boolean_duck_case_insensitive(spark):
+    # canner.cc:1052-1058
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {"type": "boolean"}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "true"), ("b", 0, "FALSE"), ("c", 0, "True"),
+        ("d", 0, "yes"), ("e", 0, "1")])
+    assert v == {("d", "properties.v.type"), ("e", "properties.v.type")}
+
+
+def test_number_type_implemented():
+    # 'number' is declared but never defined in the reference
+    # (canner.cc:100 vs 1012-1087) — we implement it (SURVEY.md §2 #6).
+    pass  # covered by test_number_duck below
+
+
+def test_number_duck(spark):
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {"type": "number"}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "4.25"), ("b", 0, "-1e3"), ("c", 0, "abc")])
+    assert v == {("c", "properties.v.type")}
+
+
+def test_multi_type_or_chain(spark):
+    # "type": ["integer","boolean"] — OR of duck checks (canner.cc:440-467)
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object",
+            "properties": {"v": {"type": ["integer", "boolean"]}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "7"), ("b", 0, "false"), ("c", 0, "x")])
+    assert v == {("c", "properties.v.type")}
+
+
+def test_string_accepts_any_scalar_static(spark, clips):
+    # any scalar satisfies 'string' (canner.cc:1081-1083): on an INT
+    # column a 'string' type check is statically satisfied
+    sch = _schema(T.StructField("v", T.IntegerType()))
+    suite = compile_spec(
+        {"type": "object", "properties": {"v": {"type": "string"}}}, sch)
+    checks = {c.rule_id: c for c in suite.row_checks}
+    assert checks["properties.v.type"].static_ok
+
+
+def test_typed_column_type_check_elided(spark):
+    sch = _schema(T.StructField("v", T.IntegerType()))
+    suite = compile_spec(
+        {"type": "object", "properties": {"v": {"type": "integer"}}}, sch)
+    assert all(c.static_ok for c in suite.row_checks
+               if c.rule_id == "properties.v.type")
+
+
+def test_null_type(spark):
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {"type": "null"}}}
+    v, _ = _viols(spark, spec, sch, [("a", 0, None), ("b", 0, "x")])
+    assert v == {("b", "properties.v.type")}
+
+
+# ----------------------------------------------------------- range/pattern
+def test_exclusive_bounds(spark):
+    sch = _schema(T.StructField("v", T.IntegerType()))
+    spec = {"type": "object",
+            "properties": {"v": {"exclusiveMinimum": 0, "exclusiveMaximum": 10}}}
+    v, _ = _viols(spark, spec, sch, [("a", 0, 0), ("b", 0, 5), ("c", 0, 10)])
+    assert v == {("a", "properties.v.exclusiveMinimum"),
+                 ("c", "properties.v.exclusiveMaximum")}
+
+
+def test_range_on_string_staging_casts(spark):
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object",
+            "properties": {"v": {"minimum": 8000, "maximum": 48000}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "16000"), ("b", 0, "3000"), ("c", 0, "junk")])
+    # 'junk' try_casts to NULL → NULL >= 8000 is NULL → ~NULL is NULL →
+    # isNotNull & NULL = NULL → when() skips: no range violation for
+    # unparseable text (the type check owns that failure)
+    assert v == {("b", "properties.v.minimum")}
+
+
+def test_pattern_anchored(spark):
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object",
+            "properties": {"v": {"pattern": r"^clip_[0-9]{10}$"}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "clip_0000000001"), ("b", 0, "CLIP-7"),
+        ("c", 0, "clip_123")])
+    assert v == {("b", "properties.v.pattern"), ("c", "properties.v.pattern")}
+
+
+# ------------------------------------------------------------- items
+def test_items_uniform_forall(spark):
+    sch = _schema(T.StructField("v", T.ArrayType(T.IntegerType())))
+    spec = {"type": "object", "properties": {"v": {
+        "type": "array", "minItems": 1, "maxItems": 3,
+        "items": {"minimum": 0, "maximum": 100}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, [1, 2]), ("b", 0, []), ("c", 0, [1, 2, 3, 4]),
+        ("d", 0, [5, -1])])
+    assert v == {("b", "properties.v.minItems"),
+                 ("c", "properties.v.maxItems"),
+                 ("d", "properties.v.items")}
+
+
+def test_items_tuple_positional(spark):
+    # positional items (canner.cc:673-705); replay.schema.json:136-147
+    sch = _schema(T.StructField("v", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"v": {
+        "items": [{"enum": ["name"]}, {"minLength": 2}]}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ["name", "value"]),
+        ("b", 0, ["wrong", "value"]),
+        ("c", 0, ["name", "x"]),
+        ("d", 0, ["name"]),          # short arrays don't violate pos 2
+    ])
+    assert v == {("b", "properties.v.items[0]"),
+                 ("c", "properties.v.items[1]")}
+
+
+def test_tuple_schemas_beyond_max_items_dropped_with_warning(spark):
+    # canner.cc:676-681
+    sch = _schema(T.StructField("v", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"v": {
+        "maxItems": 1, "items": [{"minLength": 1}, {"minLength": 9}]}}}
+    suite = compile_spec(spec, sch)
+    assert any("dropped" in w for w in suite.warnings)
+    assert not any("items[1]" in c.rule_id for c in suite.row_checks)
+
+
+# ----------------------------------------------------------- combinators
+def test_anyof_or_semantics(spark):
+    # ip_allow.schema.json:24-38 (string-or-array of strings)
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {"anyOf": [
+        {"enum": ["all"]}, {"pattern": "^m_"}]}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "all"), ("b", 0, "m_get"), ("c", 0, "nope")])
+    assert v == {("c", "properties.v.anyOf")}
+
+
+def test_oneof_exactly_one(spark, clips):
+    from canned_yaml_spark.runner import row_violations as rv
+    sch = _schema(T.StructField("n", T.IntegerType()))
+    spec = {"type": "object", "properties": {"n": {"oneOf": [
+        {"minimum": 0, "maximum": 10},
+        {"minimum": 5, "maximum": 20},
+        {"minimum": 100}]}}}
+    suite = compile_spec(spec, sch)
+    df = spark.createDataFrame(
+        [("one", 0, 3), ("two", 0, 7), ("zero", 0, 50), ("hi", 0, 150)], sch)
+    out = {r.clip_id: r.message for r in rv(df, suite).collect()}
+    # 0-match and >1-match are distinct errors (canner.cc:540-559)
+    assert set(out) == {"two", "zero"}
+    assert "2 of 3" in out["two"]
+    assert "none of 3" in out["zero"]
+
+
+def test_enum_composite_deep_equality(spark):
+    # the reference's equal() compares only the FIRST element
+    # (equal.cc:11-28, a bug we must NOT replicate): [1,99] would pass
+    # under first-element-only equality but must fail here.
+    sch = _schema(T.StructField("v", T.ArrayType(T.IntegerType())))
+    spec = {"type": "object", "properties": {"v": {"enum": [[1, 2], [3]]}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, [1, 2]), ("b", 0, [3]), ("c", 0, [1, 99])])
+    assert v == {("c", "properties.v.enum")}
+
+
+# ---------------------------------------------------------------- $ref
+def test_ref_chain_and_sibling_warning(spark):
+    # nested definitions mirroring ip_allow.schema.json:97-104; sibling
+    # keys of $ref ignored with a warning (canner.cc:772-784)
+    sch = _schema(T.StructField("v", T.IntegerType()))
+    spec = {
+        "type": "object",
+        "definitions": {
+            "small": {"$ref": "#/definitions/base", "maximum": 999999},
+            "base": {"minimum": 0, "maximum": 65535},
+        },
+        "properties": {"v": {"$ref": "#/definitions/small"}},
+    }
+    suite = compile_spec(spec, sch)
+    assert any("ignored because of $ref" in w for w in suite.warnings)
+    df = spark.createDataFrame([("a", 0, 80), ("b", 0, 70000)], sch)
+    out = row_violations(df, suite).collect()
+    assert {(r.clip_id, r.rule_id.split(".")[-1]) for r in out} == \
+        {("b", "maximum")}
+
+
+def test_ref_cycle_detected(spark):
+    from canned_yaml_spark.errors import SpecError
+    sch = _schema(T.StructField("v", T.IntegerType()))
+    spec = {"type": "object",
+            "definitions": {"a": {"$ref": "#/definitions/a"}},
+            "properties": {"v": {"$ref": "#/definitions/a"}}}
+    with pytest.raises(SpecError, match="cycle"):
+        compile_spec(spec, sch)
+
+
+# ------------------------------------------------------------ nested struct
+def test_nested_struct_properties(spark):
+    inner = T.StructType([T.StructField("host", T.StringType()),
+                          T.StructField("port", T.IntegerType())])
+    sch = _schema(T.StructField("v", inner))
+    spec = {"type": "object", "properties": {"v": {
+        "type": "object",
+        "required": ["host"],
+        "properties": {"port": {"minimum": 1, "maximum": 65535}}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ("example", 80)),
+        ("b", 0, (None, 80)),
+        ("c", 0, ("example", 0))])
+    assert v == {("b", "properties.v.required.host"),
+                 ("c", "properties.v.properties.port.minimum")}
+
+
+def test_open_world_unknown_column_warns(spark):
+    # generated code allows undeclared keys (canner.cc:741-756) — we
+    # warn and skip rather than fail
+    sch = _schema()
+    suite = compile_spec(
+        {"type": "object", "properties": {"ghost": {"type": "string"}}}, sch)
+    assert any("ghost" in w for w in suite.warnings)
+    assert not any("ghost" in c.rule_id for c in suite.row_checks)

@@ -1,0 +1,64 @@
+"""Dataset-level checks: uniqueness, referential, stats, salting."""
+
+import pyspark.sql.functions as F
+
+from canned_yaml_spark import dataset
+from canned_yaml_spark.derive import CODEC_DIM_ROWS
+
+
+def test_duplicate_keys(spark, clips, suite, golden):
+    uc = suite.unique_checks[0]
+    dups = dataset.duplicate_keys(clips, uc).collect()
+    # each id_dup injection creates one duplicated key (pair)
+    assert len(dups) == golden["id_dup"]
+    assert all(r.n_dup == 2 for r in dups)
+
+
+def test_unique_violations_keep_row_context(spark, clips, suite, golden):
+    uc = suite.unique_checks[0]
+    v = dataset.unique_violations(clips, uc)
+    # both rows of each duplicate pair are reported
+    assert v.count() == 2 * golden["id_dup"]
+    assert v.filter(F.col("part_id").isNull()).count() == 0
+
+
+def test_unique_clean(spark, clips_clean, suite):
+    uc = suite.unique_checks[0]
+    assert dataset.unique_violations(clips_clean, uc).count() == 0
+
+
+def test_referential_violations(spark, clips, codec_dim, suite, golden):
+    rc = suite.ref_checks[0]
+    v = dataset.referential_violations(clips, codec_dim, rc)
+    # 'wav' (codec_enum) and 'vorbis' (codec_ref) are both absent from dim
+    assert v.count() == golden["codec_enum"] + golden["codec_ref"]
+    msgs = {r.message for r in v.collect()}
+    assert any("wav" in m for m in msgs) and any("vorbis" in m for m in msgs)
+
+
+def test_referential_plan_is_broadcast(spark, clips, codec_dim, suite):
+    rc = suite.ref_checks[0]
+    plan = dataset.referential_violations(clips, codec_dim, rc) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_column_stats(spark, clips_clean):
+    st = dataset.column_stats(clips_clean, ["sr_hz", "dur_ms"])
+    rows = st.collect()
+    assert len(rows) == 64
+    r = rows[0]
+    assert r.n_rows > 0 and r.sr_hz_min >= 8000 and r.sr_hz_max <= 48000
+
+
+def test_salted_group_count_matches_plain(spark, clips_clean):
+    salted = {r["codec"]: r["n"] for r in
+              dataset.salted_group_count(clips_clean, "codec").collect()}
+    plain = {r["codec"]: r["cnt"] for r in
+             clips_clean.groupBy("codec")
+             .agg(F.count("*").alias("cnt")).collect()}
+    assert salted == plain
+    # skew: pcm_s16le is the ~0.70 hot key (FIXTURES.md)
+    total = sum(plain.values())
+    assert plain["pcm_s16le"] / total > 0.6
+    assert set(plain) == {c for c, _, _ in CODEC_DIM_ROWS}

@@ -1,0 +1,53 @@
+"""Cross-engine identity: the derived clips corpus must be bit-identical
+between Spark SQL and DuckDB (the oracle-gate backbone)."""
+
+import duckdb
+import pytest
+
+from canned_yaml_spark import derive
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def both(spark):
+    sdf = derive.clips_df(spark, SF_DIR).orderBy("clip_id", "sr_hz") \
+        .toPandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"parquet_scan('{SF_DIR}/orders.parquet')")
+    ddf = con.execute(
+        f"WITH {derive.clips_duckdb_cte()} SELECT * FROM clips "
+        f"ORDER BY clip_id, sr_hz").fetchdf().reset_index(drop=True)
+    return sdf, ddf
+
+
+def test_same_shape(both):
+    sdf, ddf = both
+    assert len(sdf) == len(ddf) > 0
+    assert list(sdf.columns) == list(ddf.columns)
+
+
+def test_identical_values(both):
+    sdf, ddf = both
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if a.dtype == object:
+            assert (a.fillna("\0") == b.fillna("\0")).all(), c
+        else:
+            assert (a.astype("int64") == b.astype("int64")).all(), c
+
+
+def test_injections_present(both):
+    sdf, _ = both
+    assert (sdf.codec == "wav").sum() > 0
+    assert (sdf.codec == "vorbis").sum() > 0
+    assert sdf.transcript.isna().sum() > 0
+    assert (len(sdf) - sdf.clip_id.nunique()) > 0
+    assert sdf.clip_id.str.match(r"^CLIP-").sum() > 0
+
+
+def test_codec_skew(both):
+    sdf, _ = both
+    frac = (sdf.codec == "pcm_s16le").mean()
+    assert 0.6 < frac < 0.8  # the 0.70 hot key (FIXTURES.md)

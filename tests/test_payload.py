@@ -1,0 +1,62 @@
+"""Payload validation through mapInPandas (input_hint per-row invariant)."""
+
+import pyspark.sql.functions as F
+
+from canned_yaml_spark import payload
+from canned_yaml_spark.fixtures import golden_rule_counts, injected_rule
+from tests.conftest import N_SMALL
+
+
+def test_payload_violations_match_plan(spark, clips, clips_ref, suite, golden):
+    pc = suite.payload_checks[0]
+    v = payload.payload_violations(clips, clips_ref, pc).cache()
+
+    snr_fail = v.filter(F.col("message").startswith("SNR") |
+                        F.col("message").startswith("payload")).count()
+    # bytes_corrupt rows fail decode/SNR; id_dup rows join the OTHER
+    # clip's reference → SNR mismatch (semantically: duplicate id,
+    # wrong reference)
+    assert snr_fail == golden["bytes_corrupt"] + golden["id_dup"]
+
+    t_fail = v.filter(F.col("message").startswith("transcript")).count()
+    assert t_fail == (golden["transcript_null"] + golden["transcript_len"]
+                      + golden["id_dup"])
+
+
+def test_payload_clean_passes(spark, suite):
+    from canned_yaml_spark import fixtures
+    pc = suite.payload_checks[0]
+    clips = fixtures.clips_df(spark, 300, inject=False)
+    ref = fixtures.clips_ref_df(spark, 300)
+    assert payload.payload_violations(clips, ref, pc).count() == 0
+
+
+def test_id_pattern_rows_drop_out_of_join(spark, clips, clips_ref, suite,
+                                          golden):
+    # CLIP-n ids have no reference row → inner join drops them; their
+    # failure is owned by the pattern check, not the payload check
+    pc = suite.payload_checks[0]
+    joined = clips.join(clips_ref.select("clip_id"), "clip_id", "inner")
+    assert joined.count() == N_SMALL - golden["id_pattern"]
+
+
+def test_snr_stats(spark, clips_clean, clips_ref, suite):
+    pc = suite.payload_checks[0]
+    # clips_clean has max_samples=64 but ref has 4096 → length mismatch
+    # is expected; use matched tables instead
+    from canned_yaml_spark import fixtures
+    c = fixtures.clips_df(spark, 200, inject=False)
+    r = fixtures.clips_ref_df(spark, 200)
+    st = payload.payload_snr_stats(c, r, pc)
+    rows = st.collect()
+    assert sum(x.n_payloads for x in rows) == 200
+    assert all(x.n_decode_fail == 0 for x in rows)
+    assert all(x.snr_min is None or x.snr_min >= 30.0 for x in rows)
+
+
+def test_injection_plan_is_pure():
+    g = golden_rule_counts(N_SMALL)
+    assert sum(g.values()) == N_SMALL // 10
+    assert injected_rule(0) == "sr_range"
+    assert injected_rule(5) is None
+    assert injected_rule(10) == "dur_range"

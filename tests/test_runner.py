@@ -1,0 +1,81 @@
+"""Corpus-translation tests (SURVEY.md §5 item 2): golden violation
+counts computed from the injection plan, never stored."""
+
+import pyspark.sql.functions as F
+
+from canned_yaml_spark.checks import Severity
+from canned_yaml_spark.runner import (
+    merge_verdicts, row_verdicts, row_violations, with_violations,
+)
+
+
+def _counts(df):
+    return {r.rule_id: r.n for r in
+            df.groupBy("rule_id").agg(F.count("*").alias("n")).collect()}
+
+
+def test_row_violations_match_injection_plan(spark, clips, suite, golden):
+    c = _counts(row_violations(clips, suite))
+    assert c["properties.sr_hz.minimum"] + c["properties.sr_hz.maximum"] \
+        == golden["sr_range"]
+    assert c["properties.dur_ms.minimum"] + c["properties.dur_ms.maximum"] \
+        == golden["dur_range"]
+    assert c["properties.codec.enum"] == golden["codec_enum"]
+    assert c["properties.clip_id.pattern"] == golden["id_pattern"]
+    assert c["required.transcript"] == golden["transcript_null"]
+    assert c["properties.transcript.minLength"] \
+        + c["properties.transcript.maxLength"] == golden["transcript_len"]
+    # no unexpected rules fire
+    assert set(c) == {
+        "properties.sr_hz.minimum", "properties.sr_hz.maximum",
+        "properties.dur_ms.minimum", "properties.dur_ms.maximum",
+        "properties.codec.enum", "properties.clip_id.pattern",
+        "required.transcript", "properties.transcript.minLength",
+        "properties.transcript.maxLength"}
+
+
+def test_clean_table_has_zero_violations(spark, clips_clean, suite):
+    assert row_violations(clips_clean, suite).count() == 0
+
+
+def test_verdict_rule(spark, clips, clips_clean, suite):
+    # verdict = max severity < ERROR (canner.cc:1101), per partition
+    verd = row_verdicts(clips, suite)
+    bad = verd.filter(~F.col("pass")).count()
+    assert bad > 0
+    assert row_verdicts(clips_clean, suite).filter(~F.col("pass")).count() == 0
+    # n_rows preserved
+    total = verd.agg(F.sum("n_rows")).collect()[0][0]
+    assert total == clips.count()
+
+
+def test_violations_row_count_equals_k_checks(spark, clips, suite):
+    # a row violating k checks yields exactly k violation rows
+    arr = with_violations(clips, suite)
+    exploded = row_violations(clips, suite).count()
+    summed = arr.agg(F.sum(F.size("violations"))).collect()[0][0]
+    assert exploded == summed
+
+
+def test_merge_verdicts_flips_pass(spark, clips_clean, suite):
+    verd = row_verdicts(clips_clean, suite)
+    extra = spark.createDataFrame(
+        [(None, 3, "x-unique.clip_id", int(Severity.ERROR), "dup")],
+        "clip_id string, part_id int, rule_id string, severity int, "
+        "message string")
+    merged = merge_verdicts(verd, extra)
+    rows = {r.part_id: r for r in merged.collect()}
+    assert rows[3]["pass"] is False
+    assert rows[3]["n_violations"] == 1
+    assert all(r["pass"] for p, r in rows.items() if p != 3)
+
+
+def test_violation_order_matches_reference_walk(spark, suite):
+    # checks are emitted in the reference's dispatcher order
+    # ($ref→type→ranges→pattern→length→…→enum; canner.cc:764-829):
+    # per property, minimum precedes maximum precedes enum, etc.
+    orders = {c.rule_id: c.order for c in suite.row_checks}
+    assert orders["properties.sr_hz.minimum"] \
+        < orders["properties.sr_hz.maximum"]
+    assert orders["properties.codec.type"] < orders["properties.codec.enum"]
+    assert orders["required.clip_id"] < orders["properties.clip_id.pattern"]

@@ -1,0 +1,73 @@
+"""Spec loading + structural validation (SURVEY.md §5 item 1)."""
+
+import pytest
+
+from canned_yaml_spark.errors import SpecError
+from canned_yaml_spark.spec import load_spec, resolve_ref
+
+
+def test_root_must_be_map():
+    with pytest.raises(SpecError, match="root"):
+        load_spec("- a\n- b\n")
+
+
+def test_yaml_and_json_both_load():
+    # the reference parses JSON as YAML (canner.cc:978-983)
+    assert load_spec('{"type": "object"}') == {"type": "object"}
+    assert load_spec("type: object\n") == {"type": "object"}
+
+
+def test_bad_type_name_located():
+    with pytest.raises(SpecError, match=r"\$\.properties\.a\.type"):
+        load_spec({"type": "object", "properties": {"a": {"type": "integre"}}})
+
+
+def test_min_items_gt_max_items_rejected():
+    # mirrors canner.cc:653-658
+    with pytest.raises(SpecError, match="minItems"):
+        load_spec({"properties": {"a": {"minItems": 3, "maxItems": 1}}})
+
+
+def test_negative_bounds_rejected():
+    with pytest.raises(SpecError, match="non-negative"):
+        load_spec({"properties": {"a": {"minItems": -1}}})
+
+
+def test_minimum_gt_maximum_rejected():
+    with pytest.raises(SpecError, match="minimum"):
+        load_spec({"properties": {"a": {"minimum": 10, "maximum": 1}}})
+
+
+def test_empty_enum_slot_rejected():
+    # wccp.schema.json:85 has a trailing empty slot; we reject loudly
+    # (SURVEY.md §2.4 decision)
+    with pytest.raises(SpecError, match="enum"):
+        load_spec({"properties": {"a": {"enum": ["src_ip", ""]}}})
+
+
+def test_enum_must_be_nonempty_list():
+    with pytest.raises(SpecError, match="enum"):
+        load_spec({"properties": {"a": {"enum": []}}})
+
+
+def test_ref_resolution_walks_path():
+    root = {"definitions": {"x": {"type": "string"}}}
+    name, node = resolve_ref(root, "#/definitions/x", "$")
+    assert name == "definitions_x"
+    assert node == {"type": "string"}
+
+
+def test_dangling_ref_is_located_error():
+    root = {"definitions": {}}
+    with pytest.raises(SpecError, match="does not resolve"):
+        resolve_ref(root, "#/definitions/nope", "$.a")
+
+
+def test_bad_ref_syntax():
+    with pytest.raises(SpecError, match=r"\$ref"):
+        load_spec({"properties": {"a": {"$ref": "definitions/x"}}})
+
+
+def test_x_ref_shape():
+    with pytest.raises(SpecError, match="x-ref"):
+        load_spec({"properties": {"a": {"x-ref": {"table": "t"}}}})

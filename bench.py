@@ -1,0 +1,139 @@
+"""Benchmark harness: headline queries, one JSON line to stdout.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+Two corpora:
+- derived clips from the sf dir's orders table (metadata checks —
+  same corpus the correctness gate uses), and
+- a 600,000-row synthetic clips_bench table WITH audio payloads
+  (FIXTURES.md), materialized once under .bench/ and reused.
+
+The headline metric is end-to-end constraint-suite throughput
+(clips validated/sec) per BASELINE.json; `value` is total seconds
+across the headline queries (driver contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from canned_yaml_spark import (  # noqa: E402
+    compile_spec, dataset, derive, drift, fixtures, payload,
+)
+from canned_yaml_spark.runner import row_verdicts, row_violations  # noqa: E402
+from canned_yaml_spark.session import get_spark  # noqa: E402
+
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "600000"))
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench", f"clips_{BENCH_ROWS}")
+
+
+def ensure_bench_corpus(spark) -> None:
+    marker = os.path.join(BENCH_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    fixtures.clips_df(spark, BENCH_ROWS, max_samples=512,
+                      partitions=64) \
+        .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips.parquet")
+    fixtures.clips_ref_df(spark, BENCH_ROWS, max_samples=512,
+                          partitions=64) \
+        .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips_ref.parquet")
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    ensure_bench_corpus(spark)
+
+    clips_b = spark.read.parquet(f"{BENCH_DIR}/clips.parquet")
+    ref_b = spark.read.parquet(f"{BENCH_DIR}/clips_ref.parquet")
+    suite_b = compile_spec("specs/clips.spec.yaml", clips_b.schema)
+    dim = derive.codec_dim_df(spark)
+    hist = fixtures.reference_hist_df(spark)
+    ks_ref = fixtures.reference_dur_sample()
+
+    clips_d = derive.clips_df(spark, sf_dir)
+    suite_d = compile_spec("specs/clips.spec.yaml", clips_d.schema)
+
+    # Warm-up: touch the bench parquet (OS page cache + codegen JIT)
+    # so timings measure the operators, not first-read disk latency.
+    clips_b.select("clip_id", "sr_hz", "dur_ms", "codec", "transcript",
+                   "part_id").count()
+    ref_b.select("clip_id").count()
+    clips_d.count()
+
+    timings: dict[str, float] = {}
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    def bench(name, thunk):
+        # median of N runs: single-JVM local mode shows multi-second
+        # GC/scheduling variance on payload-heavy stages
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            thunk()
+            ts.append(time.time() - t0)
+        timings[name] = round(sorted(ts)[len(ts) // 2], 3)
+
+    # headline: full row-level constraint suite, one scan (600k rows)
+    bench("q1_row_suite",
+          lambda: row_violations(clips_b, suite_b).count())
+    bench("q2_verdicts",
+          lambda: row_verdicts(clips_b, suite_b).count())
+    bench("q3_uniqueness",
+          lambda: dataset.unique_violations(
+              clips_b, suite_b.unique_checks[0]).count())
+    bench("q4_referential",
+          lambda: dataset.referential_violations(
+              clips_b, dim, suite_b.ref_checks[0]).count())
+    bench("q5_stats",
+          lambda: dataset.column_stats(
+              clips_b, ["sr_hz", "dur_ms"]).count())
+    bench("q6_drift_psi",
+          lambda: drift.psi_per_partition(
+              clips_b, suite_b.drift_checks[0], hist).count())
+    bench("q7_drift_ks",
+          lambda: drift.ks_per_partition(
+              clips_b, suite_b.drift_checks[0], ks_ref).count())
+    bench("q8_payload_snr",
+          lambda: payload.payload_violations(
+              clips_b, ref_b, suite_b.payload_checks[0]).count())
+    bench("q9_derived_suite",
+          lambda: row_violations(clips_d, suite_d).count())
+    bench("q10_salted_agg",
+          lambda: dataset.salted_group_count(clips_b, "codec").count())
+
+    total = round(sum(timings.values()), 3)
+    # clips validated end-to-end by the full suite (q1..q8 share the
+    # 600k-row corpus; the suite is one logical validation pass)
+    suite_secs = sum(v for k, v in timings.items() if k <= "q8")
+    clips_per_sec = round(BENCH_ROWS * 8 / suite_secs) if suite_secs else 0
+
+    print(json.dumps({
+        "metric": "constraint-suite seconds (10 headline queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "bench_rows": BENCH_ROWS,
+        "clips_per_sec_per_query_avg": clips_per_sec,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

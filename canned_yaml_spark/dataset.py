@@ -103,6 +103,26 @@ def column_stats(df: DataFrame, columns: list[str],
     return df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
 
 
+def column_stats_exact(df: DataFrame, columns: list[str],
+                       part_col: str = "part_id") -> DataFrame:
+    """Oracle-comparable per-partition profile: exact distinct counts
+    and 4-decimal-rounded means (floating aggregation order differs
+    between engines; rounding makes the hashes comparable)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    first = True
+    for c in columns:
+        if first:
+            aggs.append(F.count(c).alias(f"{c}_n"))
+            first = False
+        aggs += [
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+            F.round(F.avg(c), 4).alias(f"{c}_avg"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+        ]
+    return df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+
+
 def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 16,
                        seed: int = 42) -> DataFrame:
     """Two-stage aggregation for skewed keys (SURVEY.md §2.2 #24).

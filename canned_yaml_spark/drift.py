@@ -57,8 +57,11 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
     bucket grid (missing buckets count as 0 — a sparse join would
     silently drop exactly the buckets that drifted to zero).
     """
-    hist = bucketize(df, check, part_col).cache()
+    hist = bucketize(df, check, part_col)
     if expected is None:
+        # hist feeds both the per-partition and the global branch →
+        # materialize once
+        hist = hist.cache()
         tot = hist.agg(F.sum("cnt").alias("n")).select(
             F.col("n"), F.lit(1).alias("_j"))
         expected = (hist.groupBy("bucket").agg(F.sum("cnt").alias("bcnt"))

@@ -1,0 +1,215 @@
+"""DuckDB oracle SQL for the driver's correctness gate.
+
+The driver runs each Spark query from __spark_entry__.queries() AND the
+matching SQL here against the same parquet (DuckDB views), then
+compares row-count + schema + order-insensitive value hash. The Spark
+side always runs the REAL engine (compiled spec → Column checks); the
+SQL here is an independent re-statement of the spec's semantics, so
+agreement genuinely cross-checks the engine rather than the engine
+against itself.
+
+Everything is built over the derived clips corpus (derive.py) —
+identical in both engines by construction (tests/test_derive.py).
+"""
+
+from __future__ import annotations
+
+from canned_yaml_spark.derive import (
+    clips_duckdb_cte, codec_dim_duckdb_cte,
+)
+from canned_yaml_spark.fixtures import reference_hist
+
+#: Independent SQL re-statement of specs/clips.spec.yaml, in the
+#: engine's emission order. (rule_id, severity, violation predicate).
+#: {RX}(col, pat) expands per dialect.
+RULES = [
+    ("required.clip_id", "clip_id IS NULL"),
+    ("required.sr_hz", "sr_hz IS NULL"),
+    ("required.dur_ms", "dur_ms IS NULL"),
+    ("required.codec", "codec IS NULL"),
+    ("required.transcript", "transcript IS NULL"),
+    ("properties.clip_id.pattern",
+     "clip_id IS NOT NULL AND NOT {rx_clip}"),
+    ("properties.sr_hz.minimum", "sr_hz IS NOT NULL AND sr_hz < 8000"),
+    ("properties.sr_hz.maximum", "sr_hz IS NOT NULL AND sr_hz > 48000"),
+    ("properties.dur_ms.minimum", "dur_ms IS NOT NULL AND dur_ms < 1"),
+    ("properties.dur_ms.maximum",
+     "dur_ms IS NOT NULL AND dur_ms > 3600000"),
+    ("properties.codec.enum",
+     "codec IS NOT NULL AND codec NOT IN "
+     "('pcm_s16le','flac','opus','mp3','vorbis')"),
+    ("properties.transcript.minLength",
+     "transcript IS NOT NULL AND length(transcript) < 1"),
+    ("properties.transcript.maxLength",
+     "transcript IS NOT NULL AND length(transcript) > 4096"),
+]
+
+CLIP_PATTERN = "^clip_[0-9]{10}$"
+
+
+def _rules(dialect: str) -> list[tuple[str, str]]:
+    if dialect == "duckdb":
+        rx = f"regexp_matches(clip_id, '{CLIP_PATTERN}')"
+    else:
+        rx = f"clip_id RLIKE '{CLIP_PATTERN}'"
+    return [(rid, cond.format(rx_clip=rx)) for rid, cond in RULES]
+
+
+def violations_union(dialect: str = "duckdb") -> str:
+    selects = [
+        f"SELECT clip_id, part_id, '{rid}' AS rule_id, "
+        f"CAST(2 AS INT) AS severity FROM clips WHERE {cond}"
+        for rid, cond in _rules(dialect)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+def sql_row_violations() -> str:
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT * FROM ({violations_union('duckdb')})")
+
+
+def sql_verdicts() -> str:
+    return f"""
+WITH {clips_duckdb_cte()},
+viol AS ({violations_union('duckdb')}),
+v AS (SELECT part_id, COUNT(*) AS n_violations,
+             MAX(severity) AS max_severity
+      FROM viol GROUP BY part_id)
+SELECT c.part_id,
+       COUNT(*) AS n_rows,
+       COALESCE(MAX(v.n_violations), 0) AS n_violations,
+       MAX(v.max_severity) AS max_severity,
+       (COALESCE(MAX(v.max_severity), -1) < 2) AS pass
+FROM clips c LEFT JOIN v ON c.part_id = v.part_id
+GROUP BY c.part_id
+""".strip()
+
+
+def sql_duplicate_keys() -> str:
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT clip_id, COUNT(*) AS n_dup FROM clips "
+            f"GROUP BY clip_id HAVING COUNT(*) > 1")
+
+
+def sql_unique_violations() -> str:
+    return f"""
+WITH {clips_duckdb_cte()},
+d AS (SELECT clip_id, COUNT(*) AS n_dup FROM clips
+      GROUP BY clip_id HAVING COUNT(*) > 1)
+SELECT c.clip_id, c.part_id, 'x-unique.clip_id' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips c JOIN d ON c.clip_id = d.clip_id
+""".strip()
+
+
+def sql_referential_violations() -> str:
+    return f"""
+WITH {clips_duckdb_cte()}, {codec_dim_duckdb_cte()}
+SELECT c.clip_id, c.part_id, 'x-ref.codec' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips c
+WHERE c.codec IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM codec_dim d WHERE d.codec = c.codec)
+""".strip()
+
+
+def sql_column_stats() -> str:
+    return f"""
+WITH {clips_duckdb_cte()}
+SELECT part_id,
+       COUNT(*) AS n_rows,
+       COUNT(sr_hz) AS sr_hz_n,
+       MIN(sr_hz) AS sr_hz_min, MAX(sr_hz) AS sr_hz_max,
+       ROUND(AVG(sr_hz), 4) AS sr_hz_avg,
+       COUNT(DISTINCT sr_hz) AS sr_hz_distinct,
+       MIN(dur_ms) AS dur_ms_min, MAX(dur_ms) AS dur_ms_max,
+       ROUND(AVG(dur_ms), 4) AS dur_ms_avg,
+       COUNT(DISTINCT dur_ms) AS dur_ms_distinct
+FROM clips GROUP BY part_id
+""".strip()
+
+
+def _hist_values_cte() -> str:
+    rows = reference_hist()
+    # repr() round-trips the exact IEEE double — both engines must use
+    # bit-identical expected fractions or the PSI sums drift
+    vals = ", ".join(f"({int(b)}, {f!r})"
+                     for b, f in rows.itertuples(index=False))
+    return f"expected AS (SELECT * FROM (VALUES {vals}) t(bucket, expected_frac))"
+
+
+def sql_drift_psi() -> str:
+    # mirrors drift.psi_per_partition: clamped buckets, full grid,
+    # eps-guarded log terms; rounded to 4 decimals so both engines'
+    # float sums agree
+    return f"""
+WITH {clips_duckdb_cte()}, {_hist_values_cte()},
+hist AS (
+  SELECT part_id,
+         CAST(LEAST(GREATEST(FLOOR(dur_ms / 600.0), 0), 19) AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part_id FROM hist),
+buckets AS (SELECT DISTINCT bucket FROM expected),
+tot AS (SELECT part_id, SUM(cnt) AS part_n FROM hist GROUP BY part_id),
+grid AS (SELECT p.part_id, b.bucket FROM parts p CROSS JOIN buckets b)
+SELECT g.part_id,
+       ROUND(SUM((COALESCE(h.cnt, 0) * 1.0 / t.part_n - e.expected_frac)
+             * LN((COALESCE(h.cnt, 0) * 1.0 / t.part_n + 0.000001)
+                  / (e.expected_frac + 0.000001))), 4) AS psi
+FROM grid g
+LEFT JOIN hist h ON g.part_id = h.part_id AND g.bucket = h.bucket
+JOIN expected e ON g.bucket = e.bucket
+JOIN tot t ON g.part_id = t.part_id
+GROUP BY g.part_id
+""".strip()
+
+
+def sql_oneof_violations() -> str:
+    # three overlapping branches → exercises the 0-match and >1-match
+    # outcomes (canner.cc:540-559)
+    return f"""
+WITH {clips_duckdb_cte()}
+SELECT clip_id, part_id, 'properties.dur_ms.oneOf' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips
+WHERE dur_ms IS NOT NULL
+  AND (CAST(dur_ms BETWEEN 200 AND 5000 AS INT)
+       + CAST(dur_ms BETWEEN 4000 AND 10000 AS INT)
+       + CAST(dur_ms >= 15000 AS INT)) <> 1
+""".strip()
+
+
+def sql_anyof_violations() -> str:
+    return f"""
+WITH {clips_duckdb_cte()}
+SELECT clip_id, part_id, 'properties.transcript.anyOf' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips
+WHERE transcript IS NOT NULL
+  AND NOT (regexp_matches(transcript, '^alpha') OR length(transcript) >= 10)
+""".strip()
+
+
+def sql_type_duck() -> str:
+    # duck-typed integer check on a string staging column
+    return f"""
+WITH {clips_duckdb_cte()},
+staged AS (
+  SELECT clip_id, part_id,
+         CASE CAST(substr(clip_id, 6) AS BIGINT) % 4
+              WHEN 0 THEN '42' WHEN 1 THEN ' +7 '
+              WHEN 2 THEN '3.14' ELSE 'abc' END AS val
+  FROM clips WHERE regexp_matches(clip_id, '{CLIP_PATTERN}'))
+SELECT clip_id, part_id, 'properties.val.type' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM staged
+WHERE val IS NOT NULL
+  AND NOT regexp_matches(val, '^\\s*[+-]?[0-9]+\\s*$')
+""".strip()
+
+
+def sql_salted_codec_counts() -> str:
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT codec, COUNT(*) AS n FROM clips GROUP BY codec")

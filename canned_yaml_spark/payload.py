@@ -52,12 +52,34 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
         F.col("codec").alias("_codec"),
         F.col("transcript").alias("_transcript"),
     ).join(
+        # SHUFFLE_HASH: a sort-merge join would sort 2×payload-sized
+        # rows per partition; hashing only the (bounded) ref side is
+        # strictly cheaper for payload-carrying joins. With both tables
+        # bucketed by clip_id at write time (Iceberg/bucketed parquet)
+        # the exchange disappears entirely.
         clips_ref.select(
             F.col("clip_id"),
             F.col("pcm_ref").alias("_pcm_ref"),
             F.col("transcript_ref").alias("_transcript_ref"),
-        ),
+        ).hint("SHUFFLE_HASH"),
         "clip_id", "inner",
+    )
+
+    # Identity-codec fast path, evaluated JVM-side BEFORE the Arrow
+    # boundary: for pcm_s16le (the ~0.70 hot codec) a bit-exact payload
+    # is SNR=+inf by definition, so byte equality proves the check.
+    # Payloads of fast-path rows are nulled out here, which cuts the
+    # JVM→Python Arrow transfer by the hot-codec fraction — at 10^12
+    # rows that transfer, not the numpy math, is the payload check's
+    # bottleneck.
+    fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
+        F.col("_bytes").isNotNull() & \
+        (F.col("_bytes") == F.col("_pcm_ref"))
+    joined = joined.select(
+        "clip_id", "part_id", "_codec", "_transcript", "_transcript_ref",
+        fast_ok.alias("_fast_ok"),
+        F.when(~fast_ok, F.col("_bytes")).alias("_bytes"),
+        F.when(~fast_ok, F.col("_pcm_ref")).alias("_pcm_ref"),
     )
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -70,8 +92,17 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
             refs = pdf["_pcm_ref"].to_numpy()
             ts = pdf["_transcript"].to_numpy()
             ts_ref = pdf["_transcript_ref"].to_numpy()
+            fast = pdf["_fast_ok"].to_numpy()
             for i in range(len(pdf)):
                 msgs = []
+                if fast[i]:
+                    t, tr = ts[i], ts_ref[i]
+                    if (t is None) != (tr is None) or \
+                            (t is not None and t != tr):
+                        out_id.append(ids[i])
+                        out_part.append(parts[i])
+                        out_msg.append("transcript differs from reference")
+                    continue
                 ref_pcm = (np.frombuffer(refs[i], dtype="<i2")
                            if refs[i] is not None else np.zeros(0, "<i2"))
                 if has_decoder(codecs[i]):

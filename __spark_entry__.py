@@ -20,8 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from canned_yaml_spark import compile_spec, dataset, derive, drift, fixtures
-from canned_yaml_spark import oracle, payload
+from canned_yaml_spark import (
+    compile_spec, dataset, dedup, derive, drift, fixtures, oracle, payload,
+    similarity, textops,
+)
 from canned_yaml_spark.runner import row_verdicts, row_violations
 
 SPEC = "specs/clips.spec.yaml"
@@ -128,6 +130,75 @@ def _q_salted_codec_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.salted_group_count(clips, "codec").select("codec", "n")
 
 
+# --------------------- training-data ops (documents / embeddings) ----
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    return textops.quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_docs(spark, sf_dir))
+
+
+def _q_exact_dups(spark, sf_dir):
+    d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
+    return (dedup.exact_dup_groups(d2)
+            .select("fp", "n_docs",
+                    F.array_join(F.col("doc_ids"), ",").alias("doc_ids")))
+
+
+def _q_near_dup_pairs(spark, sf_dir):
+    d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
+    return dedup.near_dup_pairs(d2)
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    return (similarity.cosine_topk(emb, q, 10)
+            .select("q_id", "vec_id", "cosine", "rank"))
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    return dedup.embedding_near_dups(_emb(spark, sf_dir), 0.9)
+
+
+def _q_simhash_groups(spark, sf_dir):
+    # engine-hash-dependent (xxhash64) → rows-only
+    d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
+    return (dedup.simhash_dup_groups(d2)
+            .select("simhash", "n_docs",
+                    F.array_join(F.col("doc_ids"), ",").alias("doc_ids")))
+
+
+def _q_ann_recall(spark, sf_dir):
+    # approximate path quality metric (recall@10 of LSH vs exact)
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    exact = similarity.cosine_topk(emb, q, 10)
+    approx = similarity.ann_topk_lsh(emb, q, 10, bits=6)
+    return similarity.recall_at_k(exact, approx)
+
+
 # --- non-SQL-expressible (rows-only checks by the driver) -------------
 def _q_payload_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-vectorized payload decode + SNR vs reference (input_hint);
@@ -159,8 +230,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anyof": _q_anyof,
         "type_duck": _q_type_duck,
         "salted_codec_counts": _q_salted_codec_counts,
-        "payload_snr": _q_payload_snr,   # rows-only (binary payloads)
-        "ks_drift": _q_ks_drift,         # rows-only (applyInPandas)
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "fingerprint": _q_fingerprint,
+        "exact_dups": _q_exact_dups,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
+        "ks_drift": _q_ks_drift,             # rows-only (applyInPandas)
+        "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
+        "ann_recall": _q_ann_recall,          # rows-only (approx path)
     }
 
 
@@ -177,4 +258,12 @@ def oracle_sql() -> dict[str, str]:
         "anyof": oracle.sql_anyof_violations(),
         "type_duck": oracle.sql_type_duck(),
         "salted_codec_counts": oracle.sql_salted_codec_counts(),
+        "token_stats": oracle.sql_token_stats(),
+        "quality_score": oracle.sql_quality_score(),
+        "lang_id": oracle.sql_lang_id(),
+        "fingerprint": oracle.sql_fingerprint(),
+        "exact_dups": oracle.sql_exact_dup_groups(),
+        "near_dup_pairs": oracle.sql_near_dup_pairs(),
+        "cosine_topk": oracle.sql_cosine_topk(),
+        "embedding_near_dups": oracle.sql_embedding_near_dups(),
     }

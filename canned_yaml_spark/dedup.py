@@ -1,0 +1,219 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale shapes (the whole point of each design):
+
+- exact       — one hash aggregation on a 32-byte digest: the shuffle
+                carries (digest, id), never text.
+- MinHash+LSH — shingle → K minhashes → B bands; one shuffle keyed on
+                (band, band-hash): only same-bucket docs ever meet.
+                Candidates are verified with EXACT shingle Jaccard, so
+                LSH recall only affects completeness, never precision.
+- SimHash     — 64-bit signature from token-hash bit voting; near-dups
+                = equal signatures on rotated bands (Hamming ≤ r).
+- n-gram Jaccard — the exact verifier, also usable brute-force at
+                small n (the oracle does exactly that).
+
+Everything below is DataFrame-native (higher-order functions for
+shingling/signatures — no Python on the data path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from canned_yaml_spark.textops import _norm
+
+SHINGLE_LEN = 5
+MINHASH_K = 128
+#: 16 bands × 8 rows → candidate threshold (1/16)^(1/8) ≈ 0.71. The
+#: test corpora's true near-dups all sit at j ≥ 0.93, where the
+#: per-pair miss probability is (1-0.93⁸)¹⁶ ≈ 2e-6 — the LSH pruner
+#: is effectively lossless there, so the exact-Jaccard-verified output
+#:  equals the brute-force oracle's. (Fewer rows/band → lower
+#: threshold → candidate blow-up on vocabulary-overlapping corpora.)
+LSH_BANDS = 16
+JACCARD_THRESHOLD = 0.8
+
+#: deterministic odd multipliers for the K hash slots (LCG-style).
+_PRIME = (1 << 61) - 1
+
+
+def with_dup_injection(docs: DataFrame, every: int = 5,
+                       id_offset: int = 1_000_000) -> DataFrame:
+    """Append deterministic duplicates: every Nth doc gets a NEAR copy
+    (text + short tail → shingle Jaccard ≈ 0.95) and every (N·2)th doc
+    additionally an EXACT copy. Mirrors the validation fixtures'
+    injected-defect pattern; the oracle builds the identical corpus in
+    SQL (oracle.py)."""
+    near = (docs.filter(F.col("doc_id") % every == 0)
+                .select((F.col("doc_id") + id_offset).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" tail")).alias("text")))
+    exact = (docs.filter(F.col("doc_id") % (every * 2) == 0)
+                 .select((F.col("doc_id") + 2 * id_offset).alias("doc_id"),
+                         F.col("text")))
+    return docs.select("doc_id", "text").unionByName(near).unionByName(exact)
+
+
+def shingles(col) -> "F.Column":
+    """Distinct character shingles of the normalized text (positions
+    via sequence + transform — no explode, no shuffle)."""
+    t = _norm(col)
+    return F.when(
+        F.length(t) < SHINGLE_LEN, F.array(t)
+    ).otherwise(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
+        lambda i: t.substr(i, F.lit(SHINGLE_LEN)))))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(fp, n_docs, doc_ids) for texts appearing more than once.
+    Hash-groupBy on the md5 digest of normalized text."""
+    d = docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+    return (d.groupBy("fp")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+             .filter(F.col("n_docs") > 1))
+
+
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): long-form distinct shingles. The shingle array is
+    evaluated exactly once per document (explode argument) — higher-
+    order lambdas must NOT capture expensive subtrees, since Spark's
+    interpreted HOF evaluation re-evaluates captured expressions per
+    element (no cross-lambda CSE)."""
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """K-slot minhash via hash aggregation (the scalable form): explode
+    shingles, then min(xxhash64(s, i)) per slot. Partial (map-side)
+    aggregation reduces each doc to K longs before the shuffle — the
+    shuffle volume is docs × K × 8 bytes regardless of text size."""
+    aggs = [F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
+            for i in range(MINHASH_K)]
+    return (shingle_rows(docs)
+            .groupBy("doc_id").agg(*aggs)
+            .select("doc_id",
+                    F.array(*[F.col(f"h{i}") for i in range(MINHASH_K)])
+                     .alias("sig")))
+
+
+def lsh_candidate_pairs(docs: DataFrame,
+                        bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: explode signatures
+    into (band, hash-of-band-slice) buckets, self-join within bucket.
+    The only shuffle keys on the bucket id; bucket sizes are the skew
+    risk at scale (salt or cap ultra-hot buckets there)."""
+    rows_per_band = MINHASH_K // bands
+    sigs = minhash_signatures(docs)
+    # sig is a materialized attribute here, cheap to reference from
+    # the banding lambda
+    bb = sigs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1,
+                                   rows_per_band), F.lit(42))
+                 .alias("bucket")))).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = bb.alias("a"), bb.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+
+
+def near_dup_pairs(docs: DataFrame,
+                   threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash+LSH candidates verified by EXACT shingle Jaccard.
+
+    Output (doc_a, doc_b, jaccard) is exact (LSH only prunes), so a
+    brute-force oracle produces the identical set. Jaccard is a ratio
+    of integers → bit-identical across engines.
+    """
+    cands = lsh_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("sh"))
+    j = (cands
+         .join(sh.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("sh", "sh_a"), "doc_a")
+         .join(sh.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("sh", "sh_b"), "doc_b")
+         .select("doc_a", "doc_b",
+                 (F.size(F.array_intersect("sh_a", "sh_b"))
+                  / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
+    return (j.filter(F.col("jaccard") >= threshold)
+             .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+# ------------------------------------------------------------- SimHash
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: bit b of the signature is the sign of the vote
+    sum over distinct tokens of (bit b of xxhash64(token)).
+
+    Explode + hash-agg form (like minhash_signatures): one xxhash64
+    per token row, 64 conditional-sum aggregates with map-side partial
+    aggregation; shuffle volume = docs × 64 ints.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(_norm(F.col("text")), " "))
+                  ).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = tok.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+             .otherwise(F.lit(0).cast("long")))
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame) -> DataFrame:
+    """Groups of documents with IDENTICAL simhash (Hamming 0 — the
+    strictest band; banded rotation generalizes to Hamming ≤ r)."""
+    s = simhash(docs)
+    return (s.groupBy("simhash")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+             .filter(F.col("n_docs") > 1))
+
+
+# ----------------------------------------------- embedding near-dup
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        max_exact_rows: int = 20_000) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates (doc pairs with cosine ≥
+    threshold). This is the exact small-N baseline the LSH path in
+    similarity.py approximates; it refuses to run beyond
+    max_exact_rows (n² blowup) — the scale path is ann_lsh."""
+    n = emb.count()
+    if n > max_exact_rows:
+        raise ValueError(f"exact all-pairs at n={n} would materialize "
+                         f"{n * n // 2} pairs; use similarity.ann_lsh")
+    v = emb.select(F.col("vec_id"), F.col("embedding"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(f"{side}.embedding"),
+                    lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cos = dot / (norm("a") * norm("b"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"),
+                     F.round(cos, 4).alias("cosine"))
+             .filter(F.col("cosine") >= threshold))

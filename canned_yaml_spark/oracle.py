@@ -213,3 +213,167 @@ WHERE val IS NOT NULL
 def sql_salted_codec_counts() -> str:
     return (f"WITH {clips_duckdb_cte()} "
             f"SELECT codec, COUNT(*) AS n FROM clips GROUP BY codec")
+
+
+# ================== training-data ops over documents/embeddings ======
+# Shared constants come from textops/dedup so both engines restate the
+# same semantics.
+
+def _from_textops():
+    from canned_yaml_spark.textops import (
+        EN_STOPWORDS, LANG_STOPWORDS, TOKEN_RE,
+    )
+    return EN_STOPWORDS, LANG_STOPWORDS, TOKEN_RE
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: the dedup-injected corpus (dedup.with_dup_injection mirror)
+_DOCS2 = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text || ' tail' FROM documents
+    WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 2000000, text FROM documents
+    WHERE doc_id % 10 = 0)"""
+
+_SHINGLES = f"""norm AS (SELECT doc_id, {_NORM} AS t FROM docs2),
+sh AS (SELECT doc_id,
+  CASE WHEN length(t) < 5 THEN [t]
+       ELSE list_distinct(list_transform(generate_series(1, length(t)-4),
+                                         i -> substr(t, i, 5))) END AS s
+  FROM norm)"""
+
+
+def sql_token_stats() -> str:
+    _, _, token_re = _from_textops()
+    return f"""
+WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents)
+SELECT doc_id,
+       CASE WHEN length(t) = 0 THEN 0
+            ELSE len(string_split(t, ' ')) END AS ws_tokens,
+       len(regexp_extract_all(text, '{token_re}')) AS re_tokens,
+       length(text) AS chars
+FROM norm
+""".strip()
+
+
+def sql_quality_score() -> str:
+    en, _, _ = _from_textops()
+    stop_list = ", ".join(f"'{w}'" for w in en)
+    return f"""
+WITH norm AS (SELECT doc_id, text, {_NORM} AS t FROM documents),
+w AS (SELECT doc_id, text, t,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE len(string_split(t, ' ')) END AS n_words,
+             len(list_intersect(string_split(t, ' '), [{stop_list}])) AS n_stop,
+             length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct
+      FROM norm)
+SELECT doc_id, n_words, n_stop AS n_stopwords, n_punct,
+       CASE WHEN n_words > 0
+            THEN round((length(t) - (n_words - 1)) * 1.0 / n_words, 4)
+            END AS mean_word_len,
+       CASE WHEN n_words < 5 THEN 0.0
+            ELSE round(least(1.0, n_words / 50.0) * 0.5
+                 + CASE WHEN n_stop > 0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_punct * 1.0 / greatest(length(text), 1) < 0.2
+                        THEN 0.2 ELSE 0.0 END, 4) END AS quality
+FROM w
+""".strip()
+
+
+def sql_lang_id() -> str:
+    _, langs, _ = _from_textops()
+    hit_cols = ",\n       ".join(
+        "len(list_intersect(string_split(t, ' '), [{}])) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang)
+        for lang, ws in sorted(langs.items()))
+    best = "greatest({})".format(
+        ", ".join(f"hits_{lang}" for lang in sorted(langs)))
+    # mirror textops.lang_id: alphabetical tie-break via reverse whens
+    pick = "'und'"
+    for lang in sorted(langs, reverse=True):
+        pick = f"CASE WHEN hits_{lang} = best THEN '{lang}' ELSE {pick} END"
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+h AS (SELECT doc_id,
+       {hit_cols}
+      FROM norm),
+b AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in sorted(langs))},
+       CASE WHEN best > 0 THEN {pick} ELSE 'und' END AS lang_pred
+FROM b
+""".strip()
+
+
+def sql_fingerprint() -> str:
+    return (f"SELECT doc_id, md5({_NORM}) AS fp "
+            f"FROM documents")
+
+
+def sql_exact_dup_groups() -> str:
+    return f"""
+WITH {_DOCS2},
+f AS (SELECT doc_id, md5({_NORM}) AS fp FROM docs2)
+SELECT fp, COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM f GROUP BY fp HAVING COUNT(*) > 1
+""".strip()
+
+
+def sql_near_dup_pairs(threshold: float = 0.8) -> str:
+    # exact shingle Jaccard via an inverted shingle index: pairwise
+    # intersection sizes come from a self-join on the shingle (grouped),
+    # |A∪B| = |A|+|B|-|A∩B|. Same result as the naive all-pairs
+    # list_intersect form, orders of magnitude faster (list_intersect
+    # is quadratic per pair). Pairs sharing no shingle can't reach any
+    # positive threshold, so the index join loses nothing.
+    return f"""
+WITH {_DOCS2},
+{_SHINGLES},
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         c * 1.0 / (sa.n + sb.n - c) AS j
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM j WHERE j >= {threshold}
+""".strip()
+
+
+def sql_cosine_topk(k: int = 10, n_queries: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id,
+         round(list_inner_product(v, q_vec)
+               / (sqrt(list_inner_product(v, v))
+                  * sqrt(list_inner_product(q_vec, q_vec))), 4) AS cosine
+  FROM e CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT q_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def sql_embedding_near_dups(threshold: float = 0.9) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_inner_product(a.v, b.v)
+               / (sqrt(list_inner_product(a.v, a.v))
+                  * sqrt(list_inner_product(b.v, b.v))), 4) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT * FROM p WHERE cosine >= {threshold}
+""".strip()

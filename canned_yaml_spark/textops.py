@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines.
+
+These extend the validation engine with the document-quality checks a
+100 TB text-corpus pipeline needs (task brief): token counting,
+quality scoring, language-ID heuristic, document fingerprinting. All
+pure Column expressions — JVM-side, whole-stage codegen, no UDFs —
+so they run at scan speed and their semantics are independently
+restatable in the DuckDB oracle (oracle.py builds the mirror SQL from
+the same constants in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token regex: words / numbers / single punctuation marks.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+#: small stopword lists for the language-ID heuristic (deterministic,
+#: shared verbatim with the oracle SQL)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "im"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "para", "en", "que"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _norm(col):
+    """Normalized text: lowercase, whitespace collapsed to single
+    spaces, trimmed. The shared preprocessing for fingerprints,
+    shingles and token ops."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token counts: whitespace tokens + regex (BPE-ish)
+    tokens + char length."""
+    t = _norm(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.lit(0))
+         .otherwise(F.size(F.split(t, " "))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+               ).alias("re_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality profile: length, punctuation density, stopword
+    ratio, mean word length — the standard cheap filters a pretraining
+    pipeline applies before expensive stages."""
+    t = _norm(F.col("text"))
+    words = F.split(t, " ")
+    n_words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    n_stop = F.size(F.array_intersect(
+        words, F.array(*[F.lit(w) for w in EN_STOPWORDS])))
+    n_punct = F.length(F.regexp_replace(F.col("text"), "[^!-/:-@\\[-`{-~]", ""))
+    mean_wlen = F.when(n_words > 0,
+                       F.round((F.length(t) - (n_words - 1)) / n_words, 4))
+    score = (
+        F.when(n_words < 5, F.lit(0.0))
+        .otherwise(F.round(
+            F.least(F.lit(1.0), n_words / F.lit(50.0)) * 0.5
+            + F.when(n_stop > 0, F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(n_punct / F.greatest(F.length("text"), F.lit(1))
+                     < 0.2, F.lit(0.2)).otherwise(F.lit(0.0)), 4))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+        mean_wlen.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language-ID heuristic: distinct-stopword hits per
+    language, argmax with deterministic tie-break (alphabetical), 'und'
+    when nothing hits."""
+    words = F.split(_norm(F.col("text")), " ")
+    hits = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in ws])))
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    }
+    best = F.greatest(*hits.values())
+    pick = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pick = F.when(hits[lang] == best, F.lit(lang)).otherwise(pick)
+    out = [F.col("doc_id")]
+    out += [hits[lang].alias(f"hits_{lang}") for lang in sorted(LANG_STOPWORDS)]
+    out.append(F.when(best > 0, pick).otherwise(F.lit("und")).alias("lang_pred"))
+    return docs.select(*out)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of normalized text.
+    (md5 rather than xxhash64 so the oracle computes the identical
+    value; at production scale swap for xxhash64 — one line.)"""
+    return docs.select(
+        "doc_id", F.md5(_norm(F.col("text"))).alias("fp"))

@@ -1,0 +1,111 @@
+"""Dedup operators: exact, MinHash+LSH, SimHash, embedding near-dup."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from canned_yaml_spark import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs2(spark, docs):
+    d = dedup.with_dup_injection(docs).cache()
+    d.count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dup_groups(spark, docs, docs2):
+    n = docs.count()
+    groups = dedup.exact_dup_groups(docs2).collect()
+    # exact clones: every 10th doc_id
+    n_exact = len([k for k in range(0, n) if k % 10 == 0])
+    # ...minus docs whose normalized text collides organically is
+    # possible; at minimum every injected exact pair forms a group
+    assert len(groups) >= n_exact > 0
+    for g in groups:
+        assert g.n_docs >= 2
+
+
+def test_shingles_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcdefg"), (2, "ab")],
+                               "doc_id long, text string")
+    rows = {r.doc_id: r.sh for r in
+            df.select("doc_id",
+                      dedup.shingles(F.col("text")).alias("sh")).collect()}
+    assert rows[1] == ["abcde", "bcdef", "cdefg"]
+    assert rows[2] == ["ab"]          # short text → whole text
+
+
+def test_near_dup_pairs_catch_injected(spark, docs, docs2):
+    pairs = dedup.near_dup_pairs(docs2).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    n = docs.count()
+    # every near clone (doc+tail) must pair with its source
+    for k in range(0, n, 5):
+        assert (k, k + 1_000_000) in got, f"missed near clone of {k}"
+    # every exact clone must pair with its source at jaccard 1.0
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    for k in range(0, n, 10):
+        assert j.get((k, k + 2_000_000)) == 1.0
+    assert all(r.jaccard >= dedup.JACCARD_THRESHOLD for r in pairs)
+
+
+def test_lsh_is_pruner_not_filter(spark, docs2):
+    # candidates ⊇ verified pairs
+    cands = {(r.doc_a, r.doc_b)
+             for r in dedup.lsh_candidate_pairs(docs2).collect()}
+    verified = {(r.doc_a, r.doc_b)
+                for r in dedup.near_dup_pairs(docs2).collect()}
+    assert verified <= cands
+
+
+def test_simhash_exact_clones_collide(spark, docs, docs2):
+    groups = dedup.simhash_dup_groups(docs2).collect()
+    members = set()
+    for g in groups:
+        members.update(g.doc_ids)
+    n = docs.count()
+    # exact clones have identical token sets → identical simhash
+    for k in range(0, n, 10):
+        assert k + 2_000_000 in members
+
+
+def test_embedding_near_dups_self(spark, emb):
+    # append an exact vector clone → cosine 1.0 pair must be found
+    clone = emb.filter("vec_id = 0").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    out = dedup.embedding_near_dups(emb.unionByName(clone), 0.999).collect()
+    assert {(r.vec_a, r.vec_b) for r in out} == {(0, 10_000)}
+    assert out[0].cosine == 1.0
+
+
+def test_embedding_near_dups_refuses_quadratic(spark, emb):
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.embedding_near_dups(emb, 0.9, max_exact_rows=10)
+
+
+def test_ann_recall_reasonable(spark, emb):
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    exact = similarity.cosine_topk(emb, q, 10)
+    # rank 1 of exact must be the query itself at cosine 1.0
+    r1 = {r.q_id: r for r in exact.filter("rank = 1").collect()}
+    for qid, r in r1.items():
+        assert r.vec_id == qid and r.cosine == 1.0
+    # with 0 hyperplane bits everything lands in one bucket → exact
+    approx = similarity.ann_topk_lsh(emb, q, 10, bits=1)
+    rec = similarity.recall_at_k(exact, approx)
+    avg = rec.agg(F.avg("recall")).collect()[0][0]
+    assert avg >= 0.4   # 1-bit LSH halves the corpus; self-bucket recall

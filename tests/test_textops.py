@@ -1,0 +1,55 @@
+"""Text-analysis operators (token stats, quality, lang-id, fingerprint)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from canned_yaml_spark import textops
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (1, "The cat and the dog, in a house."),
+        (2, "der und die das ist ein test text hier"),
+        (3, "le chat et la maison est dans les champs pour"),
+        (4, ""),
+        (5, "x"),
+        (6, "word " * 60),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(spark, tiny_docs):
+    out = {r.doc_id: r for r in textops.token_stats(tiny_docs).collect()}
+    assert out[1].ws_tokens == 8
+    assert out[4].ws_tokens == 0
+    assert out[5].ws_tokens == 1
+    # regex tokens: words + punctuation marks
+    assert out[1].re_tokens == 10  # 8 words + ',' + '.'
+    assert out[1].chars == len("The cat and the dog, in a house.")
+
+
+def test_quality_score(spark, tiny_docs):
+    out = {r.doc_id: r for r in textops.quality_score(tiny_docs).collect()}
+    assert out[1].n_stopwords >= 3          # the, and, in, a
+    assert out[4].quality == 0.0            # empty → too short
+    assert out[5].quality == 0.0            # 1 word → too short
+    assert out[6].quality > 0.5             # long, clean text
+    assert out[1].mean_word_len == pytest.approx(
+        (len("the cat and the dog, in a house.") - 7) / 8, abs=1e-3)
+
+
+def test_lang_id(spark, tiny_docs):
+    out = {r.doc_id: r.lang_pred for r in textops.lang_id(tiny_docs).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, " HELLO\tWORLD ")],
+        "doc_id long, text string")
+    fps = {r.doc_id: r.fp for r in textops.fingerprint(df).collect()}
+    assert fps[1] == fps[2] == fps[3]

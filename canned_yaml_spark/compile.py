@@ -139,7 +139,12 @@ class _Compiler:
                 raise SpecError(path, f"$ref cycle through '{name}'")
             self._ref_stack.append(name)
             try:
-                preds = self.value_preds(target, expr, dtype, f"#/{name}")
+                # compile at the CALL-SITE path: violations stay
+                # located at the property that failed, not the shared
+                # definition (the reference's errata carry call-site
+                # context the same way; definitions are still compiled
+                # per site — Catalyst CSE dedups identical subtrees)
+                preds = self.value_preds(target, expr, dtype, path)
             finally:
                 self._ref_stack.pop()
             return preds
@@ -172,9 +177,15 @@ class _Compiler:
                       False if num is None else num < F.lit(node["exclusiveMaximum"]),
                       f"value >= exclusiveMaximum {node['exclusiveMaximum']}", sev))
 
+        scalar_ok = dtype is None or _dt(dtype, _ATOMIC)
         if "pattern" in node:
             ok: StaticOrCol
-            if _dt(dtype, T.StringType) or dtype is None:
+            if not scalar_ok:
+                # pattern on a non-scalar value is unsatisfiable — the
+                # branch folds to False (cf. the reference's type
+                # guards, canner.cc:613-623)
+                ok = False
+            elif _dt(dtype, T.StringType) or dtype is None:
                 ok = expr.rlike(node["pattern"])
             else:
                 ok = expr.cast("string").rlike(node["pattern"])
@@ -183,11 +194,13 @@ class _Compiler:
 
         if "minLength" in node:
             add(_Pred("minLength", f"{path}.minLength",
-                      F.length(expr) >= F.lit(node["minLength"]),
+                      (F.length(expr) >= F.lit(node["minLength"]))
+                      if scalar_ok else False,
                       f"length < minLength {node['minLength']}", sev))
         if "maxLength" in node:
             add(_Pred("maxLength", f"{path}.maxLength",
-                      F.length(expr) <= F.lit(node["maxLength"]),
+                      (F.length(expr) <= F.lit(node["maxLength"]))
+                      if scalar_ok else False,
                       f"length > maxLength {node['maxLength']}", sev))
 
         if "properties" in node or ("required" in node and not _dt(dtype, type(None))):
@@ -423,15 +436,24 @@ class _Compiler:
         """
         scalars = [v for v in values if not isinstance(v, (list, dict))]
         composites = [v for v in values if isinstance(v, (list, dict))]
+        # candidates whose shape can't match the value's type fold to
+        # False (scalar literal vs array column, list literal vs scalar
+        # column, ...) — analysis-time type safety, semantics unchanged
+        scalar_compat = dtype is None or _dt(dtype, _ATOMIC)
+        list_compat = dtype is None or _dt(dtype, T.ArrayType)
+        dict_compat = dtype is None or _dt(dtype, T.StructType, T.MapType)
         oks: list[StaticOrCol] = []
-        if scalars:
+        if scalars and scalar_compat:
             non_null = [v for v in scalars if v is not None]
             if non_null:
                 oks.append(expr.isin(*non_null))
             if any(v is None for v in scalars):
                 oks.append(expr.isNull())
         for v in composites:
-            oks.append(expr.eqNullSafe(_literal(v, path)))
+            if isinstance(v, list) and list_compat:
+                oks.append(expr.eqNullSafe(_literal(v, path)))
+            elif isinstance(v, dict) and dict_compat:
+                oks.append(expr.eqNullSafe(_literal(v, path)))
         return _or_all(oks)
 
     # ------------------------------------------------------------- root

@@ -1,0 +1,157 @@
+"""Generic multimodal columns: opaque binary payloads + typed metadata.
+
+The audio path (audio.py/payload.py) is this engine's fully-worked
+modality. This module generalizes the same plumbing — binary column,
+Arrow batches through mapInPandas, bounded batch memory, violation
+rows out — to image/video payloads. The image/video decode libraries
+(Pillow, ffmpeg) are NOT in this container, so decoders are **clearly
+marked stubs**: a deterministic fake for the synthetic container
+format below, NotImplementedError for real formats. Swapping in a real
+decoder changes only `_DECODERS`; every Spark-side piece (schema,
+partitioning, UDF signature, batch shape) is real and tested.
+
+Synthetic container format (deterministic, self-describing):
+  b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
+  b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = ("media_id string, part_id int, kind string, ok boolean, "
+               "width int, height int, channels int, n_frames int, "
+               "mean_luma double, err string")
+
+
+# --------------------------------------------------------- stub codecs
+def encode_image(key: int, width: int = 8, height: int = 8,
+                 channels: int = 3) -> bytes:
+    """Deterministic fake image: gradient + key-dependent offset."""
+    n = width * height * channels
+    px = ((np.arange(n) * 7 + key * 13) % 256).astype(np.uint8)
+    return b"IMG1" + struct.pack("<HHB", width, height, channels) + px.tobytes()
+
+
+def encode_video(key: int, n_frames: int = 4, width: int = 4,
+                 height: int = 4) -> bytes:
+    n = n_frames * width * height
+    px = ((np.arange(n) * 11 + key * 17) % 256).astype(np.uint8)
+    return b"VID1" + struct.pack("<HHH", n_frames, width, height) + px.tobytes()
+
+
+def _decode_image_stub(buf: bytes) -> dict:
+    w, h, c = struct.unpack("<HHB", buf[4:9])
+    px = np.frombuffer(buf[9:], dtype=np.uint8)
+    if px.size != w * h * c:
+        raise ValueError(f"pixel payload {px.size} != {w}x{h}x{c}")
+    return {"width": w, "height": h, "channels": c, "n_frames": 1,
+            "mean_luma": float(px.mean())}
+
+
+def _decode_video_stub(buf: bytes) -> dict:
+    f, w, h = struct.unpack("<HHH", buf[4:10])
+    px = np.frombuffer(buf[10:], dtype=np.uint8)
+    if px.size != f * w * h:
+        raise ValueError(f"frame payload {px.size} != {f}x{w}x{h}")
+    return {"width": w, "height": h, "channels": 1, "n_frames": f,
+            "mean_luma": float(px.mean())}
+
+
+def _decode_real(buf: bytes) -> dict:  # pragma: no cover - stub
+    raise NotImplementedError(
+        "real image/video decoding needs Pillow/ffmpeg, absent from "
+        "this sandbox — register a decoder in multimodal._DECODERS")
+
+
+#: magic → decoder; real formats route to the NotImplementedError stub
+_DECODERS = {
+    b"IMG1": _decode_image_stub,
+    b"VID1": _decode_video_stub,
+    b"\x89PNG": _decode_real,
+    b"\xff\xd8\xff\xe0": _decode_real,
+}
+
+
+def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
+    if buf is None:
+        return None, "null payload"
+    for magic, dec in _DECODERS.items():
+        if bytes(buf[: len(magic)]) == magic:
+            try:
+                return dec(bytes(buf)), None
+            except NotImplementedError as e:
+                return None, str(e)
+            except Exception as e:  # corrupt container
+                return None, f"undecodable: {e}"
+    return None, "unknown container magic"
+
+
+# ------------------------------------------------------ Spark plumbing
+def extract_media_meta(df: DataFrame, byte_col: str = "media",
+                       id_col: str = "media_id",
+                       part_col: str = "part_id") -> DataFrame:
+    """Decode + feature-extract a binary media column through Arrow
+    batches. Output: one metadata row per input row (ok=false + err
+    for undecodable payloads). Batch memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch × payload size."""
+    kind_expr = F.when(F.col(byte_col).substr(1, 4) == F.lit(b"IMG1"),
+                       "image") \
+        .when(F.col(byte_col).substr(1, 4) == F.lit(b"VID1"), "video") \
+        .otherwise("unknown")
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(part_col).alias("part_id"),
+                    kind_expr.alias("kind"),
+                    F.col(byte_col).alias("_media"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                meta, err = decode_media(pdf["_media"].iat[i])
+                row = {"media_id": pdf["media_id"].iat[i],
+                       "part_id": int(pdf["part_id"].iat[i]),
+                       "kind": pdf["kind"].iat[i],
+                       "ok": err is None,
+                       "width": None, "height": None, "channels": None,
+                       "n_frames": None, "mean_luma": None, "err": err}
+                if meta:
+                    row.update(meta)
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, META_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
+                 id_col: str = "media_id") -> DataFrame:
+    """Sample every Nth frame of video payloads → one row per sampled
+    frame (media_id, frame_idx, frame bytes). The explode happens
+    Python-side per batch so only sampled frames cross back."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(byte_col).alias("_media")) \
+            .filter(F.col(byte_col).substr(1, 4) == F.lit(b"VID1"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i in range(len(pdf)):
+                buf = bytes(pdf["_media"].iat[i])
+                f, w, h = struct.unpack("<HHH", buf[4:10])
+                body = buf[10:]
+                fsz = w * h
+                for k in range(0, f, every):
+                    ids.append(pdf["media_id"].iat[i])
+                    idxs.append(k)
+                    frames.append(body[k * fsz:(k + 1) * fsz])
+            yield pd.DataFrame({"media_id": ids,
+                                "frame_idx": pd.array(idxs, dtype="int32"),
+                                "frame": frames})
+
+    return src.mapInPandas(run, "media_id string, frame_idx int, frame binary")

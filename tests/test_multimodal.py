@@ -1,0 +1,63 @@
+"""Multimodal plumbing: binary columns + Arrow feature extraction.
+Decoders are deterministic stubs (libs absent); the Spark-side schema,
+batching and violation surfaces are real."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from canned_yaml_spark import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = []
+    for k in range(40):
+        if k % 3 == 0:
+            payload = mm.encode_image(k)
+            kind = "image"
+        elif k % 3 == 1:
+            payload = mm.encode_video(k)
+            kind = "video"
+        else:
+            payload = b"GARBAGE" + bytes([k])
+            kind = "unknown"
+        if k == 9:          # corrupt container: truncated pixels
+            payload = payload[:12]
+        rows.append((f"m{k:04d}", k % 4, kind, bytearray(payload)))
+    return spark.createDataFrame(
+        rows, "media_id string, part_id int, true_kind string, media binary")
+
+
+def test_meta_extraction(spark, media):
+    out = {r.media_id: r for r in mm.extract_media_meta(media).collect()}
+    assert len(out) == 40
+    ok_img = out["m0000"]
+    assert (ok_img.kind, ok_img.ok, ok_img.width, ok_img.height,
+            ok_img.channels) == ("image", True, 8, 8, 3)
+    ok_vid = out["m0001"]
+    assert (ok_vid.kind, ok_vid.ok, ok_vid.n_frames) == ("video", True, 4)
+    assert 0 <= ok_vid.mean_luma <= 255
+    bad = out["m0009"]                       # truncated image
+    assert not bad.ok and "undecodable" in bad.err
+    garbage = out["m0002"]
+    assert not garbage.ok and garbage.err == "unknown container magic"
+
+
+def test_kind_detection_matches_truth(spark, media):
+    j = (mm.extract_media_meta(media)
+         .join(media.select("media_id", "true_kind"), "media_id"))
+    assert j.filter((F.col("kind") != F.col("true_kind"))
+                    & (F.col("media_id") != "m0009")).count() == 0
+
+
+def test_frame_sampling(spark, media):
+    frames = mm.frame_sample(media, every=2).collect()
+    vids = [r for r in frames if r.media_id == "m0001"]
+    assert [r.frame_idx for r in sorted(vids, key=lambda r: r.frame_idx)] \
+        == [0, 2]
+    assert all(len(r.frame) == 16 for r in vids)   # 4x4 frames
+
+
+def test_real_format_routes_to_stub():
+    meta, err = mm.decode_media(b"\x89PNG\r\n" + b"x" * 16)
+    assert meta is None and "Pillow/ffmpeg" in err

@@ -203,7 +203,7 @@ class _Compiler:
                       if scalar_ok else False,
                       f"length > maxLength {node['maxLength']}", sev))
 
-        if "properties" in node or ("required" in node and not _dt(dtype, type(None))):
+        if "properties" in node or "required" in node:
             preds.extend(self._object_preds(node, expr, dtype, path, sev))
 
         is_arr = _dt(dtype, T.ArrayType) or dtype is None

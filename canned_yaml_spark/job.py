@@ -43,13 +43,19 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
                    expected_hist: DataFrame | None = None,
                    ks_reference: np.ndarray | None = None,
                    id_col: str = "clip_id",
-                   part_col: str = "part_id") -> DataFrame:
-    """Union of every check family's long-form violations."""
+                   part_col: str = "part_id",
+                   skip_unique: bool = False) -> DataFrame:
+    """Union of every check family's long-form violations.
+
+    skip_unique: used by resume (job.run), where uniqueness must scan
+    the FULL table rather than the pending scope — see run().
+    """
     dims = dims or {}
     out = row_violations(clips, suite, id_col, part_col)
-    for uc in suite.unique_checks:
-        out = out.unionByName(
-            dataset.unique_violations(clips, uc, id_col, part_col))
+    if not skip_unique:
+        for uc in suite.unique_checks:
+            out = out.unionByName(
+                dataset.unique_violations(clips, uc, id_col, part_col))
     for rc in suite.ref_checks:
         if rc.table not in dims:
             raise KeyError(f"x-ref check {rc.rule_id} needs dimension table "
@@ -91,14 +97,31 @@ def run(spark: SparkSession, spec_source: str | dict, clips: DataFrame, *,
     run_id = uuid.uuid4().hex[:12]
 
     scope = clips
-    if out_dir and resume:
+    resuming = bool(out_dir and resume)
+    if resuming:
         scope = checkpoint.pending_only(clips, spark,
                                         f"{out_dir}/manifest", part_col)
 
+    # Row-local and partition-local families run on the pending scope
+    # only (completed partitions are never rescanned). Uniqueness is
+    # the one genuinely CROSS-partition check: a duplicate pair split
+    # across a completed and a pending partition would be invisible to
+    # a scope-only scan, so it runs over the full table and its
+    # violations are then filtered to pending partitions (the
+    # completed partition's half was already committed by the earlier
+    # run — deterministic data makes the two halves consistent).
+    unique_scope = clips if resuming else scope
     viol = all_violations(scope, suite, dims=dims, clips_ref=clips_ref,
                           expected_hist=expected_hist,
                           ks_reference=ks_reference,
-                          id_col=id_col, part_col=part_col)
+                          id_col=id_col, part_col=part_col,
+                          skip_unique=resuming)
+    if resuming:
+        for uc in suite.unique_checks:
+            uv = dataset.unique_violations(unique_scope, uc, id_col, part_col)
+            uv = checkpoint.pending_only(uv, spark,
+                                         f"{out_dir}/manifest", "part_id")
+            viol = viol.unionByName(uv)
     # Each family's plan executes once: verdicts aggregate the unified
     # violations table instead of recomputing the families.
     base = (scope.groupBy(F.col(part_col).alias("part_id"))

@@ -18,6 +18,14 @@ def get_spark(app: str = "canned_yaml_spark",
               extra_conf: dict | None = None) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # shuffle/spill on tmpfs when available: this sandbox's /tmp is a
+    # throttled cloud disk that serializes shuffle I/O across all
+    # cores (production executors have local NVMe). Override with
+    # SPARK_LOCAL_DIRS.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-tmp"
+        os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder
         .master(f"local[{cores}]")
@@ -32,6 +40,8 @@ def get_spark(app: str = "canned_yaml_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

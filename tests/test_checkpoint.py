@@ -41,6 +41,34 @@ def test_partial_manifest_resume(spark, tmp_path):
     assert parts == set(range(32, 64))
 
 
+def test_resume_catches_cross_partition_duplicates(spark, tmp_path):
+    """A duplicate pair split across a completed and a pending
+    partition must still be flagged on resume — uniqueness scans the
+    full table, its violations filtered to pending partitions."""
+    out = str(tmp_path / "splitdup")
+    clips = fixtures.clips_df(spark, 200, inject=False, max_samples=16)
+    # row k=40 (part 40, pending) steals row k=5's id (part 5, completed)
+    clips = clips.withColumn(
+        "clip_id",
+        F.when(F.col("clip_id") == "clip_0000000040",
+               F.lit("clip_0000000005")).otherwise(F.col("clip_id")))
+
+    # fake run 1: parts 0..31 committed
+    done = spark.createDataFrame(
+        [(p, 3, 0, -1, True, "run0", 0.0) for p in range(32)],
+        checkpoint.MANIFEST_SCHEMA)
+    done.write.parquet(f"{out}/manifest")
+
+    r2 = job.run(spark, "specs/clips.spec.yaml", clips, out_dir=out,
+                 dims={"codec_dim": fixtures.codec_dim_df(spark)})
+    uv = r2.violations.filter(F.col("rule_id") == "x-unique.clip_id")
+    rows = {(r.clip_id, r.part_id) for r in uv.collect()}
+    # the pending half (part 40) is flagged; the completed half
+    # (part 5) belongs to run 1's committed output, not this run's
+    assert ("clip_0000000005", 40) in rows
+    assert ("clip_0000000005", 5) not in rows
+
+
 def test_manifest_probe_absent_dir(spark, tmp_path):
     m = checkpoint.read_manifest(spark, str(tmp_path / "nope"))
     assert m.count() == 0

@@ -1,0 +1,101 @@
+"""Property-based tests (SURVEY.md §5 item 3, hypothesis):
+
+generated specs × generated rows, cross-checked against an independent
+pure-Python reference evaluator. Invariants:
+- a row violating k checks yields exactly k violation rows;
+- verdict == (no ERROR-severity violation);
+- NULL values violate only `required`.
+"""
+
+import re
+
+import hypothesis.strategies as st
+import pytest
+from hypothesis import HealthCheck, given, settings
+from pyspark.sql import types as T
+
+from canned_yaml_spark import compile_spec
+from canned_yaml_spark.runner import row_violations
+
+# ------------------------------------------------------- spec strategy
+int_spec = st.fixed_dictionaries(
+    {},
+    optional={
+        "minimum": st.integers(-100, 50),
+        "maximum": st.integers(51, 200),
+        "enum": st.lists(st.integers(-100, 200), min_size=1, max_size=5,
+                         unique=True),
+    })
+
+str_spec = st.fixed_dictionaries(
+    {},
+    optional={
+        "minLength": st.integers(0, 3),
+        "maxLength": st.integers(4, 10),
+        "pattern": st.sampled_from([r"^a", r"b$", r"^[a-c]+$"]),
+        "enum": st.lists(st.text(alphabet="abc", min_size=1, max_size=4),
+                         min_size=1, max_size=4, unique=True),
+    })
+
+spec_strategy = st.fixed_dictionaries({
+    "type": st.just("object"),
+    "required": st.lists(st.sampled_from(["i", "s"]), unique=True),
+    "properties": st.fixed_dictionaries({"i": int_spec, "s": str_spec}),
+})
+
+row_strategy = st.tuples(
+    st.one_of(st.none(), st.integers(-150, 250)),
+    st.one_of(st.none(), st.text(alphabet="abcd", min_size=0, max_size=12)),
+)
+
+
+# ------------------------------------------- pure-Python reference
+def ref_violations(spec: dict, i, s) -> set[str]:
+    out = set()
+    for col, val in (("i", i), ("s", s)):
+        if col in spec.get("required", []) and val is None:
+            out.add(f"required.{col}")
+        if val is None:
+            continue
+        node = spec["properties"][col]
+        p = f"properties.{col}"
+        if "minimum" in node and val < node["minimum"]:
+            out.add(f"{p}.minimum")
+        if "maximum" in node and val > node["maximum"]:
+            out.add(f"{p}.maximum")
+        if "minLength" in node and len(val) < node["minLength"]:
+            out.add(f"{p}.minLength")
+        if "maxLength" in node and len(val) > node["maxLength"]:
+            out.add(f"{p}.maxLength")
+        if "pattern" in node and not re.search(node["pattern"], val):
+            out.add(f"{p}.pattern")
+        if "enum" in node and val not in node["enum"]:
+            out.add(f"{p}.enum")
+    return out
+
+
+SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("part_id", T.IntegerType()),
+    T.StructField("i", T.LongType()),
+    T.StructField("s", T.StringType()),
+])
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(spec=spec_strategy,
+       rows=st.lists(row_strategy, min_size=1, max_size=6))
+def test_engine_matches_reference(spark, spec, rows):
+    suite = compile_spec(spec, SCHEMA)
+    data = [(f"r{k}", k % 4, i, s) for k, (i, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, SCHEMA)
+    got: dict[str, set] = {}
+    for r in row_violations(df, suite).collect():
+        got.setdefault(r.clip_id, set()).add(r.rule_id)
+    for k, (i, s) in enumerate(rows):
+        want = ref_violations(spec, i, s)
+        assert got.get(f"r{k}", set()) == want, \
+            f"row {k} (i={i!r}, s={s!r}) spec={spec}"

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from canned_yaml_spark.checks import RefCheck, Severity, UniqueCheck
+from canned_yaml_spark.checks import RefCheck, UniqueCheck
 
 
 def duplicate_keys(df: DataFrame, check: UniqueCheck) -> DataFrame:

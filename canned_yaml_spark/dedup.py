@@ -19,7 +19,7 @@ shingling/signatures — no Python on the data path).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from canned_yaml_spark.textops import _norm

@@ -54,40 +54,63 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
     against the all-partition blend, which flags localized shifts.
 
     psi = Σ_b (p_b − e_b) · ln((p_b + ε)/(e_b + ε)) over the FULL
-    bucket grid (missing buckets count as 0 — a sparse join would
+    bucket grid (missing buckets count as 0 — a sparse fold would
     silently drop exactly the buckets that drifted to zero).
+
+    Scale shape: ONE hash aggregation touches the 10^12 rows
+    (bucketize's partial agg reduces each map task to ≤ parts×buckets
+    rows before the exchange). Everything downstream — per-partition
+    bucket maps, the expected blend, the PSI fold — runs on
+    ≤ parts×buckets rows via map/aggregate higher-order functions:
+    no crossJoin grid, no broadcast builds, no driver round-trips,
+    so the whole check adds exactly two stage barriers.
     """
     hist = bucketize(df, check, part_col)
+    # per-partition sparse histogram as a map, folded in one agg
+    per_part = (hist.groupBy("part_id")
+                    .agg(F.map_from_entries(
+                             F.collect_list(F.struct("bucket", "cnt")))
+                          .alias("hist"),
+                         F.sum("cnt").alias("part_n")))
     if expected is None:
-        # hist feeds both the per-partition and the global branch →
-        # materialize once
-        hist = hist.cache()
-        tot = hist.agg(F.sum("cnt").alias("n")).select(
-            F.col("n"), F.lit(1).alias("_j"))
-        expected = (hist.groupBy("bucket").agg(F.sum("cnt").alias("bcnt"))
-                        .select(F.col("bucket"), F.lit(1).alias("_j"),
-                                F.col("bcnt"))
-                        .join(F.broadcast(tot), "_j")
-                        .select("bucket",
-                                (F.col("bcnt") / F.col("n")).alias("expected_frac")))
+        # global blend: tiny window over ≤ parts×buckets rows
+        from pyspark.sql import Window
+        g = (hist.select("bucket",
+                         F.sum("cnt").over(Window.partitionBy("bucket"))
+                          .alias("bcnt"),
+                         F.sum("cnt").over(Window.partitionBy()).alias("n"))
+                 .select("bucket", (F.col("bcnt") / F.col("n"))
+                         .alias("expected_frac"))
+                 .distinct())
+        exp_map = (g.groupBy()
+                    .agg(F.map_from_entries(
+                             F.collect_list(F.struct("bucket",
+                                                     "expected_frac")))
+                          .alias("emap")))
+    else:
+        exp_map = (expected.select(F.col("bucket").cast("int").alias("bucket"),
+                                   F.col("expected_frac")
+                                    .cast("double").alias("expected_frac"))
+                           .groupBy()
+                           .agg(F.map_from_entries(
+                                    F.collect_list(F.struct("bucket",
+                                                            "expected_frac")))
+                                 .alias("emap")))
 
-    parts = hist.select("part_id").distinct()
-    buckets = hist.sparkSession.range(check.buckets).select(
-        F.col("id").cast("int").alias("bucket"))
-    grid = parts.crossJoin(F.broadcast(buckets))
+    joined = per_part.join(F.broadcast(exp_map))
+    psi = F.aggregate(
+        F.sequence(F.lit(0), F.lit(check.buckets - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc + _psi_term(b))
+    return joined.select("part_id", psi.alias("psi"))
 
-    part_tot = hist.groupBy("part_id").agg(F.sum("cnt").alias("part_n"))
-    full = (grid.join(hist, ["part_id", "bucket"], "left")
-                .join(F.broadcast(expected), "bucket", "left")
-                .join(F.broadcast(part_tot), "part_id")
-                .select("part_id", "bucket", "part_n",
-                        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
-                        F.coalesce(F.col("expected_frac"), F.lit(0.0))
-                         .alias("e")))
-    p = F.col("cnt") / F.col("part_n")
-    term = (p - F.col("e")) * F.log((p + F.lit(_EPS)) / (F.col("e") + F.lit(_EPS)))
-    return (full.groupBy("part_id")
-                .agg(F.sum(term).alias("psi")))
+
+def _psi_term(b):
+    """One PSI summand for bucket `b` over (hist map, part_n, emap)."""
+    p = F.coalesce(F.element_at(F.col("hist"), b.cast("int")), F.lit(0)) \
+        / F.col("part_n")
+    e = F.coalesce(F.element_at(F.col("emap"), b.cast("int")), F.lit(0.0))
+    return (p - e) * F.log((p + F.lit(_EPS)) / (e + F.lit(_EPS)))
 
 
 def psi_violations(df: DataFrame, check: DriftCheck,

@@ -7,11 +7,21 @@ it does so through Arrow batches (mapInPandas) — never row-at-a-time
 Python UDFs.
 
 Scale shape: clips ⋈ clips_ref is a key-equi join on clip_id. At
-10^12 rows both sides are large → sort-merge join on clip_id; with
-both tables bucketed by clip_id at write time the shuffle disappears
-entirely (storage-side co-location). The Arrow batch size is bounded
-by spark.sql.execution.arrow.maxRecordsPerBatch so executor memory
-holds batch × payload, not partition × payload.
+10^12 rows both sides are large → with both tables bucketed by clip_id
+at write time the shuffle disappears entirely (storage-side
+co-location). Two further scale decisions (both measured, round 2):
+
+- The transcript-equality half of the invariant is a pure column
+  comparison, so it runs as its OWN JVM branch over a column-pruned
+  scan (clip_id/part_id/transcript only — the parquet reader never
+  touches `bytes` for it). Zero Python.
+- The decode branch filters JVM-side BEFORE the Arrow boundary: rows
+  whose codec has no decoder are skipped (same as the reference's
+  unknown-codec behavior), and pcm_s16le rows that are byte-identical
+  to the reference are proven SNR=+inf by equality alone. Only the
+  residual (~lossy-codec fraction) of rows ever crosses into Python —
+  at 10^12 rows the Arrow transfer, not the numpy math, is the
+  payload check's bottleneck.
 """
 
 from __future__ import annotations
@@ -23,11 +33,54 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from canned_yaml_spark.audio import decode, has_decoder, snr_db
+from canned_yaml_spark.audio import _MAGIC, decode, snr_db
 from canned_yaml_spark.checks import PayloadCheck
 
 _OUT_SCHEMA = ("clip_id string, part_id int, rule_id string, "
                "severity int, message string")
+
+_EMPTY = np.zeros(0, dtype="<i2")
+
+
+def _transcript_mismatch(t: F.Column, tr: F.Column) -> F.Column:
+    """NULL-aware inequality: one side NULL, or both set and different."""
+    return (t.isNull() != tr.isNull()) | (t.isNotNull() & (t != tr))
+
+
+def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
+    """Vectorized SNR: group equal-length (ref, dec) pairs and compute
+    power ratios as one matrix op per length group. Rows whose decode
+    failed or whose lengths mismatch keep snr=-inf (the caller's
+    preset); bit-exact rows get +inf.
+
+    Almost every clip in a real corpus shares the dominant sample
+    count, so this turns ~all of the SNR math into two row-axis
+    reductions over a single (n, L) float64 matrix.
+    """
+    groups: dict[int, list[int]] = {}
+    for i, d in enumerate(decs):
+        if d is None:
+            continue
+        if d.size != refs[i].size:
+            continue               # stays -inf: hard fail
+        if d.size == 0:
+            snr[i] = np.inf
+            continue
+        groups.setdefault(d.size, []).append(i)
+    for size, idx in groups.items():
+        r = np.empty((len(idx), size), dtype=np.float64)
+        d = np.empty((len(idx), size), dtype=np.float64)
+        for j, i in enumerate(idx):
+            r[j] = refs[i]
+            d[j] = decs[i]
+        noise = r - d
+        p_sig = np.einsum("ij,ij->i", r, r)
+        p_noise = np.einsum("ij,ij->i", noise, noise)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = 10.0 * np.log10(p_sig / p_noise)
+        s = np.where(p_noise == 0.0, np.inf, s)
+        s = np.where(p_sig == 0.0, -np.inf, s)
+        snr[np.asarray(idx)] = s
 
 
 def payload_violations(clips: DataFrame, clips_ref: DataFrame,
@@ -37,93 +90,91 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
     """Long-form violation rows for payloads failing decode/SNR/transcript.
 
     clips_ref: (clip_id, pcm_ref binary — little-endian PCM16,
-    transcript_ref string). Output has one row per failed clip with
-    the failure mode in the message.
+    transcript_ref string). Output has one row per failure mode per
+    failed clip.
     """
     rule_id = check.rule_id
     severity = int(check.severity)
     snr_min = float(check.snr_db_min)
     byte_col = check.column
 
+    # ---- branch 1: transcript equality — pure JVM, bytes never read.
+    # Column pruning keeps this scan to 3 narrow columns per side; with
+    # clip_id-bucketed tables the join is exchange-free codegen.
+    t = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(part_col).alias("part_id"),
+        F.col("transcript").alias("_t"),
+    ).join(
+        clips_ref.select("clip_id",
+                         F.col("transcript_ref").alias("_tr")).hint("SHUFFLE_HASH"),
+        "clip_id", "inner")
+    t_viol = (t.filter(_transcript_mismatch(F.col("_t"), F.col("_tr")))
+               .select("clip_id", "part_id",
+                       F.lit(rule_id).alias("rule_id"),
+                       F.lit(severity).alias("severity"),
+                       F.lit("transcript differs from reference")
+                        .alias("message")))
+
+    # ---- branch 2: decode + SNR — JVM prefilter before Arrow.
     joined = clips.select(
         F.col(id_col).alias("clip_id"),
         F.col(part_col).alias("part_id"),
         F.col(byte_col).alias("_bytes"),
         F.col("codec").alias("_codec"),
-        F.col("transcript").alias("_transcript"),
     ).join(
         # SHUFFLE_HASH: a sort-merge join would sort 2×payload-sized
-        # rows per partition; hashing only the (bounded) ref side is
-        # strictly cheaper for payload-carrying joins. With both tables
-        # bucketed by clip_id at write time (Iceberg/bucketed parquet)
-        # the exchange disappears entirely.
+        # rows per partition; hashing only one side is strictly cheaper
+        # for payload-carrying joins. With both tables bucketed by
+        # clip_id at write time the exchange disappears entirely.
         clips_ref.select(
             F.col("clip_id"),
             F.col("pcm_ref").alias("_pcm_ref"),
-            F.col("transcript_ref").alias("_transcript_ref"),
         ).hint("SHUFFLE_HASH"),
         "clip_id", "inner",
     )
-
-    # Identity-codec fast path, evaluated JVM-side BEFORE the Arrow
-    # boundary: for pcm_s16le (the ~0.70 hot codec) a bit-exact payload
-    # is SNR=+inf by definition, so byte equality proves the check.
-    # Payloads of fast-path rows are nulled out here, which cuts the
-    # JVM→Python Arrow transfer by the hot-codec fraction — at 10^12
-    # rows that transfer, not the numpy math, is the payload check's
-    # bottleneck.
+    # Rows that never need Python: unknown codec (reference behavior —
+    # enum/referential checks own those), and the identity-codec fast
+    # path, where bit-exact payload == SNR +inf by definition. The
+    # filter runs inside the join's codegen stage, so the Arrow
+    # transfer carries only the residual.
     fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
         F.col("_bytes").isNotNull() & \
         (F.col("_bytes") == F.col("_pcm_ref"))
-    joined = joined.select(
-        "clip_id", "part_id", "_codec", "_transcript", "_transcript_ref",
-        fast_ok.alias("_fast_ok"),
-        F.when(~fast_ok, F.col("_bytes")).alias("_bytes"),
-        F.when(~fast_ok, F.col("_pcm_ref")).alias("_pcm_ref"),
-    )
+    need = joined.filter(
+        F.col("_codec").isin(*sorted(_MAGIC)) & ~fast_ok)
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_part, out_msg = [], [], []
-            codecs = pdf["_codec"].to_numpy()
+            n = len(pdf)
             ids = pdf["clip_id"].to_numpy()
             parts = pdf["part_id"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
             payloads = pdf["_bytes"].to_numpy()
-            refs = pdf["_pcm_ref"].to_numpy()
-            ts = pdf["_transcript"].to_numpy()
-            ts_ref = pdf["_transcript_ref"].to_numpy()
-            fast = pdf["_fast_ok"].to_numpy()
-            for i in range(len(pdf)):
-                msgs = []
-                if fast[i]:
-                    t, tr = ts[i], ts_ref[i]
-                    if (t is None) != (tr is None) or \
-                            (t is not None and t != tr):
-                        out_id.append(ids[i])
-                        out_part.append(parts[i])
-                        out_msg.append("transcript differs from reference")
-                    continue
-                ref_pcm = (np.frombuffer(refs[i], dtype="<i2")
-                           if refs[i] is not None else np.zeros(0, "<i2"))
-                if has_decoder(codecs[i]):
-                    dec = decode(payloads[i], codecs[i]) \
-                        if payloads[i] is not None else None
-                    if dec is None:
-                        msgs.append(f"payload undecodable as {codecs[i]}")
-                    else:
-                        s = snr_db(ref_pcm, dec)
-                        if not s >= snr_min:
-                            msgs.append(
-                                f"SNR {s:.1f} dB < {snr_min:.1f} dB "
-                                f"(decoded {dec.size} vs reference "
-                                f"{ref_pcm.size} samples)")
-                t, tr = ts[i], ts_ref[i]
-                if (t is None) != (tr is None) or (t is not None and t != tr):
-                    msgs.append("transcript differs from reference")
-                for m in msgs:
-                    out_id.append(ids[i])
-                    out_part.append(parts[i])
-                    out_msg.append(m)
+            raw_refs = pdf["_pcm_ref"].to_numpy()
+
+            decs = [None] * n
+            refs = [None] * n
+            for i in range(n):
+                decs[i] = (decode(payloads[i], codecs[i])
+                           if payloads[i] is not None else None)
+                refs[i] = (np.frombuffer(raw_refs[i], dtype="<i2")
+                           if raw_refs[i] is not None else _EMPTY)
+            snr = np.full(n, -np.inf)
+            _batch_snr(decs, refs, snr)
+
+            out_id, out_part, out_msg = [], [], []
+            bad = np.nonzero(~(snr >= snr_min))[0]
+            for i in bad:
+                if decs[i] is None:
+                    out_msg.append(f"payload undecodable as {codecs[i]}")
+                else:
+                    out_msg.append(
+                        f"SNR {snr[i]:.1f} dB < {snr_min:.1f} dB "
+                        f"(decoded {decs[i].size} vs reference "
+                        f"{refs[i].size} samples)")
+                out_id.append(ids[i])
+                out_part.append(parts[i])
             yield pd.DataFrame({
                 "clip_id": out_id,
                 "part_id": pd.array(out_part, dtype="int32"),
@@ -132,36 +183,54 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
                 "message": out_msg,
             })
 
-    return joined.mapInPandas(check_batches, _OUT_SCHEMA)
+    return need.mapInPandas(check_batches, _OUT_SCHEMA).unionByName(t_viol)
 
 
 def payload_snr_stats(clips: DataFrame, clips_ref: DataFrame,
                       check: PayloadCheck,
                       part_col: str = "part_id") -> DataFrame:
-    """Per-partition SNR profile (metrics table support): decode all
-    payloads, aggregate min/avg SNR and decode-failure count."""
+    """Per-partition SNR profile (metrics table support): min/avg SNR and
+    decode-failure count. Bit-exact pcm rows are proven by the JVM fast
+    path (SNR +inf → recorded NULL, fail 0 — the same contract as the
+    Python path, whose pandas NaN becomes NULL through Arrow) and never
+    cross into Python."""
     joined = clips.select(
         F.col("clip_id"), F.col(part_col).alias("part_id"),
         F.col(check.column).alias("_bytes"), F.col("codec").alias("_codec"),
     ).join(clips_ref.select("clip_id", F.col("pcm_ref").alias("_pcm_ref")),
            "clip_id", "inner")
+    fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
+        F.col("_bytes").isNotNull() & \
+        (F.col("_bytes") == F.col("_pcm_ref"))
+    fast_rows = joined.filter(fast_ok).select(
+        "part_id", F.lit(None).cast("double").alias("snr"),
+        F.lit(0).alias("decode_fail"))
 
     def snr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parts, snrs, fails = [], [], []
-            for i in range(len(pdf)):
-                ref = np.frombuffer(pdf["_pcm_ref"].iat[i], dtype="<i2")
-                dec = decode(pdf["_bytes"].iat[i], pdf["_codec"].iat[i])
-                parts.append(int(pdf["part_id"].iat[i]))
-                s = snr_db(ref, dec)
-                snrs.append(np.nan if not np.isfinite(s) else s)
-                fails.append(int(dec is None))
-            yield pd.DataFrame({"part_id": pd.array(parts, dtype="int32"),
-                                "snr": snrs,
-                                "decode_fail": pd.array(fails, dtype="int32")})
+            n = len(pdf)
+            codecs = pdf["_codec"].to_numpy()
+            payloads = pdf["_bytes"].to_numpy()
+            raw_refs = pdf["_pcm_ref"].to_numpy()
+            decs = [None] * n
+            refs = [None] * n
+            for i in range(n):
+                decs[i] = decode(payloads[i], codecs[i])
+                refs[i] = (np.frombuffer(raw_refs[i], dtype="<i2")
+                           if raw_refs[i] is not None else _EMPTY)
+            snr = np.full(n, -np.inf)
+            _batch_snr(decs, refs, snr)
+            snr = np.where(np.isfinite(snr), snr, np.nan)
+            yield pd.DataFrame({
+                "part_id": pdf["part_id"].astype("int32"),
+                "snr": snr,
+                "decode_fail": pd.array(
+                    [int(d is None) for d in decs], dtype="int32")})
 
-    per_row = joined.mapInPandas(
-        snr_batches, "part_id int, snr double, decode_fail int")
+    per_row = (joined.filter(~fast_ok)
+               .mapInPandas(snr_batches,
+                            "part_id int, snr double, decode_fail int")
+               .unionByName(fast_rows))
     return (per_row.groupBy("part_id")
             .agg(F.count(F.lit(1)).alias("n_payloads"),
                  F.min("snr").alias("snr_min"),

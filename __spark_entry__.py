@@ -125,6 +125,72 @@ def _q_type_duck(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_violations(staged, suite).select(*_VCOLS)
 
 
+# ---------------- nested corpus: items / tuple / duck-type gates -----
+def _nested_viol(spark: SparkSession, sf_dir: str, spec: dict) -> DataFrame:
+    t = derive.clips_nested_df(spark, sf_dir)
+    return row_violations(t, compile_spec(spec, t.schema)).select(*_VCOLS)
+
+
+def _q_minmax_items(spark, sf_dir):
+    # SURVEY §2 #10 (canner.cc:360-376)
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "tags": {"minItems": 1, "maxItems": 3}}})
+
+
+def _q_items_uniform(spark, sf_dir):
+    # SURVEY §2 #11 — uniform items via F.forall, no explode
+    # (reference corpus: schema/ip_allow.schema.json:14-18)
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "tags": {"items": {"type": "string", "pattern": "^[a-z]+$"}}}})
+
+
+def _q_items_tuple(spark, sf_dir):
+    # SURVEY §2 #12 — positional items (schema/replay.schema.json:136-147)
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "pair": {"maxItems": 2,
+                 "items": [{"type": "integer"}, {"type": "boolean"}]}}})
+
+
+def _q_ref_chain(spark, sf_dir):
+    # SURVEY §2 #15 — $ref chain through definitions, call-site located
+    # (schema/ip_allow.schema.json:84-93)
+    return _nested_viol(spark, sf_dir, {
+        "type": "object",
+        "properties": {"val_num": {"$ref": "#/definitions/posint"}},
+        "definitions": {
+            "posint": {"$ref": "#/definitions/intbase"},
+            "intbase": {"type": "integer", "minimum": 10}}})
+
+
+def _q_duck_boolean(spark, sf_dir):
+    # SURVEY §2 #2 (canner.cc:1052-1058)
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "val_bool": {"type": "boolean"}}})
+
+
+def _q_duck_number(spark, sf_dir):
+    # SURVEY §2 #6 — the predicate the reference declares but never
+    # defines (canner.cc:100), implemented properly
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "val_num": {"type": "number"}}})
+
+
+def _q_type_kinds(spark, sf_dir):
+    # SURVEY §2 #5 — null/object/array kind tests: array+object fold
+    # statically TRUE on typed columns; null is the runtime OR-arm
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "tags": {"type": "array"},
+        "meta": {"type": "object"},
+        "val_bool": {"type": ["null", "boolean"]}}})
+
+
+def _q_type_scalar(spark, sf_dir):
+    # SURVEY §2 #4 — 'string' accepts any scalar (canner.cc:1081-1083);
+    # pattern applies through a cast on the int column
+    return _nested_viol(spark, sf_dir, {"type": "object", "properties": {
+        "n_tags": {"type": "string", "pattern": "^[1-3]$"}}})
+
+
 def _q_salted_codec_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     return dataset.salted_group_count(clips, "codec").select("codec", "n")
@@ -210,6 +276,35 @@ def _q_payload_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY §2 #25 — checkpoint/resume end to end: phase 1 validates
+    # half the partitions and commits them to the manifest; phase 2 sees
+    # the full corpus and validates ONLY the pending partitions. The
+    # verdicts table accumulates both runs (64 partitions total).
+    # Non-SQL-expressible (filesystem manifest) → rows-only gate.
+    import shutil
+    import tempfile
+
+    from canned_yaml_spark import job as jobmod
+    clips = fixtures.clips_df(spark, 2000)
+    ref = fixtures.clips_ref_df(spark, 2000)
+    kw = dict(dims={"codec_dim": fixtures.codec_dim_df(spark)},
+              clips_ref=ref,
+              expected_hist=fixtures.reference_hist_df(spark),
+              ks_reference=fixtures.reference_dur_sample())
+    out = tempfile.mkdtemp(prefix="resume_gate_")
+    try:
+        jobmod.run(spark, SPEC, clips.filter(F.col("part_id") % 2 == 0),
+                   out_dir=out, **kw)
+        jobmod.run(spark, SPEC, clips, out_dir=out, **kw)
+        verd = (spark.read.parquet(f"{out}/verdicts")
+                     .select("part_id", "n_rows", "n_violations", "pass"))
+        # materialize before the tempdir disappears (64 rows, bounded)
+        return spark.createDataFrame(verd.collect(), verd.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     dc = _suite(spark, clips).drift_checks[0]
@@ -229,6 +324,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oneof": _q_oneof,
         "anyof": _q_anyof,
         "type_duck": _q_type_duck,
+        "minmax_items": _q_minmax_items,
+        "items_uniform": _q_items_uniform,
+        "items_tuple": _q_items_tuple,
+        "ref_chain": _q_ref_chain,
+        "duck_boolean": _q_duck_boolean,
+        "duck_number": _q_duck_number,
+        "type_kinds": _q_type_kinds,
+        "type_scalar": _q_type_scalar,
         "salted_codec_counts": _q_salted_codec_counts,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -239,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
+        "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
         "ks_drift": _q_ks_drift,             # rows-only (applyInPandas)
         "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
@@ -257,6 +361,14 @@ def oracle_sql() -> dict[str, str]:
         "oneof": oracle.sql_oneof_violations(),
         "anyof": oracle.sql_anyof_violations(),
         "type_duck": oracle.sql_type_duck(),
+        "minmax_items": oracle.sql_minmax_items(),
+        "items_uniform": oracle.sql_items_uniform(),
+        "items_tuple": oracle.sql_items_tuple(),
+        "ref_chain": oracle.sql_ref_chain(),
+        "duck_boolean": oracle.sql_duck_boolean(),
+        "duck_number": oracle.sql_duck_number(),
+        "type_kinds": oracle.sql_type_kinds(),
+        "type_scalar": oracle.sql_type_scalar(),
         "salted_codec_counts": oracle.sql_salted_codec_counts(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),

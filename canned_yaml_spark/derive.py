@@ -132,6 +132,96 @@ def clips_duckdb_cte() -> str:
     return f"clips AS ({clips_select('duckdb')})"
 
 
+# ------------------------------------------------------------ nested corpus
+#: injection cycle for the nested corpus (every 10th key, 8 rules):
+#: 0 tags too long (maxItems)      1 tags empty (minItems)
+#: 2 invalid tag element (items)   3 NULL tag element (gated — no violation)
+#: 4 pair[0] not integer (tuple)   5 pair[1] not boolean (tuple)
+#: 6 val_num not a number (duck)   7 val_bool not a boolean (duck)
+NESTED_RULES = 8
+
+
+def clips_nested_select(dialect: str, orders_rel: str = "orders") -> str:
+    """Array/struct-bearing corpus for the items / tuple-items / duck-type
+    gate queries (reference corpus analogs:
+    /root/reference/schema/ip_allow.schema.json:14-18 uniform items,
+    /root/reference/schema/replay.schema.json:136-147 tuple items).
+
+    Same bit-identical-two-engines discipline as clips_select: pure
+    integer arithmetic on o_orderkey; arrays are built by explicit CASE
+    over the element count so both dialects produce identical lists.
+    """
+    if dialect == "spark":
+        fmt, idiv, arr = "format_string", "div", "array"
+        flt = "filter"
+        meta = "named_struct('lang', t0, 'n', n_tags)"
+    elif dialect == "duckdb":
+        fmt, idiv, arr = "printf", "//", "list_value"
+        flt = "list_filter"
+        meta = "struct_pack(lang := t0, n := n_tags)"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % {INJECT_EVERY} = 0) AS inject,
+         (o_orderkey {idiv} {INJECT_EVERY}) % {NESTED_RULES} AS rule_k,
+         (o_orderkey * 7919) % {len(WORDS)}      AS w0,
+         (o_orderkey * 7919 + 13) % {len(WORDS)} AS w1,
+         (o_orderkey * 7919 + 26) % {len(WORDS)} AS w2,
+         o_orderkey % 1000 AS num0
+  FROM {orders_rel}
+),
+elems AS (
+  SELECT k, inject, rule_k, num0,
+         {_word_case('w0')} AS t0,
+         {_word_case('w1')} AS t1,
+         {_word_case('w2')} AS t2,
+         {fmt}('%d', num0) AS num_s,
+         CASE WHEN k % 2 = 0 THEN 'true' ELSE ' FALSE ' END AS bool_s,
+         CASE WHEN inject AND rule_k = 0 THEN 5
+              WHEN inject AND rule_k = 1 THEN 0
+              ELSE 1 + (k % 3) END AS n_tags0,
+         {fmt}('clip_%010d', k) AS clip_id,
+         CAST(k % {N_PARTS} AS INT) AS part_id
+  FROM keyed
+)
+SELECT clip_id, part_id,
+  CASE
+    WHEN inject AND rule_k = 0 THEN {arr}(t0, t1, t2, t0, t1)
+    WHEN inject AND rule_k = 1 THEN {flt}({arr}(t0), x -> 1 = 0)
+    WHEN inject AND rule_k = 2 THEN {arr}(t0, 'BAD42')
+    WHEN inject AND rule_k = 3 THEN {arr}(t0, CASE WHEN 1 = 0 THEN t1 END)
+    WHEN n_tags0 = 1 THEN {arr}(t0)
+    WHEN n_tags0 = 2 THEN {arr}(t0, t1)
+    ELSE {arr}(t0, t1, t2)
+  END AS tags,
+  CASE
+    WHEN inject AND rule_k = 4 THEN {arr}(concat('x', num_s), bool_s)
+    WHEN inject AND rule_k = 5 THEN {arr}(num_s, 'maybe')
+    ELSE {arr}(num_s, bool_s)
+  END AS pair,
+  CASE WHEN inject AND rule_k = 6 THEN 'abc' ELSE num_s END AS val_num,
+  CASE WHEN inject AND rule_k = 7 THEN 'yes' ELSE bool_s END AS val_bool,
+  CAST(n_tags0 AS INT) AS n_tags,
+  {meta} AS meta
+FROM elems
+""".strip()
+
+
+def clips_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived nested-corpus DataFrame (Spark side). One codegen span
+    over a single-column parquet scan, same as clips_df."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(clips_nested_select("spark"))
+
+
+def clips_nested_duckdb_cte() -> str:
+    return f"clips_nested AS ({clips_nested_select('duckdb')})"
+
+
 # ---------------------------------------------------------------- codec dim
 CODEC_DIM_ROWS = [
     ("pcm_s16le", False, 48000),

@@ -15,7 +15,7 @@ identical in both engines by construction (tests/test_derive.py).
 from __future__ import annotations
 
 from canned_yaml_spark.derive import (
-    clips_duckdb_cte, codec_dim_duckdb_cte,
+    clips_duckdb_cte, clips_nested_duckdb_cte, codec_dim_duckdb_cte,
 )
 from canned_yaml_spark.fixtures import reference_hist
 
@@ -213,6 +213,122 @@ WHERE val IS NOT NULL
 def sql_salted_codec_counts() -> str:
     return (f"WITH {clips_duckdb_cte()} "
             f"SELECT codec, COUNT(*) AS n FROM clips GROUP BY codec")
+
+
+# ============== nested corpus: items / tuple / duck-type gates =======
+# Independent DuckDB re-statements of the compiled semantics for the
+# array/struct operators (engine: compile.py _items_preds/_type_ok).
+# The engine's NULL gating is mirrored exactly: a NULL column never
+# violates a value rule; a NULL array ELEMENT never violates the items
+# schema; tuple position i is checked only when the array reaches it.
+
+_INT_RX = "^\\s*[+-]?[0-9]+\\s*$"   # svtoi full-parse (canner.cc:1068-1079)
+_TAG_RX = "^[a-z]+$"
+
+
+def _nested_select(rule_id: str, cond: str) -> str:
+    return (f"SELECT clip_id, part_id, '{rule_id}' AS rule_id, "
+            f"CAST(2 AS INT) AS severity FROM clips_nested WHERE {cond}")
+
+
+def sql_minmax_items() -> str:
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select("properties.tags.minItems",
+                "tags IS NOT NULL AND NOT (len(tags) >= 1)")}
+UNION ALL
+{_nested_select("properties.tags.maxItems",
+                "tags IS NOT NULL AND NOT (len(tags) <= 3)")}
+""".strip()
+
+
+def sql_items_uniform() -> str:
+    # forall(tags, x -> x IS NULL OR x ~ tag) mirrored via list_filter
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.tags.items",
+    "tags IS NOT NULL AND len(list_filter(tags, x -> x IS NOT NULL "
+    f"AND NOT regexp_matches(x, '{_TAG_RX}'))) > 0")}
+""".strip()
+
+
+def sql_items_tuple() -> str:
+    # positional schemas; short arrays and NULL elements don't violate
+    # (canner.cc:690-704). DuckDB lists are 1-based.
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.pair.items[0]",
+    "pair IS NOT NULL AND NOT (len(pair) <= 0 OR pair[1] IS NULL "
+    f"OR regexp_matches(pair[1], '{_INT_RX}'))")}
+UNION ALL
+{_nested_select(
+    "properties.pair.items[1]",
+    "pair IS NOT NULL AND NOT (len(pair) <= 1 OR pair[2] IS NULL "
+    "OR lower(trim(pair[2])) IN ('true', 'false'))")}
+UNION ALL
+{_nested_select("properties.pair.maxItems",
+                "pair IS NOT NULL AND NOT (len(pair) <= 2)")}
+""".strip()
+
+
+def sql_ref_chain() -> str:
+    # $ref chain posint → intbase resolves to {type: integer, minimum: 10};
+    # rule_ids stay located at the call site (compile.py:140-150)
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.val_num.type",
+    f"val_num IS NOT NULL AND NOT regexp_matches(val_num, '{_INT_RX}')")}
+UNION ALL
+{_nested_select(
+    "properties.val_num.minimum",
+    "val_num IS NOT NULL AND NOT (TRY_CAST(val_num AS DOUBLE) >= 10)")}
+""".strip()
+
+
+def sql_duck_boolean() -> str:
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.val_bool.type",
+    "val_bool IS NOT NULL AND lower(trim(val_bool)) NOT IN ('true', 'false')")}
+""".strip()
+
+
+def sql_duck_number() -> str:
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.val_num.type",
+    "val_num IS NOT NULL AND TRY_CAST(val_num AS DOUBLE) IS NULL")}
+""".strip()
+
+
+def sql_type_kinds() -> str:
+    # array-kind on tags and object-kind on meta fold statically TRUE
+    # (zero rows — the oracle confirms no false positives); the
+    # null/boolean type set on val_bool is the runtime arm.
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.val_bool.type",
+    "val_bool IS NOT NULL AND NOT (val_bool IS NULL "
+    "OR lower(trim(val_bool)) IN ('true', 'false'))")}
+""".strip()
+
+
+def sql_type_scalar() -> str:
+    # 'string' accepts any scalar (canner.cc:1081-1083) → static TRUE on
+    # the int column; pattern applies through a string cast (runtime).
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.n_tags.pattern",
+    "n_tags IS NOT NULL "
+    "AND NOT regexp_matches(CAST(n_tags AS VARCHAR), '^[1-3]$')")}
+""".strip()
 
 
 # ================== training-data ops over documents/embeddings ======

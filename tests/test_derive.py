@@ -51,3 +51,49 @@ def test_codec_skew(both):
     sdf, _ = both
     frac = (sdf.codec == "pcm_s16le").mean()
     assert 0.6 < frac < 0.8  # the 0.70 hot key (FIXTURES.md)
+
+
+# ---------------------------------------------------- nested corpus
+@pytest.fixture(scope="module")
+def both_nested(spark):
+    sdf = derive.clips_nested_df(spark, SF_DIR).drop("meta") \
+        .orderBy("clip_id").toPandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"parquet_scan('{SF_DIR}/orders.parquet')")
+    ddf = con.execute(
+        f"WITH {derive.clips_nested_duckdb_cte()} SELECT * EXCLUDE (meta) "
+        f"FROM clips_nested ORDER BY clip_id").fetchdf() \
+        .reset_index(drop=True)
+    return sdf, ddf
+
+
+def _canon_list(a):
+    return "|".join("<N>" if x is None else str(x) for x in a)
+
+
+def test_nested_identical(both_nested):
+    sdf, ddf = both_nested
+    assert len(sdf) == len(ddf) > 0
+    assert list(sdf.columns) == list(ddf.columns)
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if c in ("tags", "pair"):
+            assert (a.apply(_canon_list) == b.apply(_canon_list)).all(), c
+        elif a.dtype == object:
+            assert (a.fillna("\0") == b.fillna("\0")).all(), c
+        else:
+            assert (a.astype("int64") == b.astype("int64")).all(), c
+
+
+def test_nested_injections_present(both_nested):
+    sdf, _ = both_nested
+    lens = sdf.tags.apply(len)
+    assert (lens == 0).sum() > 0          # minItems injection
+    assert (lens == 5).sum() > 0          # maxItems injection
+    assert sdf.tags.apply(lambda t: "BAD42" in list(t)).sum() > 0
+    assert sdf.tags.apply(lambda t: any(x is None for x in t)).sum() > 0
+    assert (sdf.val_num == "abc").sum() > 0
+    assert (sdf.val_bool == "yes").sum() > 0
+    assert sdf.pair.apply(lambda p: str(p[0]).startswith("x")).sum() > 0
+    assert sdf.pair.apply(lambda p: p[1] == "maybe").sum() > 0

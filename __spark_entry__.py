@@ -243,7 +243,12 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    return dedup.embedding_near_dups(_emb(spark, sf_dir), 0.9)
+    # scale path: LSH-bucketed candidates + exact cosine verify over the
+    # near-dup-injected corpus; the oracle brute-forces the same corpus
+    # (valid because LSH only prunes and its miss probability here is
+    # < 1e-4 — dedup.embedding_near_dup_candidates docstring)
+    e2 = dedup.with_embedding_dup_injection(_emb(spark, sf_dir))
+    return dedup.embedding_near_dups_lsh(e2, 0.95)
 
 
 def _q_simhash_groups(spark, sf_dir):

@@ -191,12 +191,107 @@ def simhash_dup_groups(docs: DataFrame) -> DataFrame:
 
 
 # ----------------------------------------------- embedding near-dup
+def with_embedding_dup_injection(emb: DataFrame, every: int = 5,
+                                 id_offset: int = 100_000,
+                                 eps: float = 0.01) -> DataFrame:
+    """Append deterministic near-duplicate vectors: every Nth vector
+    gets a copy shifted by +eps per component (cosine ≈ 0.999 for the
+    test corpora). Same injected-defect pattern as with_dup_injection;
+    the oracle rebuilds the identical corpus in SQL."""
+    near = (emb.filter(F.col("vec_id") % every == 0)
+               .select((F.col("vec_id") + id_offset).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x + F.lit(eps))
+                        .alias("embedding")))
+    return emb.select("vec_id", "embedding").unionByName(near)
+
+
+def embedding_near_dup_candidates(emb: DataFrame, bits: int = 8,
+                                  tables: int = 6, dim: int = 64,
+                                  seed: int = 42) -> DataFrame:
+    """Candidate vector pairs via L independent sign-bit LSH tables —
+    the embedding analog of MinHash banding (lsh_candidate_pairs).
+
+    Each vector lands in `tables` buckets (one per table of `bits`
+    random hyperplanes); candidates are same-bucket pairs in ANY table.
+    A pair at cosine c collides per table with p = (1 − θ/π)^bits,
+    θ = arccos c, so the miss probability is (1−p)^tables — for
+    near-dup thresholds (c ≥ 0.95) and the defaults here it's < 1e-4,
+    which is what makes the exact-verified output equal the brute-force
+    oracle's on the test corpora (same argument as LSH_BANDS above).
+
+    Scale shape: ONE shuffle keyed on (table, bucket) carrying
+    vectors × tables rows of (id, long); the within-bucket self-join
+    materializes ~ tables · n²/2^bits candidate pairs, tuned by `bits`
+    (grow bits with log₂ n to keep buckets constant-sized). No n²
+    all-pairs stage exists anywhere.
+    """
+    from canned_yaml_spark.similarity import hyperplanes
+    planes = hyperplanes(dim, bits * tables, seed)
+    # all tables' sign bits computed in ONE projection pass; bucket of
+    # table t = bits [t·bits, (t+1)·bits)
+    sign = [None] * (bits * tables)
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(F.col("embedding"),
+                       F.array(*[F.lit(float(x)) for x in p]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sign[i] = F.when(d > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    buckets = []
+    for t in range(tables):
+        b = F.lit(0).cast("long")
+        for j in range(bits):
+            b = b.bitwiseOR(F.shiftleft(sign[t * bits + j], j))
+        buckets.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+    bb = (emb.select("vec_id", F.explode(F.array(*buckets)).alias("tb"))
+             .select("vec_id", "tb.tbl", "tb.bucket"))
+    a, b = bb.alias("a"), bb.alias("b")
+    return (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"))
+             .distinct())
+
+
+def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
+                            bits: int = 8, tables: int = 6,
+                            dim: int = 64, seed: int = 42) -> DataFrame:
+    """LSH-bucketed embedding near-duplicates, exact-cosine verified.
+
+    Output (vec_a, vec_b, cosine) matches embedding_near_dups wherever
+    the candidate stage achieves full recall (measured in
+    tests/test_dedup.py); LSH only prunes, the cosine is exact.
+    This is the corpus-scale path — candidate volume is governed by
+    bucket sizes, never by n².
+    """
+    cands = embedding_near_dup_candidates(emb, bits, tables, dim, seed)
+    v = emb.select("vec_id", "embedding")
+    j = (cands
+         .join(v.withColumnRenamed("vec_id", "vec_a")
+                .withColumnRenamed("embedding", "emb_a"), "vec_a")
+         .join(v.withColumnRenamed("vec_id", "vec_b")
+                .withColumnRenamed("embedding", "emb_b"), "vec_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (j.select("vec_a", "vec_b",
+                     F.round(dot / (nrm("emb_a") * nrm("emb_b")), 4)
+                      .alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+
+
 def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                         max_exact_rows: int = 20_000) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (doc pairs with cosine ≥
-    threshold). This is the exact small-N baseline the LSH path in
-    similarity.py approximates; it refuses to run beyond
-    max_exact_rows (n² blowup) — the scale path is ann_lsh."""
+    threshold). This is the exact small-N baseline / recall oracle for
+    embedding_near_dups_lsh (the scale path); it refuses to run beyond
+    max_exact_rows (n² blowup)."""
     n = emb.count()
     if n > max_exact_rows:
         raise ValueError(f"exact all-pairs at n={n} would materialize "

@@ -482,9 +482,17 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
-def sql_embedding_near_dups(threshold: float = 0.9) -> str:
+def sql_embedding_near_dups(threshold: float = 0.95) -> str:
+    # brute force over the injected corpus — a valid oracle for the
+    # engine's LSH+exact-verify path because LSH only prunes (recall
+    # ≈ 1 at this threshold; see dedup.embedding_near_dup_candidates)
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding, x -> x + 0.01)
+  FROM embeddings WHERE vec_id % 5 = 0),
+e AS (SELECT vec_id, emb2.embedding::DOUBLE[] AS v FROM emb2),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_inner_product(a.v, b.v)

@@ -109,3 +109,27 @@ def test_ann_recall_reasonable(spark, emb):
     rec = similarity.recall_at_k(exact, approx)
     avg = rec.agg(F.avg("recall")).collect()[0][0]
     assert avg >= 0.4   # 1-bit LSH halves the corpus; self-bucket recall
+
+
+def test_embedding_lsh_matches_exact(spark):
+    # the scale path (LSH candidates + exact verify) must reproduce the
+    # brute-force result on the injected corpus — recall 1.0 here
+    from canned_yaml_spark import dedup
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e2 = dedup.with_embedding_dup_injection(emb)
+    exact = {(r.vec_a, r.vec_b, r.cosine)
+             for r in dedup.embedding_near_dups(e2, 0.95).collect()}
+    lsh = {(r.vec_a, r.vec_b, r.cosine)
+           for r in dedup.embedding_near_dups_lsh(e2, 0.95).collect()}
+    assert len(exact) > 0          # injection produced real near-dups
+    assert lsh == exact
+
+
+def test_embedding_candidate_volume_bounded(spark):
+    # candidate count must stay far below n^2/2 (the pruning claim)
+    from canned_yaml_spark import dedup
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    e2 = dedup.with_embedding_dup_injection(emb)
+    n = e2.count()
+    n_cand = dedup.embedding_near_dup_candidates(e2).count()
+    assert n_cand < (n * (n - 1) // 2) * 0.25, (n_cand, n)

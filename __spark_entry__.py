@@ -193,7 +193,15 @@ def _q_type_scalar(spark, sf_dir):
 
 def _q_salted_codec_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
-    return dataset.salted_group_count(clips, "codec").select("codec", "n")
+    return (dataset.salted_group_count(clips, "codec", salt_col="clip_id")
+                   .select("codec", "n"))
+
+
+def _q_codec_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-surviving exact median: redistribute-by-(key, value) instead
+    # of funneling every hot-key row through one percentile reducer
+    clips = derive.clips_df(spark, sf_dir)
+    return dataset.grouped_exact_median(clips, "codec", "dur_ms")
 
 
 # --------------------- training-data ops (documents / embeddings) ----
@@ -338,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_kinds": _q_type_kinds,
         "type_scalar": _q_type_scalar,
         "salted_codec_counts": _q_salted_codec_counts,
+        "codec_median": _q_codec_median,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -375,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "type_kinds": oracle.sql_type_kinds(),
         "type_scalar": oracle.sql_type_scalar(),
         "salted_codec_counts": oracle.sql_salted_codec_counts(),
+        "codec_median": oracle.sql_codec_median(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),

@@ -124,7 +124,8 @@ def column_stats_exact(df: DataFrame, columns: list[str],
 
 
 def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 16,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       salt_col: str | None = None) -> DataFrame:
     """Two-stage aggregation for skewed keys (SURVEY.md §2.2 #24).
 
     Counting by a skewed key (codec has a 0.70 hot value) in one
@@ -132,14 +133,52 @@ def salted_group_count(df: DataFrame, key: str, salt_buckets: int = 16,
     With map-side partial aggregation Spark already combines per
     input partition, so a plain count is usually fine — this explicit
     two-stage (key, salt) → key variant is for aggregates without
-    cheap partial forms and as the documented skew pattern. Salting
-    uses a deterministic hash of a row-local value, not rand(), so
-    retries are idempotent.
+    cheap partial forms and as the documented skew pattern.
+
+    The salt must vary WITHIN a key (hashing the key itself would put
+    every hot-key row in the same stage-1 group, i.e. no salting at
+    all): hash a row-local column when one is available (salt_col —
+    deterministic across retries), else the input partition id (stable
+    under whole-task retry, which is Spark's retry granularity).
     """
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(salt_buckets)))
+    salt_src = (F.xxhash64(F.col(salt_col), F.lit(seed))
+                if salt_col else F.spark_partition_id())
+    salted = df.withColumn("_salt",
+                           F.pmod(salt_src, F.lit(salt_buckets)))
     stage1 = (salted.groupBy(key, "_salt")
                     .agg(F.count(F.lit(1)).alias("_partial")))
     return (stage1.groupBy(key)
                   .agg(F.sum("_partial").alias("n"))
                   .orderBy(F.desc("n")))
+
+
+def grouped_exact_median(df: DataFrame, key: str, value: str) -> DataFrame:
+    """(key, median) — EXACT interpolated median per group, built to
+    survive key skew (SURVEY.md §2.2 #24's real use case).
+
+    A plain ``percentile(value, 0.5)`` is non-algebraic: every raw
+    value of a group ships to ONE reducer, so a 0.70-hot key funnels
+    70% of the table through a single task. This plan redistributes by
+    (key, value) first — count-by-value IS algebraic (map-side partial
+    agg), and dur_ms-like measure columns have bounded cardinality —
+    then computes the interpolated median from the tiny weighted
+    histogram with windows over ≤ |keys|·|values| rows.
+
+    Matches SQL ``median()`` (DuckDB oracle): for even n the mean of
+    the two middle values, else the middle value.
+    """
+    from pyspark.sql import Window
+    hist = (df.filter(F.col(value).isNotNull())
+              .groupBy(key, value)
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    wk = Window.partitionBy(key)
+    cum = (hist.withColumn("_n", F.sum("cnt").over(wk))
+               .withColumn("_cum", F.sum("cnt").over(
+                   wk.orderBy(value)
+                     .rowsBetween(Window.unboundedPreceding, 0))))
+    k1 = F.floor((F.col("_n") + 1) / 2)
+    k2 = F.ceil((F.col("_n") + 1) / 2)
+    lo = F.min(F.when(F.col("_cum") >= k1, F.col(value)))
+    hi = F.min(F.when(F.col("_cum") >= k2, F.col(value)))
+    return (cum.groupBy(key)
+               .agg(((lo + hi) / 2.0).alias("median")))

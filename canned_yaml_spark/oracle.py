@@ -215,6 +215,14 @@ def sql_salted_codec_counts() -> str:
             f"SELECT codec, COUNT(*) AS n FROM clips GROUP BY codec")
 
 
+def sql_codec_median() -> str:
+    # interpolated exact median — the engine's redistribute-by-value
+    # plan (dataset.grouped_exact_median) must reproduce SQL median()
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT codec, median(dur_ms) AS median "
+            f"FROM clips WHERE dur_ms IS NOT NULL GROUP BY codec")
+
+
 # ============== nested corpus: items / tuple / duck-type gates =======
 # Independent DuckDB re-statements of the compiled semantics for the
 # array/struct operators (engine: compile.py _items_preds/_type_ok).

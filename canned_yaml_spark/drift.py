@@ -160,38 +160,70 @@ def _ks_2samp(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
     return d, float(min(max(p, 0.0), 1.0))
 
 
+def _ks_2samp_weighted(vals: np.ndarray, cnts: np.ndarray,
+                       ref: np.ndarray) -> tuple[float, float, int]:
+    """Exact two-sample KS of a weighted sample (distinct values +
+    counts) vs a raw reference sample. Identical to _ks_2samp on the
+    expanded sample — ECDF steps only occur at sample points."""
+    order = np.argsort(vals)
+    v = vals[order]
+    cum = np.cumsum(cnts[order].astype(np.float64))
+    n = cum[-1]
+    r = np.sort(np.asarray(ref, dtype=np.float64))
+    pts = np.concatenate([v, r])
+    cdf_a = cum[np.searchsorted(v, pts, side="right") - 1] / n
+    cdf_a[np.searchsorted(v, pts, side="right") == 0] = 0.0
+    cdf_b = np.searchsorted(r, pts, side="right") / r.size
+    d = float(np.max(np.abs(cdf_a - cdf_b)))
+    en = math.sqrt(n * r.size / (n + r.size))
+    t = (en + 0.12 + 0.11 / en) * d
+    if t < 1e-9:
+        p = 1.0
+    elif t < 1.18:
+        w = math.exp(-math.pi ** 2 / (8.0 * t * t))
+        p = 1.0 - (math.sqrt(2.0 * math.pi) / t) * (w + w ** 9 + w ** 25)
+    else:
+        p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2.0 * (k * t) ** 2)
+                      for k in range(1, 101))
+    return d, float(min(max(p, 0.0), 1.0)), int(n)
+
+
 def ks_per_partition(df: DataFrame, check: DriftCheck,
                      reference: np.ndarray,
-                     part_col: str = "part_id",
-                     max_sample_per_part: int = 100_000) -> DataFrame:
-    """(part_id, ks_stat, p_value, n) via applyInPandas per partition.
+                     part_col: str = "part_id") -> DataFrame:
+    """(part_id, ks_stat, p_value, n) — EXACT per-partition KS.
 
-    ``reference`` is a bounded driver-side sample of the expected
-    distribution (fixed size, broadcast in the UDF closure). Each
-    partition group arrives as Arrow batches; numpy does the work.
-    Partitions larger than max_sample_per_part are deterministically
-    thinned (every k-th sorted value) — the KS statistic is stable
-    under uniform thinning at these sizes.
+    Scale shape: the raw column is pre-aggregated to (part_id, value,
+    cnt) — one hash aggregation with map-side combine — so the shuffle
+    and the Python stage carry distinct values per partition, not rows
+    (measure columns like dur_ms have bounded cardinality; 10^12 rows
+    reduce to ≤ parts × |values|). The weighted KS on counts is exactly
+    the raw-sample statistic (no thinning, unlike a sampled approach).
+    ``reference`` is a bounded driver-side sample, broadcast in the
+    UDF closure.
     """
     ref = np.asarray(reference, dtype=np.float64)
     col = check.column
 
     def ks(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf[col].dropna().to_numpy(dtype=np.float64)
+        vals = pdf["_v"].to_numpy(dtype=np.float64)
+        cnts = pdf["_c"].to_numpy(dtype=np.int64)
         if vals.size == 0:
-            return pd.DataFrame({"part_id": [pdf["part_id"].iloc[0]],
-                                 "ks_stat": [0.0], "p_value": [1.0], "n": [0]})
-        if vals.size > max_sample_per_part:
-            vals = np.sort(vals)[:: vals.size // max_sample_per_part]
-        d, p = _ks_2samp(vals, ref)
+            return pd.DataFrame({"part_id": [int(pdf["part_id"].iloc[0])],
+                                 "ks_stat": [0.0], "p_value": [1.0],
+                                 "n": [0]})
+        d, p, n = _ks_2samp_weighted(vals, cnts, ref)
         return pd.DataFrame({"part_id": [int(pdf["part_id"].iloc[0])],
-                             "ks_stat": [d], "p_value": [p],
-                             "n": [int(vals.size)]})
+                             "ks_stat": [d], "p_value": [p], "n": [n]})
 
-    return (df.select(F.col(part_col).alias("part_id"), col)
-              .groupBy("part_id")
-              .applyInPandas(ks, "part_id int, ks_stat double, "
-                                 "p_value double, n long"))
+    hist = (df.filter(F.col(col).isNotNull())
+              .select(F.col(part_col).alias("part_id"),
+                      F.col(col).alias("_v"))
+              .groupBy("part_id", "_v")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    return (hist.groupBy("part_id")
+                .applyInPandas(ks, "part_id int, ks_stat double, "
+                                   "p_value double, n long"))
 
 
 def ks_violations(df: DataFrame, check: DriftCheck, reference: np.ndarray,

@@ -71,3 +71,18 @@ def test_bucketize_clamps_and_drops_nulls(spark, suite):
     assert rows.get(0) == 2          # -50 clamped + 0
     assert rows.get(19) == 2         # 11999 + clamp(999999)
     assert sum(rows.values()) == 4   # NULL dropped
+
+
+def test_weighted_ks_equals_raw():
+    # the pre-aggregated (value, count) form must reproduce the raw
+    # statistic exactly — ECDF steps only occur at sample points
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        a = rng.randint(200, 10000, size=rng.randint(1, 400)).astype(float)
+        ref = rng.randint(200, 12000, size=777).astype(float)
+        vals, cnts = np.unique(a, return_counts=True)
+        d1, p1 = drift._ks_2samp(a, ref)
+        d2, p2, n = drift._ks_2samp_weighted(vals, cnts, ref)
+        assert abs(d1 - d2) < 1e-12 and abs(p1 - p2) < 1e-12 and n == a.size

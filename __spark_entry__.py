@@ -197,6 +197,17 @@ def _q_salted_codec_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("codec", "n"))
 
 
+def _q_closed_world(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closed-world variant (text.cpp:178-181): undeclared columns are
+    # WARN violations on rows where they are present (non-null)
+    clips = derive.clips_df(spark, sf_dir)
+    spec = {"type": "object", "x-closed-world": True,
+            "properties": {"clip_id": {}, "sr_hz": {}, "dur_ms": {},
+                           "codec": {}, "part_id": {}}}
+    return row_violations(clips, compile_spec(spec, clips.schema)) \
+        .select(*_VCOLS)
+
+
 def _q_codec_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-surviving exact median: redistribute-by-(key, value) instead
     # of funneling every hot-key row through one percentile reducer
@@ -347,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_scalar": _q_type_scalar,
         "salted_codec_counts": _q_salted_codec_counts,
         "codec_median": _q_codec_median,
+        "closed_world": _q_closed_world,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -385,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "type_scalar": oracle.sql_type_scalar(),
         "salted_codec_counts": oracle.sql_salted_codec_counts(),
         "codec_median": oracle.sql_codec_median(),
+        "closed_world": oracle.sql_closed_world(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),

@@ -502,6 +502,24 @@ class _Compiler:
                     order=self._next_order(), column=k))
             self._extensions(k, sub)
 
+        if node.get("x-closed-world") and self.schema is not None:
+            # The reference implements BOTH worlds: canner.cc:741-756
+            # skips unknown keys (open), text.cpp:178-181 throws on them
+            # (closed). Default is open; this switch emits the closed
+            # variant as WARN-severity row checks — a row carries the
+            # undeclared property iff the column is non-null there
+            # ("one row = one document": NULL means the key is absent).
+            declared = set(node.get("properties", {})) | \
+                set(node.get("required", []))
+            for k in sorted(set(fields) - declared):
+                self.suite.row_checks.append(Check(
+                    rule_id=f"closed-world.{k}", severity=Severity.WARN,
+                    violation=F.col(k).isNotNull(),
+                    message=F.lit(f"undeclared column '{k}' present "
+                                  f"(closed world; reference: "
+                                  f"text.cpp:178-181)"),
+                    order=self._next_order(), column=k))
+
         if "x-drift" in node:
             xd = node["x-drift"]
             self.suite.drift_checks.append(DriftCheck(

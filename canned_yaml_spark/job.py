@@ -149,7 +149,9 @@ def run(spark: SparkSession, spec_source: str | dict, clips: DataFrame, *,
         verd = spark.read.parquet(f"{out_dir}/verdicts")
         viol = spark.read.parquet(f"{out_dir}/violations")
 
-    n_err = (viol.filter(F.col("severity") >= int(Severity.ERROR))
-                 .limit(1).count())
+    # ok == "no partition failed": the verdict aggregate already folds
+    # max severity per partition, so this reads the (written) verdicts
+    # table instead of re-executing the violations union.
+    n_bad = verd.filter(~F.col("pass")).limit(1).count()
     return ValidationResult(violations=viol, verdicts=verd,
-                            metrics=metrics, ok=n_err == 0)
+                            metrics=metrics, ok=n_bad == 0)

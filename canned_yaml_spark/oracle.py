@@ -215,6 +215,15 @@ def sql_salted_codec_counts() -> str:
             f"SELECT codec, COUNT(*) AS n FROM clips GROUP BY codec")
 
 
+def sql_closed_world() -> str:
+    # transcript is the one undeclared column in the gate spec; WARN=1
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT clip_id, part_id, "
+            f"'closed-world.transcript' AS rule_id, "
+            f"CAST(1 AS INT) AS severity "
+            f"FROM clips WHERE transcript IS NOT NULL")
+
+
 def sql_codec_median() -> str:
     # interpolated exact median — the engine's redistribute-by-value
     # plan (dataset.grouped_exact_median) must reproduce SQL median()

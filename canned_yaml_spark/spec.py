@@ -44,6 +44,7 @@ NODE_KEYWORDS = {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "pattern", "minLength", "maxLength",
     "x-unique", "x-ref", "x-drift", "x-payload", "x-severity",
+    "x-closed-world",
     "$schema", "title", "description",
 }
 

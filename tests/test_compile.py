@@ -257,3 +257,30 @@ def test_open_world_unknown_column_warns(spark):
         {"type": "object", "properties": {"ghost": {"type": "string"}}}, sch)
     assert any("ghost" in w for w in suite.warnings)
     assert not any("ghost" in c.rule_id for c in suite.row_checks)
+
+
+def test_closed_world_flags_undeclared_columns(spark):
+    # SURVEY §7(e): default open (canner.cc:741-756), WARN-severity
+    # closed variant available (text.cpp:178-181)
+    from pyspark.sql import functions as F
+
+    from canned_yaml_spark.runner import row_violations
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, None)],
+        "clip_id string, part_id int, extra string")
+    spec = {"type": "object", "x-closed-world": True,
+            "properties": {"clip_id": {"type": "string"}},
+            "required": ["clip_id"]}
+    suite = compile_spec(spec, df.schema)
+    v = row_violations(df, suite).collect()
+    flagged = {(r.clip_id, r.rule_id, r.severity) for r in v}
+    # part_id/extra are undeclared; a row violates only where the
+    # column is non-null (NULL == key absent from the document)
+    assert ("a", "closed-world.extra", 1) in flagged
+    assert ("b", "closed-world.extra", 1) not in flagged
+    assert ("a", "closed-world.part_id", 1) in flagged
+    # open world (default): no closed-world checks emitted
+    suite_open = compile_spec({"type": "object", "properties": {
+        "clip_id": {"type": "string"}}}, df.schema)
+    assert not any(c.rule_id.startswith("closed-world")
+                   for c in suite_open.row_checks)

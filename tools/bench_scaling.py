@@ -38,7 +38,12 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BUCKETS = 32
+# 128 buckets: bucketed scans and the zero-exchange payload join emit
+# one task per bucket; 32 buckets = a single task wave at local[32],
+# so any straggler extends the stage 1:1 (measured). 128 gives 4 waves
+# at local[32] / 16 at local[8] — stragglers amortize at both levels —
+# and 4× smaller per-task join state.
+BUCKETS = 128
 
 CHILD = r"""
 import json, os, sys, time
@@ -148,7 +153,7 @@ def run_level(cores: int, rows: int, wh: str) -> dict:
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
-    wh = os.path.join(REPO, ".bench", f"warehouse_{rows}")
+    wh = os.path.join(REPO, ".bench", f"warehouse_{rows}_b{BUCKETS}")
     os.makedirs(wh, exist_ok=True)
     build_bucketed(rows, os.path.join(REPO, ".bench"), wh)
 

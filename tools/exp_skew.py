@@ -50,7 +50,8 @@ ddl = open(os.path.join(wh, "clips_b.schema")).read()
 spark.sql(f'''CREATE TABLE clips_b ({{ddl}}) USING PARQUET
   CLUSTERED BY (clip_id) SORTED BY (clip_id) INTO {buckets} BUCKETS
   LOCATION '{{wh}}/clips_b' ''')
-clips = spark.table("clips_b").select("clip_id", "codec", "dur_ms", "part_id")
+clips = spark.table("clips_b").select("clip_id", "codec", "dur_ms",
+                                      "transcript", "part_id")
 
 def best(fn, n=3):
     fn()
@@ -73,6 +74,22 @@ if os.environ["SG_CASE"] in ("agg", "both"):
     assert a == b, (a, b)
     res["agg_plain"], res["agg_plain_runs"] = best(plain)
     res["agg_redist"], res["agg_redist_runs"] = best(redist)
+    # gather: collect_list has NO partial reduction — the hot key's
+    # ~70% of all transcript bytes land on ONE reducer task. The
+    # salted form collects per (key, salt) then merges 16 arrays.
+    # .collect() of the downstream sum forces the collect_list to run
+    # (a bare .count() lets ColumnPruning drop the unused aggregate)
+    gather_plain = lambda: clips.groupBy("codec").agg(
+        F.size(F.collect_list("transcript")).alias("n")) \
+        .agg(F.sum("n")).collect()
+    def gather_salted():
+        s1 = (clips.withColumn("_salt", F.pmod(
+                  F.xxhash64("clip_id"), F.lit(16)))
+                   .groupBy("codec", "_salt")
+                   .agg(F.size(F.collect_list("transcript")).alias("n1")))
+        s1.agg(F.sum("n1")).collect()
+    res["gather_plain"], res["gather_plain_runs"] = best(gather_plain)
+    res["gather_salted"], res["gather_salted_runs"] = best(gather_salted)
 if os.environ["SG_CASE"] in ("join", "both"):
     # per-codec profile joined back on the hot key; broadcast disabled
     # forces a shuffle join carrying the skew
@@ -126,6 +143,21 @@ histogram. Identical results asserted before timing.
 |---|---|---|
 | plain percentile (funnel) | {out['agg_c8']['agg_plain']} s | {out['agg_c32']['agg_plain']} s |
 | redistribute-by-value     | {out['agg_c8']['agg_redist']} s | {out['agg_c32']['agg_redist']} s |
+
+At 9.6M rows the percentile funnel is only ~77 MB of doubles, so both
+plans are sub-second — the plan-shape difference is what matters at
+10^12 (the redistribute form's reducers receive ≤ |values| rows per
+key). The funnel becomes measurable when the grouped payload is wide:
+
+## A2. Gather (collect_list of transcripts — no partial reduction)
+
+The hot key routes ~70% of all transcript bytes to ONE reducer;
+salting by a row-local hash splits it 16 ways, then merges counts.
+
+| plan | local[8] | local[32] |
+|---|---|---|
+| plain collect_list (funnel) | {out['agg_c8']['gather_plain']} s | {out['agg_c32']['gather_plain']} s |
+| salted two-stage            | {out['agg_c8']['gather_salted']} s | {out['agg_c32']['gather_salted']} s |
 
 ## B. Skewed shuffle join — AQE skew-split OFF vs ON
 

@@ -56,6 +56,63 @@ def validate_stream(stream_df: DataFrame, suite: CheckSuite,
              .outputMode("append"))
 
 
+def running_verdicts(stream_df: DataFrame, suite: CheckSuite,
+                     part_col: str = "part_id",
+                     state_timeout_ms: int = 600_000) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): RUNNING
+    per-partition verdict across micro-batches.
+
+    Unlike windowed_verdicts (built-in windowed agg), this keeps an
+    explicit per-partition state tuple (n_rows, n_violations, max_sev)
+    that accumulates over the stream's lifetime and is EVICTED after
+    `state_timeout_ms` without new data for that partition — the
+    late-data state-eviction pattern for unbounded key spaces (at
+    10^12 clips the partition key space is unbounded over time; state
+    must age out or the store grows forever). Emits one updated verdict
+    row per partition per micro-batch (update output mode), plus a
+    final `evicted=true` row when the state times out.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    arr = violation_array(suite.row_checks)
+    sev = F.array_max(F.transform(arr, lambda v: v.getField("severity")))
+    pre = stream_df.select(
+        F.col(part_col).alias("part_id"),
+        F.size(arr).alias("n_viol"),
+        F.coalesce(sev, F.lit(-1)).alias("max_sev"))
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        n_rows, n_violations, max_sev = (state.get if state.exists
+                                         else (0, 0, -1))
+        if state.hasTimedOut:
+            state.remove()
+            evicted = True
+        else:
+            for pdf in pdfs:
+                n_rows += len(pdf)
+                n_violations += int(pdf["n_viol"].sum())
+                if len(pdf):
+                    max_sev = max(max_sev, int(pdf["max_sev"].max()))
+            state.update((n_rows, n_violations, max_sev))
+            state.setTimeoutDuration(state_timeout_ms)
+            evicted = False
+        yield pd.DataFrame({
+            "part_id": [int(key[0])],
+            "n_rows": [n_rows],
+            "n_violations": [n_violations],
+            "pass": [max_sev < int(Severity.ERROR)],
+            "evicted": [evicted]})
+
+    return pre.groupBy("part_id").applyInPandasWithState(
+        update,
+        outputStructType="part_id int, n_rows long, n_violations long, "
+                         "pass boolean, evicted boolean",
+        stateStructType="n_rows long, n_violations long, max_sev int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
+
+
 def windowed_verdicts(stream_df: DataFrame, suite: CheckSuite,
                       ts_col: str = "ts",
                       window: str = "1 minute",

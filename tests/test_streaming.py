@@ -3,7 +3,7 @@
 import pyspark.sql.functions as F
 
 from canned_yaml_spark import fixtures, streaming
-from canned_yaml_spark.runner import row_violations
+from canned_yaml_spark.runner import row_verdicts, row_violations
 
 
 def test_stream_violations_match_batch(spark, suite, tmp_path):
@@ -62,3 +62,43 @@ def test_windowed_verdicts_streaming(spark, suite, tmp_path):
     total = got.agg(F.sum("n_rows")).collect()[0][0]
     assert total == 200
     assert got.filter(~F.col("pass")).count() > 0   # injected defects
+
+
+def test_running_verdicts_stateful(spark, suite, tmp_path):
+    # custom stateful op: running totals across micro-batches must end
+    # at the batch-mode totals (maxFilesPerTrigger=1 forces 2 batches)
+    src = str(tmp_path / "src3")
+    out = str(tmp_path / "run_verd")
+    chk = str(tmp_path / "chk3")
+
+    first = fixtures.clips_df(spark, 200, max_samples=16)
+    # rows 200..399 = full-corpus minus first-batch rows (a clip_id
+    # range filter would drop injected 'CLIP-…' pattern rows)
+    second = (fixtures.clips_df(spark, 400, max_samples=16)
+              .subtract(first))
+    first.coalesce(1).write.parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(first.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    rv = streaming.running_verdicts(stream, suite)
+    # update output mode → parquet (append-only) goes via foreachBatch
+    q = (rv.writeStream
+         .foreachBatch(lambda df, _: df.write.mode("append").parquet(out))
+         .option("checkpointLocation", chk)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # the LAST update per partition equals the 400-row batch verdict
+    last = (got.groupBy("part_id")
+               .agg(F.max(F.struct("n_rows", "n_violations", "pass"))
+                     .alias("s"))
+               .select("part_id", "s.n_rows", "s.n_violations", "s.pass"))
+    full = fixtures.clips_df(spark, 400, max_samples=16)
+    want = {r.part_id: (r.n_rows, r.n_violations)
+            for r in row_verdicts(full, suite).collect()}
+    got_map = {r.part_id: (r.n_rows, r.n_violations) for r in last.collect()}
+    assert got_map == want
+    assert not got.filter("evicted").count()   # nothing timed out here

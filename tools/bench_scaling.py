@@ -48,15 +48,27 @@ BUCKETS = 128
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+
+cores = int(os.environ["SG_CORES"])
+# Pin the ENTIRE process tree (JVM task threads, GC, shuffle netty,
+# and the forked Python workers all inherit this affinity) to exactly
+# `cores` CPUs. Without this, local[8] on a 32-CPU host lets Python
+# workers / GC free-ride on the other 24 cores — an N-core cluster
+# slice has no such spare cores at either level, so unpinned runs
+# OVERSTATE the small level and understate scaling efficiency.
+os.sched_setaffinity(0, set(range(cores)))
+
 from canned_yaml_spark.session import get_spark
 from canned_yaml_spark import compile_spec, derive, fixtures
 from canned_yaml_spark import job as jobmod
-
-cores = int(os.environ["SG_CORES"])
 rows = int(os.environ["SG_ROWS"])
 wh = os.environ["SG_WAREHOUSE"]
 
-spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions=cores,
+# shuffle partitions match the bucket count at BOTH levels (identical
+# config, the only variable is core count): shuffle stages then run
+# {buckets}/cores waves, so stragglers amortize instead of extending a
+# single-wave stage 1:1
+spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions={buckets},
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp",
                                "spark.sql.warehouse.dir": wh}})
 
@@ -204,7 +216,11 @@ of 5 runs per level after warm-up; shuffle dir on tmpfs (this
 sandbox's /tmp cloud disk serializes shuffle I/O across cores —
 measured 4.5× slowdown — where production executors have local NVMe).
 Sandbox protocol per BASELINE.md: local[8] vs local[32] stands in for
-N vs 4N executors.
+N vs 4N executors, with the WHOLE process tree (JVM + forked Python
+workers + GC/netty threads) affinity-pinned to exactly N CPUs — an
+N-core cluster slice has no spare cores for Python workers to
+free-ride on, so unpinned local[8] runs would overstate the small
+level and understate true N→4N scaling.
 
 | level | seconds | clips/sec | runs (best trial) |
 |---|---|---|---|

@@ -1,0 +1,153 @@
+"""Physical-plan audit: assert the properties PLANS.md claims, on the
+CURRENT code, and regenerate the PLANS.md table.
+
+Usage: python tools/plan_audit.py   (writes PLANS.md, prints one line
+per operator; non-zero exit if any assertion fails)
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from canned_yaml_spark import (  # noqa: E402
+    compile_spec, dataset, dedup, derive, drift, fixtures, payload,
+    similarity,
+)
+from canned_yaml_spark.runner import row_verdicts, row_violations  # noqa: E402
+from canned_yaml_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    spark = get_spark("plan_audit", cores=8)
+    sf = "/root/testdata/sf0.01"
+    clips = derive.clips_df(spark, sf)
+    suite = compile_spec("specs/clips.spec.yaml", clips.schema)
+    dim = derive.codec_dim_df(spark)
+    hist = fixtures.reference_hist_df(spark)
+    ks_ref = fixtures.reference_dur_sample()
+    bench = fixtures.clips_df(spark, 2000, max_samples=64)
+    bench_ref = fixtures.clips_ref_df(spark, 2000, max_samples=64)
+    docs = dedup.with_dup_injection(
+        spark.read.parquet(f"{sf}/documents.parquet"))
+    emb = dedup.with_embedding_dup_injection(
+        spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+    rows = []
+
+    def audit(name, df, checks, note):
+        p = plan_of(df)
+        nex = p.count("Exchange") - p.count("ReusedExchange")
+        for label, pred in checks:
+            assert pred(p), f"{name}: FAILED {label}\n{p[:4000]}"
+        rows.append((name, nex, note))
+        print(f"{name:34s} exchanges={nex} OK")
+
+    audit("row_violations (full suite)",
+          row_violations(clips, suite),
+          [("no exchange", lambda p: "Exchange" not in p),
+           ("bytes pruned", lambda p: "bytes" not in p.split("ReadSchema")[-1]
+            if "ReadSchema" in p else True)],
+          "single FileScan; all checks one codegen span")
+    audit("row_verdicts",
+          row_verdicts(clips, suite),
+          [("partial+final agg", lambda p: p.count("HashAggregate") >= 2)],
+          "partial+final HashAggregate on part_id")
+    audit("referential (x-ref)",
+          dataset.referential_violations(clips, dim, suite.ref_checks[0]),
+          [("broadcast anti", lambda p: "BroadcastHashJoin" in p
+            and "LeftAnti" in p)],
+          "fact side never shuffles; dim broadcast")
+    audit("unique_violations (x-unique)",
+          dataset.unique_violations(clips, suite.unique_checks[0]),
+          [("agg then broadcast-back", lambda p: "BroadcastHashJoin" in p)],
+          "hash agg on key; defect-sized dup set broadcast back")
+    audit("grouped_exact_median",
+          dataset.grouped_exact_median(clips, "codec", "dur_ms"),
+          [("value-redistributed agg first",
+            lambda p: p.count("HashAggregate") >= 2),
+           ("window on tiny hist", lambda p: "Window" in p)],
+          "redistribute-by-(key,value); hot key never funnels")
+    audit("drift PSI",
+          drift.psi_per_partition(clips, suite.drift_checks[0], hist),
+          [("no crossJoin", lambda p: "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p)],
+          "one big-data agg; HOF fold over bucket maps; no grid join")
+    audit("drift KS (weighted)",
+          drift.ks_per_partition(clips, suite.drift_checks[0], ks_ref),
+          [("pre-agg before python", lambda p:
+            p.index("HashAggregate") > p.index("FlatMapGroupsInPandas")
+            if "FlatMapGroupsInPandas" in p else False)],
+          "counts by (part, value) shuffle; python sees the histogram")
+    audit("payload SNR (decode branch)",
+          payload.payload_violations(bench, bench_ref,
+                                     suite.payload_checks[0]),
+          [("no sort-merge", lambda p: "SortMergeJoin" not in p),
+           ("JVM prefilter before Arrow", lambda p: "Filter" in p)],
+          "SHUFFLE_HASH; fast-path rows filtered before Arrow; "
+          "transcript branch pure JVM over pruned scan")
+    audit("minhash signatures",
+          dedup.minhash_signatures(docs),
+          [("partial agg before exchange", lambda p:
+            p.index("HashAggregate") > p.index("Exchange"))],
+          "map-side partial min per slot; shuffle = docs x K longs")
+    audit("near_dup_pairs",
+          dedup.near_dup_pairs(docs),
+          [("no cartesian", lambda p: "CartesianProduct" not in p)],
+          "band self-join + sig-estimate prefilter + exact verify")
+    audit("embedding_near_dups_lsh",
+          dedup.embedding_near_dups_lsh(emb, 0.95),
+          [("no cartesian", lambda p: "CartesianProduct" not in p)],
+          "L sign-bit tables; one (tbl,bucket) shuffle; exact verify")
+    q = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    audit("cosine top-k",
+          similarity.cosine_topk(emb, q, 10),
+          [("query set broadcast", lambda p: "Broadcast" in p)],
+          "small query side broadcast; window top-k cut")
+
+    md = ["# Physical-plan audit", "",
+          "Asserted on the executed plan by `python tools/plan_audit.py`",
+          f"(re-run any time; last run {time.strftime('%Y-%m-%d %H:%M')},"
+          " sf0.01 derived corpus + 2k payload corpus).",
+          "`exchanges` counts Exchange minus ReusedExchange.", "",
+          "| operator | exchanges | property asserted |",
+          "|---|---|---|"]
+    for name, nex, note in rows:
+        md.append(f"| {name} | {nex} | {note} |")
+    md += ["", "Notes for 100 TB:", "",
+           "- The row suite being exchange-free means validation "
+           "throughput is pure scan bandwidth × codegen.",
+           "- PSI/KS exchanges all sit on post-aggregation data "
+           "(≤ parts×buckets / parts×|values| rows).",
+           "- The payload join is the one data-heavy shuffle; with both "
+           "tables bucketed by clip_id the exchange disappears entirely "
+           "(verified over the bucketed bench corpus: Exchange count 0, "
+           "tools/bench_scaling.py layout).",
+           "- Shuffle spill location dominates local-mode throughput: "
+           "/tmp (cloud disk) serialized shuffle I/O — payload family "
+           "83 s → 18.5 s at 8 cores on tmpfs. session.py defaults "
+           "spark.local.dir to /dev/shm.",
+           "- Interpreted HOF lambdas re-evaluate captured subtrees per "
+           "element; materialize expensive subtrees (normalization) "
+           "before lambda capture, keep set-op element types atomic "
+           "(BENCH/LSH.md measurements).",
+           ]
+    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(md) + "\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

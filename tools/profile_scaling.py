@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-BUCKETS = 32
+BUCKETS = int(__import__("os").environ.get("SG_BUCKETS", "32"))
 
 CHILD = r"""
 import json, os, sys, time
@@ -30,7 +30,8 @@ from canned_yaml_spark.runner import row_violations
 
 cores = int(os.environ["SG_CORES"])
 wh = os.environ["SG_WAREHOUSE"]
-spark = get_spark(f"prof_{{cores}}", cores=cores, shuffle_partitions=cores,
+shuf = int(os.environ.get("SG_SHUFFLE", str(cores)))
+spark = get_spark(f"prof_{{cores}}", cores=cores, shuffle_partitions=shuf,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp",
                                "spark.sql.warehouse.dir": wh}})
 for name in ("clips_b", "clips_ref_b"):
@@ -114,7 +115,7 @@ spark.stop()
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 9_600_000
     levels = [int(x) for x in sys.argv[2:]] or [32, 8]
-    wh = os.path.join(REPO, ".bench", f"warehouse_{rows}")
+    wh = os.environ.get("SG_WH") or os.path.join(REPO, ".bench", f"warehouse_{rows}")
     assert os.path.exists(os.path.join(wh, "_DONE")), f"run bench_scaling.py {rows} first"
     for cores in levels:
         env = dict(os.environ, SG_CORES=str(cores), SG_WAREHOUSE=wh)

@@ -289,6 +289,26 @@ def _q_ann_recall(spark, sf_dir):
     return similarity.recall_at_k(exact, approx)
 
 
+# ---------------- multimodal media columns (binary + typed meta) -----
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real byte-level decode through Arrow vs an oracle that recomputes
+    # the expected metadata analytically from the key
+    from canned_yaml_spark import multimodal
+    media = multimodal.media_corpus_df(spark, sf_dir)
+    return (multimodal.extract_media_meta(media)
+            .select("media_id", "part_id", "kind", "ok", "width",
+                    "height", "channels", "n_frames",
+                    F.round("mean_luma", 4).alias("mean_luma")))
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from canned_yaml_spark import multimodal
+    media = multimodal.media_corpus_df(spark, sf_dir)
+    return (multimodal.frame_sample(media, every=2)
+            .select("media_id", "frame_idx",
+                    F.length("frame").alias("frame_len")))
+
+
 # --- non-SQL-expressible (rows-only checks by the driver) -------------
 def _q_payload_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-vectorized payload decode + SNR vs reference (input_hint);
@@ -367,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": _q_near_dup_pairs,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "media_meta": _q_media_meta,
+        "frame_sample": _q_frame_sample,
         "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
         "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
         "ks_drift": _q_ks_drift,             # rows-only (applyInPandas)
@@ -406,4 +428,6 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": oracle.sql_near_dup_pairs(),
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
+        "media_meta": oracle.sql_media_meta(),
+        "frame_sample": oracle.sql_frame_sample(),
     }

@@ -565,8 +565,8 @@ def compile_spec(source: str | dict,
     required-column presence is verified at compile time.
     """
     root = load_spec(source)
-    from pyspark import SparkContext
-    if SparkContext._active_spark_context is None:  # noqa: SLF001
+    from pyspark.sql import SparkSession
+    if SparkSession.getActiveSession() is None:
         from canned_yaml_spark.errors import EngineError
         raise EngineError(
             "compile_spec builds pyspark Column expressions and needs an "

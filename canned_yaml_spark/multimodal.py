@@ -93,6 +93,43 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
     return None, "unknown container magic"
 
 
+# ----------------------------------------------------- derived corpus
+#: corpus plan (pure arithmetic on o_orderkey, mirrored analytically by
+#: the DuckDB oracle): k%4∈{0,1,2} → 8×8×3 image, k%4==3 → 4-frame
+#: 4×4 video; every 10th payload truncated to half (undecodable).
+IMG_W, IMG_H, IMG_C = 8, 8, 3
+VID_F, VID_W, VID_H = 4, 4, 4
+
+
+def media_row(k: int) -> tuple[str, int, bytearray]:
+    if k % 4 == 3:
+        buf = encode_video(k, VID_F, VID_W, VID_H)
+    else:
+        buf = encode_image(k, IMG_W, IMG_H, IMG_C)
+    if k % 10 == 0:
+        buf = buf[: len(buf) // 2]          # corrupt: half the container
+    return (f"media_{k:010d}", k % 64, bytearray(buf))
+
+
+def media_corpus_df(spark, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from the sf dir's orders keys
+    (same two-engine discipline as derive.clips_df: the DuckDB oracle
+    recomputes every expected metadata value ANALYTICALLY from k, so
+    agreement cross-checks the real decode path, not the generator)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [media_row(int(k)) for k in pdf["o_orderkey"]]
+            yield pd.DataFrame(rows, columns=["media_id", "part_id",
+                                              "media"]) \
+                .astype({"part_id": "int32"})
+
+    return (orders.select("o_orderkey")
+                  .mapInPandas(gen, "media_id string, part_id int, "
+                                    "media binary"))
+
+
 # ------------------------------------------------------ Spark plumbing
 def extract_media_meta(df: DataFrame, byte_col: str = "media",
                        id_col: str = "media_id",

@@ -348,6 +348,56 @@ WITH {clips_nested_duckdb_cte()}
 """.strip()
 
 
+# =================== multimodal media corpus =========================
+# The oracle recomputes every expected value ANALYTICALLY from the key
+# (pixel i of image k is (i·7 + k·13) % 256 etc. — multimodal.py stub
+# containers), so agreement exercises Spark's real byte-level decode.
+
+_MEDIA_KEYED = """m AS (
+  SELECT o_orderkey AS k,
+         printf('media_%010d', o_orderkey) AS media_id,
+         CAST(o_orderkey % 64 AS INT) AS part_id,
+         (o_orderkey % 4 = 3) AS is_vid,
+         (o_orderkey % 10 = 0) AS corrupt
+  FROM orders)"""
+
+
+def sql_media_meta() -> str:
+    img_mean = ("list_avg(list_transform(generate_series(0, 191), "
+                "i -> (i*7 + k*13) % 256))")
+    vid_mean = ("list_avg(list_transform(generate_series(0, 63), "
+                "i -> (i*11 + k*17) % 256))")
+    return f"""
+WITH {_MEDIA_KEYED}
+SELECT media_id, part_id,
+       CASE WHEN is_vid THEN 'video' ELSE 'image' END AS kind,
+       NOT corrupt AS ok,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4 ELSE 8 END AS width,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4 ELSE 8 END AS height,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 1 ELSE 3 END AS channels,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4 ELSE 1 END AS n_frames,
+       CASE WHEN corrupt THEN NULL
+            WHEN is_vid THEN round({vid_mean}, 4)
+            ELSE round({img_mean}, 4) END AS mean_luma
+FROM m
+""".strip()
+
+
+def sql_frame_sample() -> str:
+    # videos only (magic-detected, so corrupt VID containers included);
+    # frame bytes beyond the truncated body come back empty
+    return f"""
+WITH {_MEDIA_KEYED},
+v AS (SELECT media_id, CASE WHEN corrupt THEN 27 ELSE 64 END AS body_len
+      FROM m WHERE is_vid),
+idx AS (SELECT unnest([0, 2]) AS frame_idx)
+SELECT v.media_id, CAST(idx.frame_idx AS INT) AS frame_idx,
+       CAST(greatest(0, least(body_len, (frame_idx + 1) * 16)
+                        - frame_idx * 16) AS INT) AS frame_len
+FROM v CROSS JOIN idx
+""".strip()
+
+
 # ================== training-data ops over documents/embeddings ======
 # Shared constants come from textops/dedup so both engines restate the
 # same semantics.

@@ -61,3 +61,26 @@ def test_frame_sampling(spark, media):
 def test_real_format_routes_to_stub():
     meta, err = mm.decode_media(b"\x89PNG\r\n" + b"x" * 16)
     assert meta is None and "Pillow/ffmpeg" in err
+
+
+def test_media_corpus_meta_matches_python(spark):
+    # the derived corpus decodes to exactly what the pure-python stub
+    # computes (the DuckDB oracle re-derives the same analytically)
+    from canned_yaml_spark import multimodal
+    media = multimodal.media_corpus_df(spark, "/root/testdata/sf0.001")
+    meta = {r.media_id: r for r in
+            multimodal.extract_media_meta(media).collect()}
+    assert len(meta) == 1500
+    ok = [r for r in meta.values() if r.ok]
+    bad = [r for r in meta.values() if not r.ok]
+    assert len(bad) == 150                     # every 10th corrupted
+    assert all(r.err is None for r in ok)
+    for k in (1, 3, 7, 10, 23):
+        mid, _, buf = multimodal.media_row(k)
+        want, err = multimodal.decode_media(bytes(buf))
+        got = meta[mid]
+        if want is None:
+            assert not got.ok and got.err
+        else:
+            assert got.width == want["width"]
+            assert abs(got.mean_luma - want["mean_luma"]) < 1e-9

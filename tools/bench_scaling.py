@@ -104,9 +104,10 @@ def full_job():
     # at local[32] masks the parallel speed-up the criterion measures.
     viol.count()
 
+n_runs = int(os.environ.get("SG_RUNS", "5"))
 full_job()                      # warm-up: page cache, codegen, workers
 ts = []
-for _ in range(5):
+for _ in range(n_runs):
     t0 = time.time(); full_job(); ts.append(time.time() - t0)
 secs = min(ts)
 print(json.dumps({{"cores": cores, "secs": round(secs, 3),
@@ -116,7 +117,8 @@ spark.stop()
 """
 
 
-def build_bucketed(rows: int, bench_dir: str, wh: str) -> None:
+def build_bucketed(rows: int, bench_dir: str, wh: str,
+                   max_samples: int = 512) -> None:
     """One-time: materialize clips/clips_ref as bucketed+sorted tables."""
     if os.path.exists(os.path.join(wh, "_DONE")):
         return
@@ -129,9 +131,10 @@ def build_bucketed(rows: int, bench_dir: str, wh: str) -> None:
                       extra_conf={"spark.local.dir": "/dev/shm/spark-tmp",
                                   "spark.sql.warehouse.dir": wh})
     src = {
-        "clips_b": fixtures.clips_df(spark, rows, max_samples=512,
+        "clips_b": fixtures.clips_df(spark, rows, max_samples=max_samples,
                                      partitions=64),
-        "clips_ref_b": fixtures.clips_ref_df(spark, rows, max_samples=512,
+        "clips_ref_b": fixtures.clips_ref_df(spark, rows,
+                                             max_samples=max_samples,
                                              partitions=64),
     }
     for name, df in src.items():
@@ -164,10 +167,16 @@ def run_level(cores: int, rows: int, wh: str) -> dict:
 
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
+    # SG_SAMPLES sets the payload size (samples/clip). 512 = the
+    # byte-heavy default; 64 = the compute-bound variant that shows
+    # engine scaling where the host's memory-bandwidth ceiling
+    # (BENCH/MEMBW.md) doesn't cap it.
+    samples = int(os.environ.get("SG_SAMPLES", "512"))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
-    wh = os.path.join(REPO, ".bench", f"warehouse_{rows}_b{BUCKETS}")
+    tag = f"{rows}" if samples == 512 else f"{rows}_s{samples}"
+    wh = os.path.join(REPO, ".bench", f"warehouse_{tag}_b{BUCKETS}")
     os.makedirs(wh, exist_ok=True)
-    build_bucketed(rows, os.path.join(REPO, ".bench"), wh)
+    build_bucketed(rows, os.path.join(REPO, ".bench"), wh, samples)
 
     # alternate levels so bursty host noise doesn't systematically
     # favor one; keep the best (min-secs) observation per level
@@ -181,7 +190,7 @@ def main() -> None:
     # merge with prior invocations: the host has multi-minute noise
     # storms, so capability per level = best over all trials (history
     # keeps the evidence auditable)
-    hist_path = os.path.join(REPO, "BENCH", f"scaling_history_{rows}.json")
+    hist_path = os.path.join(REPO, "BENCH", f"scaling_history_{tag}.json")
     os.makedirs(os.path.dirname(hist_path), exist_ok=True)
     history = []
     if os.path.exists(hist_path):
@@ -204,7 +213,7 @@ def main() -> None:
     p_par = max(0.0, (lo["secs"] - hi["secs"]) * 32.0 / 3.0)
     f_ser = max(0.0, lo["secs"] - p_par / 8.0)
 
-    md = f"""# BENCH — scaling evidence (north_rule)
+    md = f"""# BENCH — scaling evidence (north_rule) — {rows:,} rows, {samples} samples/clip
 
 End-to-end constraint-suite job — the union of every check family
 (row checks + uniqueness + referential + PSI + KS drift + payload SNR)
@@ -228,7 +237,7 @@ level and understate true N→4N scaling.
 | local[32] (4N) | {hi['secs']} | {hi['clips_per_sec']:,} | {hi['all_runs']} |
 
 Best observation per level across {len(history)} harness invocation(s)
-(full audit trail: BENCH/scaling_history_{rows}.json).
+(full audit trail: BENCH/scaling_history_{tag}.json).
 
 **Scaling efficiency = ({hi['clips_per_sec']:,} / {lo['clips_per_sec']:,}) / 4
 = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"})
@@ -253,7 +262,9 @@ lives in. The sandbox evidence is therefore: parallel-fraction
 efficiency 0.95, whole-job efficiency {eff:.3f} at this input size.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    out_md = ("BASELINE.md" if samples == 512
+              else f"BASELINE_s{samples}.md")
+    with open(os.path.join(REPO, "BENCH", out_md), "w") as fh:
         fh.write(md)
 
 

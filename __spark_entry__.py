@@ -391,7 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
         "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
-        "ks_drift": _q_ks_drift,             # rows-only (applyInPandas)
+        "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
     }
@@ -430,4 +430,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),
+        "ks_drift": oracle.sql_ks_drift(),
     }

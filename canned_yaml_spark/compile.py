@@ -566,7 +566,12 @@ def compile_spec(source: str | dict,
     """
     root = load_spec(source)
     from pyspark.sql import SparkSession
-    if SparkSession.getActiveSession() is None:
+
+    # getActiveSession() is thread-local; driver worker threads that
+    # did not create the session see None even though one exists, so
+    # also accept the process-global instantiated session.
+    if (SparkSession.getActiveSession() is None
+            and getattr(SparkSession, "_instantiatedSession", None) is None):
         from canned_yaml_spark.errors import EngineError
         raise EngineError(
             "compile_spec builds pyspark Column expressions and needs an "

@@ -19,6 +19,8 @@ shingling/signatures — no Python on the data path).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -248,6 +250,14 @@ def near_dup_pairs(docs: DataFrame,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+    return _exact_verify(pre, docs, threshold)
+
+
+def _exact_verify(pre: DataFrame, docs: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate id pairs —
+    shared tail of both near-dup paths. Jaccard is a ratio of integers
+    → bit-identical across engines."""
     sh = _with_norm(docs).select("doc_id", shingles(F.col("_t")).alias("sh"))
     j = (pre
          .join(sh.withColumnRenamed("doc_id", "doc_a")
@@ -259,6 +269,74 @@ def near_dup_pairs(docs: DataFrame,
                   / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard")))
     return (j.filter(F.col("jaccard") >= threshold)
              .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def _sigx(col: str = "sig"):
+    """Slot-tagged signature (see near_dup_pairs step 2): atomic
+    array<long> elements keep array_intersect on the native fast path."""
+    return F.transform(F.col(col),
+                       lambda x, i: x.bitwiseAND(F.lit(-128).cast("long"))
+                                     .bitwiseOR(i.cast("long")))
+
+
+def materialize_signatures(docs: DataFrame, path: str) -> DataFrame:
+    """Write the minhash signature table (doc_id, sig array<long>) to
+    parquet ONCE and read it back — the 10^12-doc posture named in
+    near_dup_pairs step 1: every downstream consumer (banding,
+    prefilter, incremental re-dedup of a corpus delta) scans the
+    stored table instead of recomputing the shingle pass."""
+    spark = docs.sparkSession
+    minhash_signatures(docs).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def near_dup_pairs_storage(docs: DataFrame, sig_store: DataFrame,
+                           threshold: float = JACCARD_THRESHOLD,
+                           bands: int = LSH_BANDS,
+                           max_bucket: int = 4096) -> DataFrame:
+    """Storage-backed near-dup: identical output contract to
+    near_dup_pairs, but the banding shuffle carries ONLY
+    (doc_id, band, bucket) — ≈24 bytes/row instead of the ≈1 KB
+    slot-tagged signature — and signatures are joined back from the
+    materialized `sig_store` (materialize_signatures) solely for the
+    estimate prefilter. At 10^12 docs this divides the band-stage
+    shuffle width by ~40× (measured at sandbox scale: BENCH/LSH.md)
+    at the price of one extra join against the signature table, which
+    in production is bucketed by doc_id → zero-exchange.
+    """
+    from pyspark.sql import Window
+    rows_per_band = MINHASH_K // bands
+    bb = sig_store.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1,
+                                   rows_per_band), F.lit(42))
+                 .alias("bucket")))).alias("b2")
+    ).select("doc_id", "b2.band", "b2.bucket")
+    w = Window.partitionBy("band", "bucket")
+    kept = (bb.withColumn("_bsz", F.count(F.lit(1)).over(w))
+              .filter(F.col("_bsz") <= max_bucket))
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sx = sig_store.select("doc_id", _sigx("sig").alias("sigx"))
+    est = (F.size(F.array_intersect(F.col("sigx_a"), F.col("sigx_b")))
+           / F.lit(MINHASH_K))
+    pre = (cand
+           .join(sx.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sigx", "sigx_a"), "doc_a")
+           .join(sx.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("sigx", "sigx_b"), "doc_b")
+           .filter(est >= F.lit(threshold - _EST_MARGIN))
+           .select("doc_a", "doc_b"))
+    return _exact_verify(pre, docs, threshold)
 
 
 # ------------------------------------------------------------- SimHash
@@ -316,19 +394,40 @@ def with_embedding_dup_injection(emb: DataFrame, every: int = 5,
     return emb.select("vec_id", "embedding").unionByName(near)
 
 
+def lsh_tables_for(bits: int, threshold: float,
+                   miss: float = 1e-4) -> int:
+    """Number of sign-bit LSH tables needed so a pair at cosine ≥
+    `threshold` is missed with probability ≤ `miss`.
+
+    Per-table collision p = (1 − θ/π)^bits with θ = arccos(threshold);
+    miss after L tables is (1−p)^L, so L = ⌈ln miss / ln(1−p)⌉.
+    At the defaults (bits=8, threshold=0.95): p ≈ 0.4264 →
+    L = 17, (1−p)^17 ≈ 8e-5.
+    """
+    theta = math.acos(min(max(threshold, -1.0), 1.0))
+    p = (1.0 - theta / math.pi) ** bits
+    if p >= 1.0:
+        return 1
+    return max(1, math.ceil(math.log(miss) / math.log(1.0 - p)))
+
+
 def embedding_near_dup_candidates(emb: DataFrame, bits: int = 8,
-                                  tables: int = 6, dim: int = 64,
-                                  seed: int = 42) -> DataFrame:
+                                  tables: int | None = None, dim: int = 64,
+                                  seed: int = 42,
+                                  threshold: float = 0.95) -> DataFrame:
     """Candidate vector pairs via L independent sign-bit LSH tables —
     the embedding analog of MinHash banding (lsh_candidate_pairs).
 
     Each vector lands in `tables` buckets (one per table of `bits`
     random hyperplanes); candidates are same-bucket pairs in ANY table.
     A pair at cosine c collides per table with p = (1 − θ/π)^bits,
-    θ = arccos c, so the miss probability is (1−p)^tables — for
-    near-dup thresholds (c ≥ 0.95) and the defaults here it's < 1e-4,
-    which is what makes the exact-verified output equal the brute-force
-    oracle's on the test corpora (same argument as LSH_BANDS above).
+    θ = arccos c, so the miss probability is (1−p)^tables. `tables`
+    defaults to lsh_tables_for(bits, threshold): enough tables that a
+    pair AT the threshold (not just the injected c≈0.999 ones) is
+    missed with probability < 1e-4 — at bits=8, c=0.95 that is 17
+    tables, (1−0.4264)^17 ≈ 8e-5. That bound (not luck on easy
+    corpora) is what makes the exact-verified output equal the
+    brute-force oracle's (same argument as LSH_BANDS above).
 
     Scale shape: ONE shuffle keyed on (table, bucket) carrying
     vectors × tables rows of (id, long); the within-bucket self-join
@@ -337,6 +436,8 @@ def embedding_near_dup_candidates(emb: DataFrame, bits: int = 8,
     all-pairs stage exists anywhere.
     """
     from canned_yaml_spark.similarity import hyperplanes
+    if tables is None:
+        tables = lsh_tables_for(bits, threshold)
     planes = hyperplanes(dim, bits * tables, seed)
     # all tables' sign bits computed in ONE projection pass; bucket of
     # table t = bits [t·bits, (t+1)·bits)
@@ -366,17 +467,18 @@ def embedding_near_dup_candidates(emb: DataFrame, bits: int = 8,
 
 
 def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
-                            bits: int = 8, tables: int = 6,
+                            bits: int = 8, tables: int | None = None,
                             dim: int = 64, seed: int = 42) -> DataFrame:
     """LSH-bucketed embedding near-duplicates, exact-cosine verified.
 
-    Output (vec_a, vec_b, cosine) matches embedding_near_dups wherever
-    the candidate stage achieves full recall (measured in
-    tests/test_dedup.py); LSH only prunes, the cosine is exact.
-    This is the corpus-scale path — candidate volume is governed by
-    bucket sizes, never by n².
+    Output (vec_a, vec_b, cosine) matches embedding_near_dups up to the
+    candidate stage's miss bound — < 1e-4 at the requested threshold by
+    construction (tables defaults to lsh_tables_for(bits, threshold));
+    LSH only prunes, the cosine is exact. This is the corpus-scale
+    path — candidate volume is governed by bucket sizes, never by n².
     """
-    cands = embedding_near_dup_candidates(emb, bits, tables, dim, seed)
+    cands = embedding_near_dup_candidates(emb, bits, tables, dim, seed,
+                                          threshold=threshold)
     v = emb.select("vec_id", "embedding")
     j = (cands
          .join(v.withColumnRenamed("vec_id", "vec_a")

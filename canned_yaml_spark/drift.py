@@ -66,6 +66,11 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
     so the whole check adds exactly two stage barriers.
     """
     hist = bucketize(df, check, part_col)
+    if expected is None:
+        # hist feeds BOTH the per-partition maps and the global blend;
+        # cache it so the full-table bucketize scan runs once even when
+        # ReuseExchange doesn't dedupe the two aggregate subtrees.
+        hist = hist.cache()
     # per-partition sparse histogram as a map, folded in one agg
     per_part = (hist.groupBy("part_id")
                     .agg(F.map_from_entries(

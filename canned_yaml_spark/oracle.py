@@ -568,3 +568,39 @@ p AS (
   FROM e a JOIN e b ON a.vec_id < b.vec_id)
 SELECT * FROM p WHERE cosine >= {threshold}
 """.strip()
+
+
+def sql_ks_drift() -> str:
+    # Exact two-sample KS vs drift.ks_per_partition semantics
+    # (drift.py:_ks_2samp_weighted): ECDF difference evaluated at every
+    # sample point of either side, right-continuous. The reference
+    # sample (fixtures.reference_dur_sample) is the full lattice
+    # 200..10000, each value exactly once, so its ECDF at an integer
+    # point v is analytic: clamp(v-199, 0, 9801)/9801. The corpus ECDF
+    # is a per-partition cumulative sum over (value, count) — the same
+    # pre-aggregation the engine shuffles.
+    return f"""
+WITH {clips_duckdb_cte()},
+a AS (
+  SELECT part_id, CAST(dur_ms AS DOUBLE) AS v, COUNT(*) AS c
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+an AS (SELECT part_id, SUM(c) AS n FROM a GROUP BY 1),
+b AS (SELECT 200.0 + range AS v FROM range(0, 9801)),
+u AS (
+  SELECT part_id, v, SUM(c) AS c FROM (
+    SELECT part_id, v, c FROM a
+    UNION ALL
+    SELECT an.part_id, b.v, 0 AS c FROM an CROSS JOIN b
+  ) GROUP BY 1, 2),
+e AS (
+  SELECT part_id, v,
+         SUM(c) OVER (PARTITION BY part_id ORDER BY v) AS cum_a
+  FROM u)
+SELECT e.part_id,
+       ROUND(MAX(ABS(cum_a * 1.0 / an.n
+                     - LEAST(GREATEST(v - 199.0, 0), 9801) / 9801.0)),
+             4) AS ks_stat,
+       CAST(an.n AS BIGINT) AS n
+FROM e JOIN an USING (part_id)
+GROUP BY e.part_id, an.n
+""".strip()

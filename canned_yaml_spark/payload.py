@@ -78,8 +78,10 @@ def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
         p_noise = np.einsum("ij,ij->i", noise, noise)
         with np.errstate(divide="ignore", invalid="ignore"):
             s = 10.0 * np.log10(p_sig / p_noise)
-        s = np.where(p_noise == 0.0, np.inf, s)
+        # precedence matches audio.snr_db: p_noise==0 → +inf wins even
+        # when p_sig==0 too (bit-exact all-zero signal is a pass)
         s = np.where(p_sig == 0.0, -np.inf, s)
+        s = np.where(p_noise == 0.0, np.inf, s)
         snr[np.asarray(idx)] = s
 
 

@@ -39,6 +39,11 @@ def get_spark(app: str = "canned_yaml_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
+        # shuffle files live until the ContextCleaner GCs their
+        # dependencies; the 30min default lets a many-job driver
+        # accumulate tens of GB of dead shuffle on spark.local.dir —
+        # fatal when that dir is tmpfs (counts against RAM)
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     if local_dir:
         b = b.config("spark.local.dir", local_dir)

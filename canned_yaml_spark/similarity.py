@@ -69,22 +69,111 @@ def with_lsh_bucket(emb: DataFrame, planes: list[list[float]],
     return emb.withColumn("bucket", bucket)
 
 
-def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
-                 bits: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
-    """Approximate top-k: queries only scan their own LSH bucket.
+def _signed_margins(col: str, planes: list[list[float]]):
+    """array<double> of signed projections v·plane_i (one per plane)."""
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(F.col(col),
+                       F.array(*[F.lit(float(x)) for x in p]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for p in planes])
 
-    Returns (q_id, vec_id, cosine, rank). Recall < 1 by construction —
-    measure it against cosine_topk (tests do); raise `bits` to shrink
-    buckets, lower it to raise recall.
+
+def _bucket_of(margins, bits: int):
+    """long bucket id from an array of signed margins."""
+    b = F.lit(0).cast("long")
+    for j in range(bits):
+        b = b.bitwiseOR(
+            F.when(F.element_at(margins, j + 1) > 0,
+                   F.shiftleft(F.lit(1).cast("long"), j))
+             .otherwise(F.lit(0).cast("long")))
+    return b
+
+
+def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
+                 bits: int = 8, dim: int = 64, seed: int = 42,
+                 tables: int = 1, probes: int = 0) -> DataFrame:
+    """Approximate top-k via multi-table, multi-probe sign-bit LSH.
+
+    Corpus side: each vector lands in `tables` buckets (one per table
+    of `bits` seeded hyperplanes), computed in ONE projection pass and
+    exploded to (tbl, bucket) — the only corpus-side shuffle keys on
+    the bucket id, so at 10^12 vectors the index build is a single
+    pass + shuffle and queries touch ~tables·(1+probes)/2^bits of it.
+
+    Query side (multi-probe, Lv et al. 2007's flip-set idea): besides
+    its own bucket per table, each query probes the buckets reached by
+    flipping the `probes` sign bits with the SMALLEST |margin| —
+    exactly the bits most likely to disagree for a true neighbor near
+    the hyperplane. probes=bits means all flip-1 neighbors. Everything
+    is JVM-side higher-order functions; no UDFs.
+
+    Returns (q_id, vec_id, cosine, rank) — cosine exact, recall < 1 by
+    construction (measured: tools/bench_ann.py → BENCH/ANN.md).
     """
-    planes = hyperplanes(dim, bits, seed)
-    corpus = with_lsh_bucket(emb, planes)
-    qb = with_lsh_bucket(queries, planes, col="q_vec") \
-        .withColumnRenamed("bucket", "q_bucket")
-    j = corpus.join(F.broadcast(qb), F.col("bucket") == F.col("q_bucket"))
+    probes = min(probes, bits)
+    all_planes = hyperplanes(dim, bits * tables, seed)
+    # ---- corpus: (vec_id, embedding) → explode (tbl, bucket)
+    # The margins array is materialized as its own projection step so
+    # the bits·tables dot products run ONCE per row — element_at over
+    # an inline array expression would re-evaluate the whole projection
+    # per bit (memory: spark-hof-footguns).
+    c_entries = []
+    q_entries = []
+    with_m = emb.select("vec_id", "embedding",
+                        _signed_margins("embedding", all_planes).alias("_m"))
+    for t in range(tables):
+        m_t = F.slice(F.col("_m"), t * bits + 1, bits)
+        c_entries.append(F.struct(F.lit(t).alias("tbl"),
+                                  _bucket_of(m_t, bits).alias("bucket")))
+    corpus = (with_m.select("vec_id", "embedding",
+                            F.explode(F.array(*c_entries)).alias("tb"))
+                    .select("vec_id", "embedding", "tb.tbl", "tb.bucket"))
+
+    # ---- queries: base bucket + flip-1 probes on smallest-|margin| bits
+    q_with_m = queries.select(
+        "q_id", "q_vec",
+        _signed_margins("q_vec", all_planes).alias("_m"))
+    for t in range(tables):
+        m_t = F.slice(F.col("_m"), t * bits + 1, bits)
+        base = _bucket_of(m_t, bits)
+        if probes:
+            # (|margin|, bit) sorted ascending → first `probes` bits
+            flip_bits = F.transform(
+                F.slice(F.array_sort(F.zip_with(
+                    m_t, F.array(*[F.lit(j) for j in range(bits)]),
+                    lambda m, j: F.struct(F.abs(m).alias("a"),
+                                          j.alias("j")))),
+                    1, probes),
+                lambda s: s["j"])
+            # shiftleft() takes only a literal bit count — 2^j via pow
+            # (exact in double for j ≤ 52, and bits ≤ 16 here)
+            probe_arr = F.concat(
+                F.array(base),
+                F.transform(flip_bits,
+                            lambda j: base.bitwiseXOR(
+                                F.pow(F.lit(2.0), j.cast("double"))
+                                 .cast("long"))))
+        else:
+            probe_arr = F.array(base)
+        q_entries.append(F.transform(
+            probe_arr, lambda b: F.struct(F.lit(t).alias("tbl"),
+                                          b.alias("bucket"))))
+    probes_df = (q_with_m.select(
+                    "q_id", "q_vec",
+                    F.explode(F.flatten(F.array(*q_entries))).alias("tb"))
+                 .select("q_id", "q_vec", "tb.tbl", "tb.bucket"))
+
+    j = corpus.join(F.broadcast(probes_df), ["tbl", "bucket"])
+    # a (q, vec) pair can meet in several tables/probes — score once;
+    # dedupe on the id pair only (comparing the float arrays too would
+    # shuffle-compare full vectors for nothing)
+    cand = (j.select("q_id", "q_vec", "vec_id", "embedding")
+             .dropDuplicates(["q_id", "vec_id"]))
     cos = _dot(F.col("embedding"), F.col("q_vec")) / \
         (_norm(F.col("embedding")) * _norm(F.col("q_vec")))
-    scored = j.select("q_id", "vec_id", F.round(cos, 4).alias("cosine"))
+    scored = cand.select("q_id", "vec_id", F.round(cos, 4).alias("cosine"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
@@ -101,3 +190,35 @@ def recall_at_k(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
                 .select("q_id",
                         (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n"))
                         .alias("recall")))
+
+
+def synth_clustered_embeddings(spark, n: int, dim: int = 64,
+                               n_clusters: int = 1024, noise: float = 0.35,
+                               seed: int = 7, partitions: int = 32) -> DataFrame:
+    """Deterministic clustered corpus for ANN recall measurement:
+    vector k = centroid[k mod n_clusters] + noise·h(k), where h is a
+    counter-based hash (pure function of (k, j) — executors regenerate
+    any row identically on retry, like every fixture in this repo).
+    Cluster structure makes top-k neighbors non-degenerate, which a
+    uniform random corpus in 64-d is not.
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    cent = rng.randn(n_clusters, dim)
+
+    def gen(batches):
+        for pdf in batches:
+            k = pdf["id"].to_numpy(dtype=np.int64)
+            j = np.arange(dim, dtype=np.float64)
+            # shader-style counter hash in [-0.5, 0.5), vectorized
+            h = np.sin(k[:, None] * 12.9898 + j[None, :] * 78.233) \
+                * 43758.5453
+            h = h - np.floor(h) - 0.5
+            v = cent[k % n_clusters] + noise * h
+            yield pd.DataFrame({
+                "vec_id": k,
+                "embedding": [row.astype(np.float32).tolist() for row in v]})
+
+    return (spark.range(0, n, 1, partitions)
+                 .mapInPandas(gen, "vec_id long, embedding array<float>"))

@@ -134,3 +134,58 @@ def windowed_verdicts(stream_df: DataFrame, suite: CheckSuite,
                  F.max("max_sev").alias("max_sev"))
             .select("window", "part_id", "n_rows", "n_violations",
                     (F.col("max_sev") < int(Severity.ERROR)).alias("pass")))
+
+
+# ------------------------------------------------- non-file sources
+def rate_clips_stream(spark, rows_per_batch: int = 200,
+                      start_key: int = 0,
+                      view: str = "_rate_orders") -> DataFrame:
+    """Non-file streaming source: deterministic clips derived from the
+    `rate-micro-batch` source's monotonically increasing `value`
+    through the SAME integer-arithmetic derivation
+    (derive.clips_select) as the batch corpus — so a batch
+    recomputation over the observed key range is the stream's oracle.
+    rate-micro-batch (unlike `rate`) emits exactly `rows_per_batch`
+    sequential values per trigger, independent of wall clock, which
+    keeps the test deterministic."""
+    from canned_yaml_spark import derive
+
+    src = (spark.readStream.format("rate-micro-batch")
+           .option("rowsPerBatch", rows_per_batch)
+           .option("startTimestamp", 0)
+           .load()
+           .select((F.col("value") + F.lit(start_key)).alias("o_orderkey")))
+    src.createOrReplaceTempView(view)
+    return spark.sql(derive.clips_select("spark", view))
+
+
+def kafka_available(spark) -> bool:
+    """Whether the spark-sql-kafka connector is on the classpath (it is
+    NOT in this sandbox image — no jar, no broker, no network; the
+    rate-source path above exercises the non-file plumbing instead)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        return True
+    except Exception:
+        return False
+
+
+def kafka_clips_stream(spark, brokers: str, topic: str,
+                       schema: str = ("clip_id string, bytes binary, "
+                                      "sr_hz int, dur_ms int, codec string, "
+                                      "transcript string, part_id int"),
+                       starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka source wiring: JSON-encoded clip rows on `topic` → the
+    same clips schema every operator downstream consumes. Requires the
+    spark-sql-kafka-0-10 package (cluster deployments pass it via
+    spark-submit --packages); probe with kafka_available() first —
+    calling .load() without the jar raises at plan time."""
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", brokers)
+           .option("subscribe", topic)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    return (raw.select(F.from_json(F.col("value").cast("string"),
+                                   schema).alias("r"))
+               .select("r.*"))

@@ -133,3 +133,40 @@ def test_embedding_candidate_volume_bounded(spark):
     n = e2.count()
     n_cand = dedup.embedding_near_dup_candidates(e2).count()
     assert n_cand < (n * (n - 1) // 2) * 0.25, (n_cand, n)
+
+
+def test_near_dup_storage_path_matches(spark, docs2, tmp_path):
+    # storage-backed path (materialized signature table, band on ids)
+    # must produce the identical verified pair set
+    want = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.near_dup_pairs(docs2).collect()}
+    sig = dedup.materialize_signatures(docs2, str(tmp_path / "sigs"))
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup.near_dup_pairs_storage(docs2, sig).collect()}
+    assert got == want
+
+
+def test_ann_multiprobe_improves_recall(spark):
+    # clustered corpus: multi-probe must recover near-boundary
+    # neighbors that single-bucket probing loses
+    # clusters must hold ≥ k members or exact top-10 includes
+    # arbitrary cross-cluster vectors no bucketing scheme can find
+    emb = similarity.synth_clustered_embeddings(spark, 5000,
+                                                n_clusters=150,
+                                                partitions=8).cache()
+    q = (emb.filter(F.col("vec_id") % 250 == 0)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    exact = similarity.cosine_topk(emb, q, 10).cache()
+
+    def avg_recall(**kw):
+        approx = similarity.ann_topk_lsh(emb, q, 10, **kw)
+        return (similarity.recall_at_k(exact, approx)
+                .agg(F.avg("recall")).collect()[0][0])
+
+    r0 = avg_recall(bits=10, tables=1, probes=0)
+    r1 = avg_recall(bits=10, tables=1, probes=10)
+    assert r1 > r0                  # flip-1 probing strictly helps here
+    assert r1 >= 0.5                # single table + full flip-1
+    r2 = avg_recall(bits=10, tables=4, probes=10)
+    assert r2 >= max(r1, 0.85)      # tables × probes compound

@@ -23,12 +23,17 @@ BUCKETS = int(__import__("os").environ.get("SG_BUCKETS", "32"))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+
+cores = int(os.environ["SG_CORES"])
+# Same honest protocol as tools/bench_scaling.py: pin the whole
+# process tree (JVM + forked Python workers) to exactly `cores` CPUs.
+os.sched_setaffinity(0, set(range(cores)))
+
 from canned_yaml_spark.session import get_spark
 from canned_yaml_spark import compile_spec, derive, fixtures, dataset, drift, payload
 from canned_yaml_spark import job as jobmod
 from canned_yaml_spark.runner import row_violations
-
-cores = int(os.environ["SG_CORES"])
+from pyspark.sql import functions as F
 wh = os.environ["SG_WAREHOUSE"]
 shuf = int(os.environ.get("SG_SHUFFLE", str(cores)))
 spark = get_spark(f"prof_{{cores}}", cores=cores, shuffle_partitions=shuf,
@@ -77,6 +82,14 @@ def fam_payload():
         v = payload.payload_violations(clips, ref, pc, "clip_id", "part_id")
         out = v if out is None else out.unionByName(v)
     return out
+def fam_pay_scan():
+    # JVM-only byte path: the same bucketed join + bit-exact equality
+    # over both payload columns, zero Python. Separates "moving the
+    # bytes" (host-bandwidth-bound) from "decoding in Python".
+    j = clips.select("clip_id", F.col("bytes").alias("_b")).join(
+        ref.select("clip_id", F.col("pcm_ref").alias("_p")).hint("SHUFFLE_HASH"),
+        "clip_id", "inner")
+    return j.filter(F.col("_b").isNotNull() & (F.col("_b") == F.col("_p")))
 def fam_full():
     return jobmod.all_violations(clips, suite, dims={{"codec_dim": dim}},
                                  clips_ref=ref, expected_hist=hist,
@@ -91,6 +104,7 @@ def best(fn, n=3):
 res = {{"cores": cores}}
 # warm everything once
 fam_full().count()
+print(f"warmed cores={{cores}}", file=sys.stderr, flush=True)
 
 # planning cost: fresh plan each time, force optimization, no execution
 def plan_only():
@@ -99,9 +113,11 @@ def plan_only():
 res["plan"], res["plan_runs"] = best(plan_only)
 
 for name, fn in [("row", fam_row), ("uniq", fam_uniq), ("ref", fam_ref),
-                 ("psi", fam_psi), ("ks", fam_ks), ("payload", fam_payload)]:
+                 ("psi", fam_psi), ("ks", fam_ks), ("pay_scan", fam_pay_scan),
+                 ("payload", fam_payload)]:
     fn().count()   # warm
     res[name], res[name + "_runs"] = best(lambda fn=fn: fn().count())
+    print(f"{{name}}: {{res[name]}}", file=sys.stderr, flush=True)
 
 res["full"], res["full_runs"] = best(lambda: fam_full().count())
 reused = fam_full().groupBy().count()
@@ -119,14 +135,17 @@ def main() -> None:
     assert os.path.exists(os.path.join(wh, "_DONE")), f"run bench_scaling.py {rows} first"
     for cores in levels:
         env = dict(os.environ, SG_CORES=str(cores), SG_WAREHOUSE=wh)
-        out = subprocess.run([sys.executable, "-c",
-                              CHILD.format(repo=REPO, buckets=BUCKETS)],
-                             env=env, capture_output=True, text=True, timeout=1800)
+        with open(f"/tmp/profile_child_{cores}.err", "w") as errfh:
+            out = subprocess.run([sys.executable, "-c",
+                                  CHILD.format(repo=REPO, buckets=BUCKETS)],
+                                 env=env, stdout=subprocess.PIPE,
+                                 stderr=errfh, text=True, timeout=3600)
         lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not lines:
-            print(out.stderr[-3000:], file=sys.stderr)
+            print(f"child {cores} failed; see /tmp/profile_child_{cores}.err",
+                  file=sys.stderr)
             sys.exit(1)
-        print(lines[-1])
+        print(lines[-1], flush=True)
 
 
 if __name__ == "__main__":

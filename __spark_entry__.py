@@ -279,13 +279,20 @@ def _q_simhash_groups(spark, sf_dir):
 
 
 def _q_ann_recall(spark, sf_dir):
-    # approximate path quality metric (recall@10 of LSH vs exact)
-    emb = _emb(spark, sf_dir)
-    q = (emb.filter(F.col("vec_id") < 5)
+    # approximate-path quality metric the driver can see: recall@10 of
+    # multi-table multi-probe LSH vs the exact baseline at the
+    # documented operating point (bits=12, tables=2, probes=12 →
+    # measured 0.994 at 100k vectors, BENCH/ANN.md). The corpus is the
+    # deterministic clustered generator — the parquet embeddings table
+    # (500–2k rows) is too small for cluster structure at k=10.
+    emb = similarity.synth_clustered_embeddings(
+        spark, 20_000, n_clusters=600, partitions=16)
+    q = (emb.filter(F.col("vec_id") % 400 == 0)
             .select(F.col("vec_id").alias("q_id"),
                     F.col("embedding").alias("q_vec")))
     exact = similarity.cosine_topk(emb, q, 10)
-    approx = similarity.ann_topk_lsh(emb, q, 10, bits=6)
+    approx = similarity.ann_topk_lsh(emb, q, 10, bits=12, tables=2,
+                                     probes=12)
     return similarity.recall_at_k(exact, approx)
 
 

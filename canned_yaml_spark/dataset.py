@@ -39,16 +39,36 @@ def duplicate_keys(df: DataFrame, check: UniqueCheck) -> DataFrame:
 
 def unique_violations(df: DataFrame, check: UniqueCheck,
                       id_col: str = "clip_id",
-                      part_col: str = "part_id") -> DataFrame:
+                      part_col: str = "part_id",
+                      broadcast_back: bool = True) -> DataFrame:
     """Long-form violation rows for duplicated keys, with row context.
 
     Keeps (clip_id, part_id) per offending row by broadcast-joining
     the (small) duplicate-key set back to the fact table: dup keys are
     proportional to defects, not table size, so the join side is tiny
     and the fact table is NOT shuffled.
+
+    broadcast_back=False is the bucketed-table plan: when `df` is
+    bucketed by the key, duplicate_keys' aggregate inherits that
+    partitioning, so a shuffle-hash join back is ALREADY co-partitioned
+    — zero exchange AND zero driver round-trip. The broadcast variant
+    collects the dup-key set to the driver and re-ships it, a serial
+    cost that grows with the defect count (measured ~6 s at 38.4M rows,
+    BENCH/PROFILE.md) — exactly the kind of data-dependent floor that
+    caps whole-job scaling.
     """
     c = check.column
     dups = duplicate_keys(df, check)
+    if not broadcast_back:
+        dups = dups.hint("SHUFFLE_HASH")
+        return (df.join(dups, on=c, how="inner")
+                  .select(F.col(id_col).alias("clip_id"),
+                          F.col(part_col).alias("part_id"),
+                          F.lit(check.rule_id).alias("rule_id"),
+                          F.lit(int(check.severity)).alias("severity"),
+                          F.concat(F.lit(f"duplicate {c} (x"),
+                                   F.col("n_dup").cast("string"),
+                                   F.lit(")")).alias("message")))
     return (df.join(F.broadcast(dups), on=c, how="inner")
               .select(F.col(id_col).alias("clip_id"),
                       F.col(part_col).alias("part_id"),
@@ -61,19 +81,40 @@ def unique_violations(df: DataFrame, check: UniqueCheck,
 
 def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
                            id_col: str = "clip_id",
-                           part_col: str = "part_id") -> DataFrame:
+                           part_col: str = "part_id",
+                           max_inline_keys: int = 10_000) -> DataFrame:
     """Rows whose ``column`` value does not exist in dim.``key``.
 
     The $ref-at-scale analog (SURVEY.md §2.2 #17,
-    /root/reference/schema/ip_allow.schema.json:16): broadcast left
-    anti join — dim ships to every executor, fact side stays in place.
+    /root/reference/schema/ip_allow.schema.json:16). Two plans:
+
+    - dim with ≤ max_inline_keys distinct keys (the common enum-like
+      dimension): collect the key set ONCE and compile it into the
+      scan predicate as NOT IN — pure whole-stage codegen, no join, no
+      broadcast-exchange build. A broadcast join pays a serial
+      build-and-ship job per action (~2-3 s measured floor,
+      BENCH/PROFILE.md); an IN predicate pays nothing per action and
+      can push into parquet row-group pruning.
+    - larger dims: broadcast LEFT ANTI join — dim ships to every
+      executor, fact side stays in place.
+
     NULL fact keys are presence problems (`required`), not referential
-    ones, so they are excluded here.
+    ones, so they are excluded in both plans.
     """
     c = check.column
-    dim_keys = dim.select(F.col(check.key).alias(c)).distinct()
-    return (df.filter(F.col(c).isNotNull())
-              .join(F.broadcast(dim_keys), on=c, how="left_anti")
+    dim_keys = (dim.select(F.col(check.key).alias(c))
+                   .filter(F.col(c).isNotNull()).distinct())
+    inline = None
+    if max_inline_keys:
+        head = dim_keys.limit(max_inline_keys + 1).collect()
+        if len(head) <= max_inline_keys:
+            inline = sorted(r[0] for r in head)
+    if inline is not None:
+        viol = df.filter(F.col(c).isNotNull() & ~F.col(c).isin(inline))
+    else:
+        viol = (df.filter(F.col(c).isNotNull())
+                  .join(F.broadcast(dim_keys), on=c, how="left_anti"))
+    return (viol
               .select(F.col(id_col).alias("clip_id"),
                       F.col(part_col).alias("part_id"),
                       F.lit(check.rule_id).alias("rule_id"),

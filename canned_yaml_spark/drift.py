@@ -196,16 +196,91 @@ def _ks_2samp_weighted(vals: np.ndarray, cnts: np.ndarray,
 def ks_per_partition(df: DataFrame, check: DriftCheck,
                      reference: np.ndarray,
                      part_col: str = "part_id") -> DataFrame:
-    """(part_id, ks_stat, p_value, n) — EXACT per-partition KS.
+    """(part_id, ks_stat, p_value, n) — EXACT per-partition KS,
+    entirely inside whole-stage codegen: no Python stage at all.
 
     Scale shape: the raw column is pre-aggregated to (part_id, value,
-    cnt) — one hash aggregation with map-side combine — so the shuffle
-    and the Python stage carry distinct values per partition, not rows
-    (measure columns like dur_ms have bounded cardinality; 10^12 rows
-    reduce to ≤ parts × |values|). The weighted KS on counts is exactly
-    the raw-sample statistic (no thinning, unlike a sampled approach).
-    ``reference`` is a bounded driver-side sample, broadcast in the
-    UDF closure.
+    cnt) — one hash aggregation with map-side combine — so everything
+    downstream runs on ≤ parts × |values| rows (measure columns like
+    dur_ms have bounded cardinality; 10^12 rows reduce to that grid).
+    Both ECDFs are built with ONE window cumsum over the union of
+    corpus and reference sample points (the same construction the
+    DuckDB oracle uses, oracle.sql_ks_drift), and the Kolmogorov
+    p-value — theta form below t=1.18, 100-term alternating series
+    above — is a higher-order-function fold, so the whole statistic
+    is JVM column arithmetic. The applyInPandas formulation this
+    replaces (ks_per_partition_pandas) paid a per-action Python-stage
+    spin-up that did not scale with cores (BENCH/PROFILE.md);
+    numerically the two agree to float precision
+    (tests/test_drift.py).
+
+    ``reference`` is a bounded driver-side sample (≤ ~100k points),
+    shipped once as a pre-aggregated (value, count) table.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    ref = np.asarray(reference, dtype=np.float64)
+    rv, rc = np.unique(ref, return_counts=True)
+    r_total = int(ref.size)
+    ref_df = spark.createDataFrame(
+        [(float(v), int(c)) for v, c in zip(rv, rc)], "v double, c_r long")
+    col = check.column
+
+    a = (df.filter(F.col(col).isNotNull())
+           .select(F.col(part_col).alias("part_id"),
+                   F.col(col).cast("double").alias("v"))
+           .groupBy("part_id", "v")
+           .agg(F.count(F.lit(1)).alias("c_a")))
+    parts = a.select("part_id").distinct()
+    pts = (a.withColumn("c_r", F.lit(0).cast("long"))
+            .unionByName(parts.join(F.broadcast(ref_df))
+                              .select("part_id", "v",
+                                      F.lit(0).cast("long").alias("c_a"),
+                                      "c_r"))
+            .groupBy("part_id", "v")
+            .agg(F.sum("c_a").alias("c_a"), F.sum("c_r").alias("c_r")))
+    w_cum = (Window.partitionBy("part_id").orderBy("v")
+                   .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = (Window.partitionBy("part_id")
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+    e = pts.select(
+        "part_id",
+        F.sum("c_a").over(w_cum).alias("cum_a"),
+        F.sum("c_r").over(w_cum).alias("cum_r"),
+        F.sum("c_a").over(w_all).alias("n"))
+    agg = (e.groupBy("part_id", "n")
+            .agg(F.max(F.abs(F.col("cum_a") / F.col("n")
+                             - F.col("cum_r") / F.lit(float(r_total))))
+                  .alias("ks_stat")))
+
+    # Kolmogorov Q(t), t = (en + 0.12 + 0.11/en)·d — same two
+    # formulations as the scalar helpers below
+    en = F.sqrt(F.col("n") * r_total / (F.col("n") + F.lit(r_total)))
+    t = (en + F.lit(0.12) + F.lit(0.11) / en) * F.col("ks_stat")
+    theta_w = F.exp(F.lit(-math.pi ** 2 / 8.0) / (t * t))
+    p_theta = (F.lit(1.0) - F.lit(math.sqrt(2.0 * math.pi)) / t
+               * (theta_w + F.pow(theta_w, 9) + F.pow(theta_w, 25)))
+    p_series = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)), F.lit(0.0),
+        lambda acc, k: acc + F.pow(F.lit(-1.0), k - 1)
+        * F.exp(F.lit(-2.0) * (k.cast("double") * t)
+                * (k.cast("double") * t)))
+    p = (F.when(t < 1e-9, F.lit(1.0))
+          .when(t < 1.18, p_theta)
+          .otherwise(p_series))
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    return agg.select("part_id", "ks_stat", p.alias("p_value"),
+                      F.col("n").cast("long").alias("n"))
+
+
+def ks_per_partition_pandas(df: DataFrame, check: DriftCheck,
+                            reference: np.ndarray,
+                            part_col: str = "part_id") -> DataFrame:
+    """applyInPandas formulation of ks_per_partition — kept as the
+    independent numerical cross-check (tests) and as the template for
+    statistics that genuinely need numpy. Same output contract.
     """
     ref = np.asarray(reference, dtype=np.float64)
     col = check.column

@@ -44,18 +44,28 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
                    ks_reference: np.ndarray | None = None,
                    id_col: str = "clip_id",
                    part_col: str = "part_id",
-                   skip_unique: bool = False) -> DataFrame:
+                   skip_unique: bool = False,
+                   bucketed_by_id: bool = False) -> DataFrame:
     """Union of every check family's long-form violations.
 
     skip_unique: used by resume (job.run), where uniqueness must scan
     the FULL table rather than the pending scope — see run().
+
+    bucketed_by_id: set when `clips` (and clips_ref) are stored
+    bucketed+sorted by `id_col` (the production Iceberg posture).
+    Uniqueness then joins its dup-key set back co-partitioned instead
+    of through a driver-side broadcast, and the payload join streams
+    the pre-sorted buckets (merge) instead of building per-task hash
+    maps over payload-sized rows — both remove serial floors measured
+    in BENCH/PROFILE.md.
     """
     dims = dims or {}
     out = row_violations(clips, suite, id_col, part_col)
     if not skip_unique:
         for uc in suite.unique_checks:
             out = out.unionByName(
-                dataset.unique_violations(clips, uc, id_col, part_col))
+                dataset.unique_violations(clips, uc, id_col, part_col,
+                                          broadcast_back=not bucketed_by_id))
     for rc in suite.ref_checks:
         if rc.table not in dims:
             raise KeyError(f"x-ref check {rc.rule_id} needs dimension table "
@@ -72,8 +82,9 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
     for pc in suite.payload_checks:
         if clips_ref is not None:
             out = out.unionByName(
-                payload.payload_violations(clips, clips_ref, pc,
-                                           id_col, part_col))
+                payload.payload_violations(
+                    clips, clips_ref, pc, id_col, part_col,
+                    join_hint="MERGE" if bucketed_by_id else "SHUFFLE_HASH"))
     return out
 
 

@@ -88,12 +88,21 @@ def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
 def payload_violations(clips: DataFrame, clips_ref: DataFrame,
                        check: PayloadCheck,
                        id_col: str = "clip_id",
-                       part_col: str = "part_id") -> DataFrame:
+                       part_col: str = "part_id",
+                       join_hint: str = "SHUFFLE_HASH") -> DataFrame:
     """Long-form violation rows for payloads failing decode/SNR/transcript.
 
     clips_ref: (clip_id, pcm_ref binary — little-endian PCM16,
     transcript_ref string). Output has one row per failure mode per
     failed clip.
+
+    join_hint: SHUFFLE_HASH for unorganized inputs (hashing one side
+    beats sorting 2× payload-sized rows). Pass "MERGE" when both
+    tables are bucketed AND sorted by clip_id: the merge join then
+    streams the two pre-sorted bucket files with no sort and no
+    per-task hash map over payload rows — one fewer full pass over
+    the byte columns, which is what the host memory bus pays for
+    (BENCH/MEMBW.md, BENCH/PROFILE.md).
     """
     rule_id = check.rule_id
     severity = int(check.severity)
@@ -109,7 +118,7 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
         F.col("transcript").alias("_t"),
     ).join(
         clips_ref.select("clip_id",
-                         F.col("transcript_ref").alias("_tr")).hint("SHUFFLE_HASH"),
+                         F.col("transcript_ref").alias("_tr")).hint(join_hint),
         "clip_id", "inner")
     t_viol = (t.filter(_transcript_mismatch(F.col("_t"), F.col("_tr")))
                .select("clip_id", "part_id",
@@ -125,14 +134,13 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
         F.col(byte_col).alias("_bytes"),
         F.col("codec").alias("_codec"),
     ).join(
-        # SHUFFLE_HASH: a sort-merge join would sort 2×payload-sized
-        # rows per partition; hashing only one side is strictly cheaper
-        # for payload-carrying joins. With both tables bucketed by
-        # clip_id at write time the exchange disappears entirely.
+        # with both tables bucketed by clip_id at write time the
+        # exchange disappears entirely; see join_hint above for the
+        # SHUFFLE_HASH vs MERGE trade
         clips_ref.select(
             F.col("clip_id"),
             F.col("pcm_ref").alias("_pcm_ref"),
-        ).hint("SHUFFLE_HASH"),
+        ).hint(join_hint),
         "clip_id", "inner",
     )
     # Rows that never need Python: unknown codec (reference behavior —

@@ -36,11 +36,32 @@ def test_referential_violations(spark, clips, codec_dim, suite, golden):
     assert any("wav" in m for m in msgs) and any("vorbis" in m for m in msgs)
 
 
-def test_referential_plan_is_broadcast(spark, clips, codec_dim, suite):
+def test_referential_plan_small_dim_is_pure_filter(spark, clips, codec_dim,
+                                                   suite):
+    # small dims compile into the scan as NOT IN — no join node at all
     rc = suite.ref_checks[0]
     plan = dataset.referential_violations(clips, codec_dim, rc) \
         ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Filter" in plan
+
+
+def test_referential_plan_large_dim_is_broadcast(spark, clips, codec_dim,
+                                                 suite):
+    # above the inline cap the plan falls back to broadcast left-anti
+    rc = suite.ref_checks[0]
+    plan = dataset.referential_violations(clips, codec_dim, rc,
+                                          max_inline_keys=0) \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_referential_inline_matches_broadcast(spark, clips, codec_dim, suite):
+    rc = suite.ref_checks[0]
+    a = dataset.referential_violations(clips, codec_dim, rc).collect()
+    b = dataset.referential_violations(clips, codec_dim, rc,
+                                       max_inline_keys=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
 
 
 def test_column_stats(spark, clips_clean):
@@ -62,3 +83,10 @@ def test_salted_group_count_matches_plain(spark, clips_clean):
     total = sum(plain.values())
     assert plain["pcm_s16le"] / total > 0.6
     assert set(plain) == {c for c, _, _ in CODEC_DIM_ROWS}
+
+
+def test_unique_copartitioned_matches_broadcast(spark, clips, suite):
+    uc = suite.unique_checks[0]
+    a = dataset.unique_violations(clips, uc).collect()
+    b = dataset.unique_violations(clips, uc, broadcast_back=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0

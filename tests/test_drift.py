@@ -86,3 +86,21 @@ def test_weighted_ks_equals_raw():
         d1, p1 = drift._ks_2samp(a, ref)
         d2, p2, n = drift._ks_2samp_weighted(vals, cnts, ref)
         assert abs(d1 - d2) < 1e-12 and abs(p1 - p2) < 1e-12 and n == a.size
+
+
+def test_ks_jvm_matches_pandas(spark, clips_mid, suite):
+    # the codegen KS (windows + HOF p-value) must reproduce the
+    # applyInPandas/numpy statistic to float precision
+    import numpy as np
+    from canned_yaml_spark import drift, fixtures
+    dc = suite.drift_checks[0]
+    ref = fixtures.reference_dur_sample()
+    jvm = {r.part_id: r for r in
+           drift.ks_per_partition(clips_mid, dc, ref).collect()}
+    pdv = {r.part_id: r for r in
+           drift.ks_per_partition_pandas(clips_mid, dc, ref).collect()}
+    assert set(jvm) == set(pdv)
+    for pid in jvm:
+        assert jvm[pid].n == pdv[pid].n
+        assert abs(jvm[pid].ks_stat - pdv[pid].ks_stat) < 1e-12
+        assert abs(jvm[pid].p_value - pdv[pid].p_value) < 1e-9

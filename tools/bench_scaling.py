@@ -92,7 +92,7 @@ ks_ref = fixtures.reference_dur_sample()
 
 viol = jobmod.all_violations(
     clips, suite, dims={{"codec_dim": dim}}, clips_ref=ref,
-    expected_hist=hist, ks_reference=ks_ref)
+    expected_hist=hist, ks_reference=ks_ref, bucketed_by_id=True)
 plan = viol._jdf.queryExecution().executedPlan().toString()
 payload_join_exchange_free = "ShuffledHashJoin" not in plan and \
     "SortMergeJoin" not in plan or plan.count("Exchange") <= plan.count("HashAggregate")

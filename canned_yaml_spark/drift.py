@@ -193,9 +193,9 @@ def _ks_2samp_weighted(vals: np.ndarray, cnts: np.ndarray,
     return d, float(min(max(p, 0.0), 1.0)), int(n)
 
 
-def ks_per_partition(df: DataFrame, check: DriftCheck,
-                     reference: np.ndarray,
-                     part_col: str = "part_id") -> DataFrame:
+def ks_per_partition_sql(df: DataFrame, check: DriftCheck,
+                         reference: np.ndarray,
+                         part_col: str = "part_id") -> DataFrame:
     """(part_id, ks_stat, p_value, n) — EXACT per-partition KS,
     entirely inside whole-stage codegen: no Python stage at all.
 
@@ -275,12 +275,21 @@ def ks_per_partition(df: DataFrame, check: DriftCheck,
                       F.col("n").cast("long").alias("n"))
 
 
-def ks_per_partition_pandas(df: DataFrame, check: DriftCheck,
-                            reference: np.ndarray,
-                            part_col: str = "part_id") -> DataFrame:
-    """applyInPandas formulation of ks_per_partition — kept as the
-    independent numerical cross-check (tests) and as the template for
-    statistics that genuinely need numpy. Same output contract.
+def ks_per_partition(df: DataFrame, check: DriftCheck,
+                     reference: np.ndarray,
+                     part_col: str = "part_id") -> DataFrame:
+    """(part_id, ks_stat, p_value, n) — EXACT per-partition KS over the
+    pre-aggregated (part_id, value, cnt) grid; numpy does the per-group
+    statistic through applyInPandas (groups are ≤|distinct values| rows
+    after the map-side combine, so the Python stage is tiny).
+
+    This is the DEFAULT because it was measured faster than the
+    all-codegen formulation (ks_per_partition_sql) at every scale and
+    core count tried — the window/cross-join stages the SQL form needs
+    cost more than the Python-stage spin-up they avoid
+    (BENCH/REGRESSION.md q7). Both agree to 1e-12
+    (tests/test_drift.py); use the SQL form where Python workers are
+    unavailable or undesirable.
     """
     ref = np.asarray(reference, dtype=np.float64)
     col = check.column

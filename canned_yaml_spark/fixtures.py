@@ -130,18 +130,22 @@ def _gen_ref(max_samples: int):
 
 
 def clips_df(spark: SparkSession, n_rows: int, *, inject: bool = True,
-             max_samples: int = 2048, partitions: int | None = None
-             ) -> DataFrame:
+             max_samples: int = 2048, partitions: int | None = None,
+             start: int = 0) -> DataFrame:
+    """start: first row index — rows are pure functions of the index,
+    so [0,n) equals the concatenation of chunked [start, start+k)
+    generations (used to bound the build-time shuffle footprint)."""
     parts = partitions or max(8, min(64, n_rows // 10_000 or 8))
-    return (spark.range(0, n_rows, numPartitions=parts)
+    return (spark.range(start, start + n_rows, numPartitions=parts)
             .mapInPandas(_gen_clips(max_samples, inject), CLIPS_SCHEMA))
 
 
 def clips_ref_df(spark: SparkSession, n_rows: int, *,
                  max_samples: int = 2048,
-                 partitions: int | None = None) -> DataFrame:
+                 partitions: int | None = None,
+                 start: int = 0) -> DataFrame:
     parts = partitions or max(8, min(64, n_rows // 10_000 or 8))
-    return (spark.range(0, n_rows, numPartitions=parts)
+    return (spark.range(start, start + n_rows, numPartitions=parts)
             .mapInPandas(_gen_ref(max_samples), REF_SCHEMA))
 
 

@@ -209,9 +209,18 @@ def payload_snr_stats(clips: DataFrame, clips_ref: DataFrame,
         F.col(check.column).alias("_bytes"), F.col("codec").alias("_codec"),
     ).join(clips_ref.select("clip_id", F.col("pcm_ref").alias("_pcm_ref")),
            "clip_id", "inner")
+    # The byte equality is wrapped in coalesce() so the optimizer does
+    # NOT extract it into the join condition: a bare left==right
+    # predicate above a join becomes an extra join key, the required
+    # distribution turns into hash(clip_id, bytes), and the bucketed
+    # zero-exchange layout silently degrades to a full shuffle of
+    # payload-sized rows (measured: 22s → 61s+ at 38.4M rows,
+    # BENCH/PROFILE.md). Semantically identical under the isNotNull
+    # conjunct. payload_violations is safe as-is — its equality only
+    # appears under a negation, which is not extractable.
     fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
         F.col("_bytes").isNotNull() & \
-        (F.col("_bytes") == F.col("_pcm_ref"))
+        F.coalesce(F.col("_bytes") == F.col("_pcm_ref"), F.lit(False))
     fast_rows = joined.filter(fast_ok).select(
         "part_id", F.lit(None).cast("double").alias("snr"),
         F.lit(0).alias("decode_fail"))

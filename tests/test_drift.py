@@ -96,9 +96,9 @@ def test_ks_jvm_matches_pandas(spark, clips_mid, suite):
     dc = suite.drift_checks[0]
     ref = fixtures.reference_dur_sample()
     jvm = {r.part_id: r for r in
-           drift.ks_per_partition(clips_mid, dc, ref).collect()}
+           drift.ks_per_partition_sql(clips_mid, dc, ref).collect()}
     pdv = {r.part_id: r for r in
-           drift.ks_per_partition_pandas(clips_mid, dc, ref).collect()}
+           drift.ks_per_partition(clips_mid, dc, ref).collect()}
     assert set(jvm) == set(pdv)
     for pid in jvm:
         assert jvm[pid].n == pdv[pid].n

@@ -127,25 +127,43 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
 
     from canned_yaml_spark import fixtures
     from canned_yaml_spark.session import get_spark
+    # Build-phase shuffle goes to DISK, not tmpfs: the repartition +
+    # per-bucket sort of an N-row payload corpus spills ~N KB — at
+    # 76.8M rows that is ~85 GB, which on tmpfs counts against RAM and
+    # OOM-kills the JVM. Slow build is fine; only the measured runs
+    # need tmpfs shuffle.
+    build_tmp = os.path.join(REPO, ".bench", "build-tmp")
+    os.makedirs(build_tmp, exist_ok=True)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
     spark = get_spark("bucketize", cores=32,
-                      extra_conf={"spark.local.dir": "/dev/shm/spark-tmp",
+                      extra_conf={"spark.local.dir": build_tmp,
                                   "spark.sql.warehouse.dir": wh})
-    src = {
-        "clips_b": fixtures.clips_df(spark, rows, max_samples=max_samples,
-                                     partitions=64),
-        "clips_ref_b": fixtures.clips_ref_df(spark, rows,
-                                             max_samples=max_samples,
-                                             partitions=64),
+    # chunked build: the repartition shuffle of an N-row payload corpus
+    # holds ~N KB on the shuffle dir until the write finishes; chunks of
+    # ≤ 25.6M rows keep that under ~30 GB so neither tmpfs (RAM) nor the
+    # small sandbox disk fills. Row k is a pure function of k, so the
+    # concatenation of chunk writes is bit-identical to one pass; each
+    # bucket just gets one sorted file per chunk (bucketed-append).
+    chunk = 25_600_000
+    gens = {
+        "clips_b": lambda lo, n: fixtures.clips_df(
+            spark, n, max_samples=max_samples, partitions=64, start=lo),
+        "clips_ref_b": lambda lo, n: fixtures.clips_ref_df(
+            spark, n, max_samples=max_samples, partitions=64, start=lo),
     }
-    for name, df in src.items():
+    for name, gen in gens.items():
         loc = os.path.join(wh, name)
         shutil.rmtree(loc, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (df.repartition(BUCKETS, F.col("clip_id"))
-           .write.bucketBy(BUCKETS, "clip_id").sortBy("clip_id")
-           .option("path", loc).saveAsTable(name))
+        for lo in range(0, rows, chunk):
+            n = min(chunk, rows - lo)
+            df = gen(lo, n)
+            (df.repartition(BUCKETS, F.col("clip_id"))
+               .write.mode("append")
+               .bucketBy(BUCKETS, "clip_id").sortBy("clip_id")
+               .option("path", loc).saveAsTable(name))
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                        for f in df.schema.fields)
+                        for f in gen(0, 1).schema.fields)
         with open(os.path.join(wh, f"{name}.schema"), "w") as fh:
             fh.write(ddl)
     spark.stop()
@@ -252,14 +270,24 @@ count). Metadata-only suite separately measured at 0.95 efficiency
 
 T(c) = F + P/c fits F ≈ {f_ser:.1f} s serial + P ≈ {p_par:.1f} s
 parallelizable.
-Measured serial components: ~1.5 s driver planning of the
-~1000-expression union (paid once per job — negligible against
-minutes-long production stages) plus per-stage scheduling/python-pool
-coordination. The parallel fraction alone scales at ≈0.95 (the
-metadata suite demonstrates it); at production input sizes the serial
-seconds amortize to zero, which is the regime the 10^12-row target
-lives in. The sandbox evidence is therefore: parallel-fraction
-efficiency 0.95, whole-job efficiency {eff:.3f} at this input size.
+
+The serial term is NOT fixed orchestration — it is dominated by the
+byte-moving component of the payload check, which is bounded by this
+host's memory bus (full per-family decomposition: BENCH/PROFILE.md;
+the engineering floors r2 carried — broadcast-back uniqueness,
+broadcast-build referential, python-stage KS — were removed in round
+3). The payload join + bit-exact equality touches ~2 KB/clip across
+both sides; BENCH/MEMBW.md shows pure numpy memcpy on this host
+plateaus at ~6-8 GB/s by 8 processes and does not improve at 32
+(memcpy scaling efficiency 8→32 ≈ 0.25), so that component is
+core-count-invariant here and grows linearly with input — exactly the
+measured F(rows) behavior (BENCH/SCALING_MODEL.md). A real N → 4N
+executor scale-up multiplies aggregate memory bandwidth by 4 (each
+machine brings its own bus), which this single-VM sandbox cannot
+express; the compute-bound variant of the SAME job (payloads 8×
+smaller, identical plans — BENCH/BASELINE_s64.md) is the evidence
+that the engine's plans scale when the host bus is not the binding
+constraint.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_md = ("BASELINE.md" if samples == 512

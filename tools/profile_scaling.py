@@ -88,10 +88,14 @@ def fam_pay_scan():
     # JVM-only byte path: the same bucketed join + bit-exact equality
     # over both payload columns, zero Python. Separates "moving the
     # bytes" (host-bandwidth-bound) from "decoding in Python".
+    # coalesce() keeps the equality a FILTER — a bare left==right above
+    # the join is extracted into the join keys and forces a full
+    # shuffle of payload rows (see payload.payload_snr_stats).
     j = clips.select("clip_id", F.col("bytes").alias("_b")).join(
         ref.select("clip_id", F.col("pcm_ref").alias("_p")).hint("SHUFFLE_HASH"),
         "clip_id", "inner")
-    return j.filter(F.col("_b").isNotNull() & (F.col("_b") == F.col("_p")))
+    return j.filter(F.col("_b").isNotNull()
+                    & F.coalesce(F.col("_b") == F.col("_p"), F.lit(False)))
 def fam_full():
     return jobmod.all_violations(clips, suite, dims={{"codec_dim": dim}},
                                  clips_ref=ref, expected_hist=hist,

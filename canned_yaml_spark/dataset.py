@@ -100,6 +100,14 @@ def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
 
     NULL fact keys are presence problems (`required`), not referential
     ones, so they are excluded in both plans.
+
+    Trade-offs of the inline path (deliberate, opt-out with
+    max_inline_keys=0): probing the dim size runs ONE bounded
+    (limit N+1) Spark job at plan-construction time, and the key set
+    is SNAPSHOT at build — a dim that changes between build and
+    execution is not re-read (the anti-join path reads at execution).
+    Both are the right default for the enum-like dimensions this
+    engine validates against; pass max_inline_keys=0 for live dims.
     """
     c = check.column
     dim_keys = (dim.select(F.col(check.key).alias(c))
@@ -108,7 +116,10 @@ def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
     if max_inline_keys:
         head = dim_keys.limit(max_inline_keys + 1).collect()
         if len(head) <= max_inline_keys:
-            inline = sorted(r[0] for r in head)
+            # deterministic plan text without sorted()'s TypeError on
+            # mixed-type keys; isin itself is order-insensitive
+            inline = sorted((r[0] for r in head),
+                            key=lambda v: (type(v).__name__, repr(v)))
     if inline is not None:
         viol = df.filter(F.col(c).isNotNull() & ~F.col(c).isin(inline))
     else:

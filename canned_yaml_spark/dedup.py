@@ -476,6 +476,13 @@ def embedding_near_dups_lsh(emb: DataFrame, threshold: float = 0.95,
     construction (tables defaults to lsh_tables_for(bits, threshold));
     LSH only prunes, the cosine is exact. This is the corpus-scale
     path — candidate volume is governed by bucket sizes, never by n².
+
+    Cost note: the lsh_tables_for default is sized for the MISS BOUND,
+    not cheapness — at bits=8/threshold=0.95 it is 17 tables, i.e.
+    17 corpus-sized (id, long) rows through the band shuffle and up to
+    17× the per-bucket candidate pairs. Callers that only need the
+    easy (cosine ≈ 1) duplicates can pass tables=6 explicitly for ~3×
+    less shuffle at a ~2e-2 at-threshold miss probability.
     """
     cands = embedding_near_dup_candidates(emb, bits, tables, dim, seed,
                                           threshold=threshold)

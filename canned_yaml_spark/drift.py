@@ -66,11 +66,6 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
     so the whole check adds exactly two stage barriers.
     """
     hist = bucketize(df, check, part_col)
-    if expected is None:
-        # hist feeds BOTH the per-partition maps and the global blend;
-        # cache it so the full-table bucketize scan runs once even when
-        # ReuseExchange doesn't dedupe the two aggregate subtrees.
-        hist = hist.cache()
     # per-partition sparse histogram as a map, folded in one agg
     per_part = (hist.groupBy("part_id")
                     .agg(F.map_from_entries(
@@ -78,15 +73,24 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
                           .alias("hist"),
                          F.sum("cnt").alias("part_n")))
     if expected is None:
-        # global blend: tiny window over ≤ parts×buckets rows
+        # global blend DERIVED FROM per_part (explode the ≤ parts
+        # tiny maps back to rows): both subtrees then share the
+        # identical part_id hash-agg exchange, which ReuseExchange
+        # dedupes — the 10^12-row bucketize scan runs once with no
+        # cache() (a cached hist was never unpersisted and leaked
+        # across long-lived sessions; ADVICE r3).
         from pyspark.sql import Window
-        g = (hist.select("bucket",
-                         F.sum("cnt").over(Window.partitionBy("bucket"))
-                          .alias("bcnt"),
-                         F.sum("cnt").over(Window.partitionBy()).alias("n"))
-                 .select("bucket", (F.col("bcnt") / F.col("n"))
-                         .alias("expected_frac"))
-                 .distinct())
+        g = (per_part
+             .select(F.explode("hist"))
+             .select(F.col("key").alias("bucket"),
+                     F.col("value").alias("cnt"))
+             .select("bucket",
+                     F.sum("cnt").over(Window.partitionBy("bucket"))
+                      .alias("bcnt"),
+                     F.sum("cnt").over(Window.partitionBy()).alias("n"))
+             .select("bucket", (F.col("bcnt") / F.col("n"))
+                     .alias("expected_frac"))
+             .distinct())
         exp_map = (g.groupBy()
                     .agg(F.map_from_entries(
                              F.collect_list(F.struct("bucket",

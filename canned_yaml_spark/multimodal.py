@@ -13,6 +13,13 @@ partitioning, UDF signature, batch shape) is real and tested.
 Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
+
+One REAL container rides alongside the stubs (VERDICT r3 item 7):
+RIFF/WAVE with 16-bit PCM needs no external library — encode_wav
+writes a spec-conformant file (fmt chunk, a LIST chunk so parsers must
+actually walk, word-aligned data chunk) and _decode_wav is a generic
+RIFF chunk walker, not a fixed-offset reader. Swapping the pixel stubs
+for Pillow later changes nothing about this path.
 """
 
 from __future__ import annotations
@@ -64,6 +71,77 @@ def _decode_video_stub(buf: bytes) -> dict:
             "mean_luma": float(px.mean())}
 
 
+# ------------------------------------------------- real codec: WAV/RIFF
+#: WAV corpus constants (the DuckDB oracle restates the same formula)
+WAV_N, WAV_SR, WAV_CH = 200, 16000, 1
+
+
+def wav_sample(k: int, i):
+    """Sample i of clip k — pure integer arithmetic, SQL-restatable."""
+    return (i * 31 + k * 7) % 2048 - 1024
+
+
+def encode_wav(key: int, n_samples: int = WAV_N, sr_hz: int = WAV_SR,
+               channels: int = WAV_CH) -> bytes:
+    """A real, spec-conformant RIFF/WAVE file: fmt chunk (PCM s16le),
+    a LIST/INFO chunk (so decoders must walk chunks, not read fixed
+    offsets), then the data chunk. Pure numpy/struct — no wave module,
+    no external codec."""
+    pcm = wav_sample(key, np.arange(n_samples * channels,
+                                    dtype=np.int64)).astype("<i2")
+    data = pcm.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sr_hz, sr_hz * block,
+                      block, 16)
+    info = b"INFOISFT" + struct.pack("<I", 4) + b"cys\x00"
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"LIST" + struct.pack("<I", len(info)) + info
+              + b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2:                      # RIFF chunks are word-aligned
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav(buf: bytes) -> dict:
+    """Generic RIFF walker: validates the envelope, iterates chunks
+    with word alignment, requires one fmt (PCM, 16-bit) and one data
+    chunk. Metadata mapping for the audio kind: width = sample width
+    in bytes, height = NULL (no spatial axis), n_frames = per-channel
+    frames, mean_luma = mean sample value (mean amplitude)."""
+    if len(buf) < 12 or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    riff_size = struct.unpack("<I", buf[4:8])[0]
+    if 8 + riff_size > len(buf):
+        raise ValueError(f"RIFF declares {riff_size} bytes, "
+                         f"buffer has {len(buf) - 8}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= 8 + riff_size:
+        cid = buf[pos:pos + 4]
+        sz = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        end = pos + 8 + sz
+        if end > len(buf):
+            raise ValueError(f"chunk {cid!r} overruns buffer")
+        if cid == b"fmt ":
+            fmt = buf[pos + 8:end]
+        elif cid == b"data":
+            data = buf[pos + 8:end]
+        pos = end + (sz & 1)               # word alignment
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sr_hz, _, block, bits = \
+        struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} "
+                         f"bits={bits}")
+    pcm = np.frombuffer(data, dtype="<i2")
+    if pcm.size % channels:
+        raise ValueError("data chunk not a whole number of frames")
+    del sr_hz                              # parsed + validated, not in META_SCHEMA
+    return {"width": 2, "height": None, "channels": channels,
+            "n_frames": pcm.size // channels,
+            "mean_luma": float(pcm.mean())}
+
+
 def _decode_real(buf: bytes) -> dict:  # pragma: no cover - stub
     raise NotImplementedError(
         "real image/video decoding needs Pillow/ffmpeg, absent from "
@@ -74,6 +152,7 @@ def _decode_real(buf: bytes) -> dict:  # pragma: no cover - stub
 _DECODERS = {
     b"IMG1": _decode_image_stub,
     b"VID1": _decode_video_stub,
+    b"RIFF": _decode_wav,                  # real container, real parser
     b"\x89PNG": _decode_real,
     b"\xff\xd8\xff\xe0": _decode_real,
 }
@@ -95,8 +174,9 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 
 # ----------------------------------------------------- derived corpus
 #: corpus plan (pure arithmetic on o_orderkey, mirrored analytically by
-#: the DuckDB oracle): k%4∈{0,1,2} → 8×8×3 image, k%4==3 → 4-frame
-#: 4×4 video; every 10th payload truncated to half (undecodable).
+#: the DuckDB oracle): k%4∈{0,2} → 8×8×3 image, k%4==1 → real WAV/RIFF
+#: audio, k%4==3 → 4-frame 4×4 video; every 10th payload truncated to
+#: half (undecodable).
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
 
@@ -104,6 +184,8 @@ VID_F, VID_W, VID_H = 4, 4, 4
 def media_row(k: int) -> tuple[str, int, bytearray]:
     if k % 4 == 3:
         buf = encode_video(k, VID_F, VID_W, VID_H)
+    elif k % 4 == 1:
+        buf = encode_wav(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -141,6 +223,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
     kind_expr = F.when(F.col(byte_col).substr(1, 4) == F.lit(b"IMG1"),
                        "image") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"VID1"), "video") \
+        .when(F.col(byte_col).substr(1, 4) == F.lit(b"RIFF"), "audio") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

@@ -358,26 +358,38 @@ _MEDIA_KEYED = """m AS (
          printf('media_%010d', o_orderkey) AS media_id,
          CAST(o_orderkey % 64 AS INT) AS part_id,
          (o_orderkey % 4 = 3) AS is_vid,
+         (o_orderkey % 4 = 1) AS is_wav,
          (o_orderkey % 10 = 0) AS corrupt
   FROM orders)"""
 
 
 def sql_media_meta() -> str:
+    # the WAV branch cross-checks Spark's REAL RIFF chunk walk + s16le
+    # decode: sample i of clip k is (i*31 + k*7) % 2048 - 1024
+    # (multimodal.wav_sample), restated here analytically
     img_mean = ("list_avg(list_transform(generate_series(0, 191), "
                 "i -> (i*7 + k*13) % 256))")
     vid_mean = ("list_avg(list_transform(generate_series(0, 63), "
                 "i -> (i*11 + k*17) % 256))")
+    wav_mean = ("list_avg(list_transform(generate_series(0, 199), "
+                "i -> (i*31 + k*7) % 2048 - 1024))")
     return f"""
 WITH {_MEDIA_KEYED}
 SELECT media_id, part_id,
-       CASE WHEN is_vid THEN 'video' ELSE 'image' END AS kind,
+       CASE WHEN is_vid THEN 'video' WHEN is_wav THEN 'audio'
+            ELSE 'image' END AS kind,
        NOT corrupt AS ok,
-       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4 ELSE 8 END AS width,
-       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4 ELSE 8 END AS height,
-       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 1 ELSE 3 END AS channels,
-       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4 ELSE 1 END AS n_frames,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
+            WHEN is_wav THEN 2 ELSE 8 END AS width,
+       CASE WHEN corrupt OR is_wav THEN NULL
+            WHEN is_vid THEN 4 ELSE 8 END AS height,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 1
+            WHEN is_wav THEN 1 ELSE 3 END AS channels,
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
+            WHEN is_wav THEN 200 ELSE 1 END AS n_frames,
        CASE WHEN corrupt THEN NULL
             WHEN is_vid THEN round({vid_mean}, 4)
+            WHEN is_wav THEN round({wav_mean}, 4)
             ELSE round({img_mean}, 4) END AS mean_luma
 FROM m
 """.strip()

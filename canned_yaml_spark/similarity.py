@@ -112,6 +112,11 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
     Returns (q_id, vec_id, cosine, rank) — cosine exact, recall < 1 by
     construction (measured: tools/bench_ann.py → BENCH/ANN.md).
     """
+    if not 1 <= bits <= 52:
+        raise ValueError(f"bits must be in [1, 52], got {bits}")
+    if tables < 1 or probes < 0:
+        raise ValueError(f"tables must be >=1 and probes >=0, got "
+                         f"tables={tables} probes={probes}")
     probes = min(probes, bits)
     all_planes = hyperplanes(dim, bits * tables, seed)
     # ---- corpus: (vec_id, embedding) → explode (tbl, bucket)
@@ -147,14 +152,16 @@ def ann_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 10,
                                           j.alias("j")))),
                     1, probes),
                 lambda s: s["j"])
-            # shiftleft() takes only a literal bit count — 2^j via pow
-            # (exact in double for j ≤ 52, and bits ≤ 16 here)
+            # shiftleft() takes only a literal bit count — look 2^j up
+            # in a literal power array instead (exact for every
+            # bits ≤ 52; no double round-trip)
+            pow2 = F.array(*[F.lit(1 << jj).cast("long")
+                             for jj in range(bits)])
             probe_arr = F.concat(
                 F.array(base),
                 F.transform(flip_bits,
                             lambda j: base.bitwiseXOR(
-                                F.pow(F.lit(2.0), j.cast("double"))
-                                 .cast("long"))))
+                                F.element_at(pow2, j.cast("int") + 1))))
         else:
             probe_arr = F.array(base)
         q_entries.append(F.transform(

@@ -63,6 +63,39 @@ def test_real_format_routes_to_stub():
     assert meta is None and "Pillow/ffmpeg" in err
 
 
+def test_wav_roundtrip_real_container():
+    # encode_wav emits a spec-conformant RIFF/WAVE; the stdlib wave
+    # module (an independent parser) must read it back identically
+    import io
+    import wave
+
+    import numpy as np
+    buf = mm.encode_wav(5)
+    with wave.open(io.BytesIO(buf)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) \
+            == (mm.WAV_CH, 2, mm.WAV_SR)
+        assert w.getnframes() == mm.WAV_N
+        pcm = np.frombuffer(w.readframes(mm.WAV_N), dtype="<i2")
+    assert (pcm == mm.wav_sample(5, np.arange(mm.WAV_N))).all()
+    # and our own walker agrees
+    meta, err = mm.decode_media(buf)
+    assert err is None
+    assert (meta["channels"], meta["n_frames"]) == (mm.WAV_CH, mm.WAV_N)
+    assert abs(meta["mean_luma"] - pcm.mean()) < 1e-9
+
+
+def test_wav_walker_rejects_malformed():
+    buf = mm.encode_wav(5)
+    _, err = mm.decode_media(buf[: len(buf) // 2])      # truncated
+    assert err and "undecodable" in err
+    # PCM float format (format tag 3) is out of scope → undecodable
+    bad_fmt = bytearray(buf)
+    fmt_off = buf.index(b"fmt ") + 8
+    bad_fmt[fmt_off] = 3
+    _, err = mm.decode_media(bytes(bad_fmt))
+    assert err and "unsupported WAV" in err
+
+
 def test_media_corpus_meta_matches_python(spark):
     # the derived corpus decodes to exactly what the pure-python stub
     # computes (the DuckDB oracle re-derives the same analytically)

@@ -96,6 +96,10 @@ viol = jobmod.all_violations(
 plan = viol._jdf.queryExecution().executedPlan().toString()
 payload_join_exchange_free = "ShuffledHashJoin" not in plan and \
     "SortMergeJoin" not in plan or plan.count("Exchange") <= plan.count("HashAggregate")
+# Spark only trusts per-bucket sort order when each bucket is a single
+# file; a multi-chunk build silently re-inserts a Sort under the merge
+# join. Surface it so the harness (and BENCH docs) see the real plan.
+n_sorts = plan.count("Sort ") + plan.count("+- Sort")
 
 def full_job():
     # ONE action: the union of every check family (row checks,
@@ -112,7 +116,9 @@ for _ in range(n_runs):
 secs = min(ts)
 print(json.dumps({{"cores": cores, "secs": round(secs, 3),
                    "clips_per_sec": round(rows / secs),
-                   "all_runs": [round(t, 2) for t in ts]}}))
+                   "all_runs": [round(t, 2) for t in ts],
+                   "plan_sort_nodes": n_sorts,
+                   "exchange_free_join": payload_join_exchange_free}}))
 spark.stop()
 """
 
@@ -139,12 +145,20 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
                       extra_conf={"spark.local.dir": build_tmp,
                                   "spark.sql.warehouse.dir": wh})
     # chunked build: the repartition shuffle of an N-row payload corpus
-    # holds ~N KB on the shuffle dir until the write finishes; chunks of
-    # ≤ 25.6M rows keep that under ~30 GB so neither tmpfs (RAM) nor the
-    # small sandbox disk fills. Row k is a pure function of k, so the
-    # concatenation of chunk writes is bit-identical to one pass; each
-    # bucket just gets one sorted file per chunk (bucketed-append).
-    chunk = 25_600_000
+    # holds ~N·payload bytes on the shuffle dir until the write
+    # finishes; at the byte-heavy default (512 samples ≈ 1 KB/row),
+    # chunks of ≤ 25.6M rows keep that under ~30 GB so neither tmpfs
+    # (RAM) nor the small sandbox disk fills. The bound is on BYTES,
+    # so the chunk row count scales inversely with payload size —
+    # s64 (8× smaller rows) takes 8× the rows per chunk. That keeps
+    # the s64 control at 153.6M rows a SINGLE chunk, which matters
+    # beyond disk: Spark only trusts per-bucket sort order when each
+    # bucket is one file, and a multi-chunk append re-inserts a Sort
+    # under the merge join (the child reports plan_sort_nodes so the
+    # harness can verify). Row k is a pure function of k, so when
+    # chunking is needed the concatenation of chunk writes is
+    # bit-identical to one pass.
+    chunk = 25_600_000 * max(1, 512 // max_samples)
     gens = {
         "clips_b": lambda lo, n: fixtures.clips_df(
             spark, n, max_samples=max_samples, partitions=64, start=lo),
@@ -176,7 +190,7 @@ def run_level(cores: int, rows: int, wh: str) -> dict:
                SG_WAREHOUSE=wh)
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(repo=REPO, buckets=BUCKETS)],
-        env=env, capture_output=True, text=True, timeout=1800)
+        env=env, capture_output=True, text=True, timeout=3600)
     lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     if not lines:
         raise RuntimeError(f"child failed:\n{out.stderr[-2000:]}")

@@ -252,6 +252,18 @@ def _q_near_dup_pairs(spark, sf_dir):
     return dedup.near_dup_pairs(d2)
 
 
+def _q_near_dup_delta(spark, sf_dir):
+    # incremental dedup: the injected duplicates are the corpus delta;
+    # the base documents' signatures come from the (here in-memory)
+    # signature store — no base re-shingle, and only pairs touching the
+    # delta are in scope. Oracle: exact Jaccard restricted to those.
+    docs = _docs(spark, sf_dir)
+    d2 = dedup.with_dup_injection(docs)
+    delta = d2.join(docs.select("doc_id"), "doc_id", "left_anti")
+    sig_store = dedup.minhash_signatures(docs)
+    return dedup.near_dup_pairs_incremental(delta, docs, sig_store)
+
+
 def _q_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = (emb.filter(F.col("vec_id") < 5)
@@ -405,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "exact_dups": _q_exact_dups,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_delta": _q_near_dup_delta,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "media_meta": _q_media_meta,
@@ -446,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": oracle.sql_fingerprint(),
         "exact_dups": oracle.sql_exact_dup_groups(),
         "near_dup_pairs": oracle.sql_near_dup_pairs(),
+        "near_dup_delta": oracle.sql_near_dup_delta(),
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "media_meta": oracle.sql_media_meta(),

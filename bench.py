@@ -37,17 +37,22 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def ensure_bench_corpus(spark) -> None:
+    # v2: the ref table stores its PCM digest at ingest (pcm_hash +
+    # pcm_len) — payload_violations' lazy-reference path then fetches
+    # pcm_ref bytes only for rows failing the digest fast path
     marker = os.path.join(BENCH_DIR, "_DONE")
-    if os.path.exists(marker):
+    if os.path.exists(marker) and open(marker).read().strip() == "v2":
         return
     fixtures.clips_df(spark, BENCH_ROWS, max_samples=512,
                       partitions=64) \
         .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips.parquet")
-    fixtures.clips_ref_df(spark, BENCH_ROWS, max_samples=512,
-                          partitions=64) \
-        .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips_ref.parquet")
+    (fixtures.clips_ref_df(spark, BENCH_ROWS, max_samples=512,
+                           partitions=64)
+        .withColumn("pcm_hash", F.xxhash64("pcm_ref"))
+        .withColumn("pcm_len", F.length("pcm_ref"))
+        .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips_ref.parquet"))
     with open(marker, "w") as fh:
-        fh.write("ok\n")
+        fh.write("v2\n")
 
 
 def main() -> None:

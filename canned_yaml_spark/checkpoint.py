@@ -82,6 +82,37 @@ def append_manifest(verdicts: DataFrame, manifest_dir: str,
      .write.mode("append").parquet(manifest_dir))
 
 
+# ----------------------------------------------- streaming lineage
+#: streaming manifest rows carry the micro-batch id: the commit unit
+#: of a stream is (batch_id, part_id), not part_id alone — the same
+#: partition accumulates across batches
+STREAM_MANIFEST_SCHEMA = MANIFEST_SCHEMA + ", batch_id long"
+
+
+def committed_batches(spark: SparkSession, manifest_dir: str) -> set[int]:
+    """Batch ids already committed to the streaming manifest. Bounded
+    driver collect: one row per micro-batch at most."""
+    if not _exists(spark, manifest_dir):
+        return set()
+    return {r.batch_id for r in spark.read.parquet(manifest_dir)
+                                   .select("batch_id").distinct().collect()}
+
+
+def append_stream_manifest(verdicts: DataFrame, manifest_dir: str,
+                           run_id: str, batch_id: int) -> None:
+    """Commit one micro-batch's per-partition verdicts to the lineage
+    manifest — same columns as the batch manifest plus batch_id, so
+    batch and streaming runs land in ONE queryable lineage surface."""
+    (verdicts
+     .select("part_id", "n_rows", "n_violations",
+             F.coalesce(F.col("max_severity"), F.lit(-1)).alias("max_severity"),
+             "pass",
+             F.lit(run_id).alias("run_id"),
+             F.lit(time.time()).alias("completed_at"),
+             F.lit(batch_id).alias("batch_id"))
+     .write.mode("append").parquet(manifest_dir))
+
+
 def write_partitioned(df: DataFrame, path: str) -> None:
     """Idempotent per-partition write: dynamic partition overwrite
     replaces exactly the part_id directories being rewritten."""

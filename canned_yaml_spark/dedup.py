@@ -290,6 +290,22 @@ def materialize_signatures(docs: DataFrame, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _band_sigs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, bucket) from a materialized signature table —
+    banding WITHOUT re-shingling (the whole point of storing sigs)."""
+    rows_per_band = MINHASH_K // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1,
+                                   rows_per_band), F.lit(42))
+                 .alias("bucket")))).alias("b2")
+    ).select("doc_id", "b2.band", "b2.bucket")
+
+
 def near_dup_pairs_storage(docs: DataFrame, sig_store: DataFrame,
                            threshold: float = JACCARD_THRESHOLD,
                            bands: int = LSH_BANDS,
@@ -305,17 +321,7 @@ def near_dup_pairs_storage(docs: DataFrame, sig_store: DataFrame,
     in production is bucketed by doc_id → zero-exchange.
     """
     from pyspark.sql import Window
-    rows_per_band = MINHASH_K // bands
-    bb = sig_store.select(
-        "doc_id",
-        F.explode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.slice(F.col("sig"), b * rows_per_band + 1,
-                                   rows_per_band), F.lit(42))
-                 .alias("bucket")))).alias("b2")
-    ).select("doc_id", "b2.band", "b2.bucket")
+    bb = _band_sigs(sig_store, bands)
     w = Window.partitionBy("band", "bucket")
     kept = (bb.withColumn("_bsz", F.count(F.lit(1)).over(w))
               .filter(F.col("_bsz") <= max_bucket))
@@ -337,6 +343,73 @@ def near_dup_pairs_storage(docs: DataFrame, sig_store: DataFrame,
            .filter(est >= F.lit(threshold - _EST_MARGIN))
            .select("doc_a", "doc_b"))
     return _exact_verify(pre, docs, threshold)
+
+
+def near_dup_pairs_incremental(delta_docs: DataFrame,
+                               corpus_docs: DataFrame,
+                               sig_store: DataFrame,
+                               threshold: float = JACCARD_THRESHOLD,
+                               bands: int = LSH_BANDS,
+                               max_bucket: int = 4096) -> DataFrame:
+    """Near-dup pairs INVOLVING a corpus delta, against the stored
+    signature table — no full-corpus re-shingle, no full-corpus band
+    shuffle (VERDICT r3 item 5 / ROADMAP 4).
+
+    Shape, in corpus-scan terms at 10^12 docs:
+    1. only the delta is shingled + minhashed (delta-sized);
+    2. the stored band set is computed from `sig_store` (a scan of the
+       materialized sig table — banding is a projection, the shuffle
+       never happens) and SEMI-JOINED against the broadcast set of
+       delta bucket keys — only members of buckets the delta touches
+       survive, so the wide (band, bucket) shuffle carries
+       touched-bucket members, not the corpus;
+    3. bucket-size caps are computed over the touched buckets' FULL
+       membership (stored ∪ delta), so kept/cut decisions agree with
+       what a from-scratch run over corpus+delta would decide —
+       that's the equivalence the test asserts;
+    4. candidate pairs keep only those with ≥1 delta side
+       (stored×stored pairs were already emitted by the original run),
+       estimate-prefilter via the signature slot-intersection, and
+       exact-verify against the text of both tables.
+
+    To evolve the store afterwards, append minhash_signatures(delta)
+    (or re-run materialize_signatures on the union). `delta_docs` ids
+    must not collide with stored ids.
+    """
+    from pyspark.sql import Window
+    delta_sig = minhash_signatures(delta_docs)
+    bb_delta = _band_sigs(delta_sig, bands) \
+        .withColumn("is_delta", F.lit(True))
+    keys = bb_delta.select("band", "bucket").distinct()
+    bb_stored = (_band_sigs(sig_store, bands)
+                 .join(F.broadcast(keys), ["band", "bucket"])
+                 .withColumn("is_delta", F.lit(False)))
+    members = bb_stored.unionByName(bb_delta)
+    w = Window.partitionBy("band", "bucket")
+    kept = (members.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                   .filter(F.col("_bsz") <= max_bucket))
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .filter(F.col("a.is_delta") | F.col("b.is_delta"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    all_sigs = sig_store.unionByName(delta_sig)
+    sx = all_sigs.select("doc_id", _sigx("sig").alias("sigx"))
+    est = (F.size(F.array_intersect(F.col("sigx_a"), F.col("sigx_b")))
+           / F.lit(MINHASH_K))
+    pre = (cand
+           .join(sx.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("sigx", "sigx_a"), "doc_a")
+           .join(sx.withColumnRenamed("doc_id", "doc_b")
+                   .withColumnRenamed("sigx", "sigx_b"), "doc_b")
+           .filter(est >= F.lit(threshold - _EST_MARGIN))
+           .select("doc_a", "doc_b"))
+    all_docs = corpus_docs.select("doc_id", "text") \
+        .unionByName(delta_docs.select("doc_id", "text"))
+    return _exact_verify(pre, all_docs, threshold)
 
 
 # ------------------------------------------------------------- SimHash

@@ -542,6 +542,32 @@ FROM j WHERE j >= {threshold}
 """.strip()
 
 
+def sql_near_dup_delta(threshold: float = 0.8) -> str:
+    # incremental dedup oracle: the SAME exact-Jaccard index join, but
+    # only pairs touching the injected delta (doc_id >= 1000000 — the
+    # with_dup_injection id offset) are in scope, mirroring
+    # dedup.near_dup_pairs_incremental's contract
+    return f"""
+WITH {_DOCS2},
+{_SHINGLES},
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         c * 1.0 / (sa.n + sb.n - c) AS j
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id)
+SELECT doc_a, doc_b, round(j, 4) AS jaccard
+FROM j WHERE j >= {threshold}
+  AND (doc_a >= 1000000 OR doc_b >= 1000000)
+""".strip()
+
+
 def sql_cosine_topk(k: int = 10, n_queries: int = 5) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

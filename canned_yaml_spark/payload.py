@@ -108,6 +108,20 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
     severity = int(check.severity)
     snr_min = float(check.snr_db_min)
     byte_col = check.column
+    # Lazy-reference path (VERDICT r3 item 2): when the reference table
+    # was ingested with a stored digest of its PCM (pcm_hash + pcm_len
+    # columns — production posture; bench_scaling writes them), the
+    # identity-codec fast path compares the probe's xxhash64 against
+    # the STORED hash, so `pcm_ref` — half the payload bytes moving
+    # through this check — is fetched only for the residual rows that
+    # actually need SNR math. Parquet column pruning keeps the first
+    # join's ref side to (clip_id, 8 B, 4 B); the residual fetch is a
+    # second co-partitioned join (zero exchange over bucketed tables).
+    # Equality-by-hash: 64-bit xxhash + exact length ⇒ false-pass
+    # probability ≤ 2⁻⁶⁴ per pair on non-adversarial data (store a
+    # cryptographic digest instead if inputs are adversarial).
+    lazy_ref = "pcm_hash" in clips_ref.columns and \
+        "pcm_len" in clips_ref.columns
 
     # ---- branch 1: transcript equality — pure JVM, bytes never read.
     # Column pruning keeps this scan to 3 narrow columns per side; with
@@ -128,31 +142,54 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
                         .alias("message")))
 
     # ---- branch 2: decode + SNR — JVM prefilter before Arrow.
-    joined = clips.select(
+    probe = clips.select(
         F.col(id_col).alias("clip_id"),
         F.col(part_col).alias("part_id"),
         F.col(byte_col).alias("_bytes"),
         F.col("codec").alias("_codec"),
-    ).join(
-        # with both tables bucketed by clip_id at write time the
-        # exchange disappears entirely; see join_hint above for the
-        # SHUFFLE_HASH vs MERGE trade
-        clips_ref.select(
-            F.col("clip_id"),
-            F.col("pcm_ref").alias("_pcm_ref"),
-        ).hint(join_hint),
-        "clip_id", "inner",
     )
-    # Rows that never need Python: unknown codec (reference behavior —
-    # enum/referential checks own those), and the identity-codec fast
-    # path, where bit-exact payload == SNR +inf by definition. The
-    # filter runs inside the join's codegen stage, so the Arrow
-    # transfer carries only the residual.
-    fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
-        F.col("_bytes").isNotNull() & \
-        (F.col("_bytes") == F.col("_pcm_ref"))
-    need = joined.filter(
-        F.col("_codec").isin(*sorted(_MAGIC)) & ~fast_ok)
+    if lazy_ref:
+        # join 1 is NARROW on the ref side: stored digest only
+        joined = probe.join(
+            clips_ref.select("clip_id", "pcm_hash", "pcm_len")
+                     .hint(join_hint),
+            "clip_id", "inner")
+        fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
+            F.col("_bytes").isNotNull() & \
+            F.coalesce((F.xxhash64(F.col("_bytes")) == F.col("pcm_hash"))
+                       & (F.length(F.col("_bytes")) == F.col("pcm_len")),
+                       F.lit(False))
+        # join 2 fetches pcm_ref for the residual only, co-partitioned
+        # on clip_id (zero exchange over bucketed tables)
+        need = (joined.filter(F.col("_codec").isin(*sorted(_MAGIC))
+                              & ~fast_ok)
+                      .drop("pcm_hash", "pcm_len")
+                      .join(clips_ref.select(
+                                "clip_id",
+                                F.col("pcm_ref").alias("_pcm_ref"))
+                            .hint(join_hint),
+                            "clip_id", "inner"))
+    else:
+        joined = probe.join(
+            # with both tables bucketed by clip_id at write time the
+            # exchange disappears entirely; see join_hint above for the
+            # SHUFFLE_HASH vs MERGE trade
+            clips_ref.select(
+                F.col("clip_id"),
+                F.col("pcm_ref").alias("_pcm_ref"),
+            ).hint(join_hint),
+            "clip_id", "inner",
+        )
+        # Rows that never need Python: unknown codec (reference
+        # behavior — enum/referential checks own those), and the
+        # identity-codec fast path, where bit-exact payload == SNR +inf
+        # by definition. The filter runs inside the join's codegen
+        # stage, so the Arrow transfer carries only the residual.
+        fast_ok = (F.col("_codec") == F.lit("pcm_s16le")) & \
+            F.col("_bytes").isNotNull() & \
+            (F.col("_bytes") == F.col("_pcm_ref"))
+        need = joined.filter(
+            F.col("_codec").isin(*sorted(_MAGIC)) & ~fast_ok)
 
     def check_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -136,6 +136,56 @@ def windowed_verdicts(stream_df: DataFrame, suite: CheckSuite,
                     (F.col("max_sev") < int(Severity.ERROR)).alias("pass")))
 
 
+def validate_stream_with_lineage(stream_df: DataFrame, suite: CheckSuite,
+                                 out_dir: str, checkpoint_dir: str,
+                                 manifest_dir: str, run_id: str,
+                                 id_col: str = "clip_id",
+                                 part_col: str = "part_id"
+                                 ) -> DataStreamWriter:
+    """Streaming lineage parity with the batch engine (VERDICT r3
+    item 6 / ROADMAP 2): a foreachBatch sink that gives every
+    micro-batch the SAME commit discipline batch jobs get from
+    checkpoint.py —
+
+    1. replayed batches are skipped (batch_id already in the manifest:
+       a restart after crash-between-write-and-stream-checkpoint
+       re-delivers the batch; the manifest probe makes the sink
+       idempotent at the lineage level too);
+    2. the batch's violation rows land partitioned BY batch_id with
+       dynamic partition overwrite — a half-written replay replaces,
+       never duplicates;
+    3. only then is the (batch_id, part_id) verdict row appended to
+       the manifest — the manifest append is the commit point,
+       exactly as in the batch path.
+
+    The manifest is the same parquet (Iceberg in production) surface
+    as batch runs', plus a batch_id column (STREAM_MANIFEST_SCHEMA) —
+    one queryable lineage table across both execution modes.
+    """
+    from canned_yaml_spark import checkpoint
+    from canned_yaml_spark.runner import row_verdicts
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in checkpoint.committed_batches(spark, manifest_dir):
+            return                              # replay of a committed batch
+        viol = (stream_violations(batch_df, suite, id_col, part_col)
+                .withColumn("batch_id", F.lit(batch_id)))
+        (viol.write
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .mode("overwrite")
+             .parquet(out_dir))
+        verdicts = row_verdicts(batch_df, suite, part_col)
+        checkpoint.append_stream_manifest(verdicts, manifest_dir,
+                                          run_id, batch_id)
+
+    return (stream_df.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append"))
+
+
 # ------------------------------------------------- non-file sources
 def rate_clips_stream(spark, rows_per_batch: int = 200,
                       start_key: int = 0,

@@ -146,6 +146,22 @@ def test_near_dup_storage_path_matches(spark, docs2, tmp_path):
     assert got == want
 
 
+def test_near_dup_incremental_matches_full(spark, docs, docs2, tmp_path):
+    # delta-dedup against the stored signature table must equal a full
+    # re-dedup of corpus+delta RESTRICTED to pairs touching the delta
+    delta = docs2.join(docs.select("doc_id"), "doc_id", "left_anti")
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    assert delta_ids                            # injection produced a delta
+    sig_corpus = dedup.materialize_signatures(docs, str(tmp_path / "sc"))
+    got = {(r.doc_a, r.doc_b, r.jaccard)
+           for r in dedup.near_dup_pairs_incremental(
+               delta, docs, sig_corpus).collect()}
+    full = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.near_dup_pairs(docs2).collect()}
+    want = {p for p in full if p[0] in delta_ids or p[1] in delta_ids}
+    assert got == want and got                  # non-empty, exactly equal
+
+
 def test_ann_multiprobe_improves_recall(spark):
     # clustered corpus: multi-probe must recover near-boundary
     # neighbors that single-bucket probing loses
@@ -170,3 +186,35 @@ def test_ann_multiprobe_improves_recall(spark):
     assert r1 >= 0.5                # single table + full flip-1
     r2 = avg_recall(bits=10, tables=4, probes=10)
     assert r2 >= max(r1, 0.85)      # tables × probes compound
+
+
+def test_ivf_quantizer_recall(spark):
+    # IVF coarse quantizer: train a deterministic k-means on the
+    # clustered corpus, probe a handful of cells, and hold recall@10
+    # against the exact baseline at a small candidate fraction
+    emb = similarity.synth_clustered_embeddings(spark, 5000,
+                                                n_clusters=150,
+                                                partitions=8).cache()
+    cents = similarity.ivf_train(emb, n_cells=64, iters=3)
+    assert len(cents) == 64 and len(cents[0]) == 64
+    # determinism: same corpus, same seed → identical quantizer
+    again = similarity.ivf_train(emb, n_cells=64, iters=3)
+    assert cents == again
+
+    indexed = similarity.ivf_assign(emb, cents).cache()
+    q = (emb.filter(F.col("vec_id") % 250 == 0)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    exact = similarity.cosine_topk(emb, q, 10)
+    approx = similarity.ivf_topk(indexed, q, cents, 10, nprobe=8)
+    rec = (similarity.recall_at_k(exact, approx)
+           .agg(F.avg("recall")).first()[0])
+    assert rec >= 0.9, rec
+    # candidate volume: nprobe/n_cells of the corpus, not all of it
+    probed = (indexed.join(
+        similarity.ivf_topk(indexed, q, cents, 10**9, nprobe=8)
+                  .select("q_id", "vec_id").distinct(),
+        "vec_id").count())
+    n_q = q.count()
+    assert probed < emb.count() * n_q * 0.5
+    emb.unpersist(); indexed.unpersist()

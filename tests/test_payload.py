@@ -60,3 +60,25 @@ def test_injection_plan_is_pure():
     assert injected_rule(0) == "sr_range"
     assert injected_rule(5) is None
     assert injected_rule(10) == "dur_range"
+
+
+def test_lazy_ref_path_matches_eager(spark, clips, clips_ref, suite):
+    # a ref table carrying the stored digest (pcm_hash + pcm_len) must
+    # produce the IDENTICAL violation set through the lazy-reference
+    # plan (pcm_ref fetched only for residual rows)
+    pc = suite.payload_checks[0]
+    ref_h = (clips_ref
+             .withColumn("pcm_hash", F.xxhash64("pcm_ref"))
+             .withColumn("pcm_len", F.length("pcm_ref")))
+    want = {(r.clip_id, r.rule_id, r.message)
+            for r in payload.payload_violations(clips, clips_ref, pc)
+            .collect()}
+    got = {(r.clip_id, r.rule_id, r.message)
+           for r in payload.payload_violations(clips, ref_h, pc)
+           .collect()}
+    assert got == want and want
+    # and the lazy plan must NOT read pcm_ref in its first join: the
+    # digest join's ref-side scan schema stays narrow
+    plan = payload.payload_violations(clips, ref_h, pc) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "pcm_hash" in plan

@@ -197,3 +197,77 @@ def test_stream_restart_resumes_exactly_once(spark, suite, tmp_path):
 
     run_once()                                   # restart, no new data
     assert spark.read.parquet(out).count() == want.count()
+
+
+def test_stream_lineage_manifest_parity(spark, suite, tmp_path):
+    # foreachBatch lineage sink: after a stream run the manifest holds
+    # one (batch_id, part_id) verdict row per partition per batch, the
+    # violations equal the batch recomputation, and a restart neither
+    # reprocesses committed batches nor appends duplicate lineage.
+    from canned_yaml_spark import checkpoint
+
+    src = str(tmp_path / "src_lin")
+    out = str(tmp_path / "viol_lin")
+    chk = str(tmp_path / "chk_lin")
+    man = str(tmp_path / "manifest_lin")
+
+    first = fixtures.clips_df(spark, 200, max_samples=16)
+    first.coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        q = (streaming.validate_stream_with_lineage(
+                stream, suite, out, chk, man, run_id="stream_r1")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    manifest = spark.read.parquet(man)
+    assert set(manifest.columns) >= {"part_id", "n_rows", "n_violations",
+                                     "max_severity", "pass", "run_id",
+                                     "completed_at", "batch_id"}
+    # verdict parity with the batch engine over the same rows
+    want_v = {r.part_id: (r.n_rows, r.n_violations, r.pass_)
+              for r in row_verdicts(first, suite)
+              .withColumnRenamed("pass", "pass_").collect()}
+    got_v = {r.part_id: (r.n_rows, r.n_violations, r.pass_)
+             for r in manifest.withColumnRenamed("pass", "pass_").collect()}
+    assert got_v == want_v
+    # violations parity
+    got = spark.read.parquet(out)
+    want = row_violations(first, suite)
+    assert got.count() == want.count()
+    key = ["clip_id", "rule_id"]
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+    n_manifest_rows = manifest.count()
+    batches1 = checkpoint.committed_batches(spark, man)
+    assert batches1
+
+    # restart with no new data: nothing reprocessed, nothing appended
+    run_once()
+    assert spark.read.parquet(man).count() == n_manifest_rows
+    assert spark.read.parquet(out).count() == want.count()
+
+    # append new data, restart: exactly the delta commits, under a new
+    # batch id
+    second = (fixtures.clips_df(spark, 400, max_samples=16)
+              .subtract(first))
+    second.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    full = fixtures.clips_df(spark, 400, max_samples=16)
+    got2 = spark.read.parquet(out)
+    want2 = row_violations(full, suite)
+    assert got2.count() == want2.count()
+    assert got2.select(*key).exceptAll(want2.select(*key)).count() == 0
+    batches2 = checkpoint.committed_batches(spark, man)
+    assert batches2 > batches1
+    # lineage totals across batches equal the batch engine over all rows
+    tot = (spark.read.parquet(man)
+           .groupBy("part_id")
+           .agg(F.sum("n_rows").alias("n_rows"),
+                F.sum("n_violations").alias("n_violations")))
+    want_tot = {r.part_id: (r.n_rows, r.n_violations)
+                for r in row_verdicts(full, suite).collect()}
+    got_tot = {r.part_id: (r.n_rows, r.n_violations)
+               for r in tot.collect()}
+    assert got_tot == want_tot

@@ -159,27 +159,74 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
     # chunking is needed the concatenation of chunk writes is
     # bit-identical to one pass.
     chunk = 25_600_000 * max(1, 512 // max_samples)
+    # generation tasks capped at ~600k rows: larger Arrow-streaming
+    # tasks (2.4M rows at 153.6M/64) hit a Python↔JVM pipe stall under
+    # host contention (observed: 3 tasks wedged in sk_stream_wait_memory
+    # for 25 min with both sides select-waiting); 600k-row tasks are
+    # the proven-stable size from every prior build
+    def n_parts(n):
+        return max(64, n // 600_000)
+    # the ref table stores a digest of its PCM at ingest (pcm_hash +
+    # pcm_len) — payload_violations' lazy-reference path then fetches
+    # pcm_ref bytes only for rows that fail the digest fast path
     gens = {
         "clips_b": lambda lo, n: fixtures.clips_df(
-            spark, n, max_samples=max_samples, partitions=64, start=lo),
+            spark, n, max_samples=max_samples, partitions=n_parts(n),
+            start=lo),
         "clips_ref_b": lambda lo, n: fixtures.clips_ref_df(
-            spark, n, max_samples=max_samples, partitions=64, start=lo),
+            spark, n, max_samples=max_samples, partitions=n_parts(n),
+            start=lo)
+            .withColumn("pcm_hash", F.xxhash64("pcm_ref"))
+            .withColumn("pcm_len", F.length("pcm_ref")),
     }
+    n_chunks = (rows + chunk - 1) // chunk
     for name, gen in gens.items():
         loc = os.path.join(wh, name)
         shutil.rmtree(loc, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # multi-chunk appends leave one sorted file PER CHUNK per
+        # bucket — Spark only trusts bucket sort order for single-file
+        # buckets, so the merge join would silently re-sort (ADVICE
+        # r3). Stage the chunks, then COMPACT: a bucketed read →
+        # bucketed write on the same key/count needs no exchange and
+        # leaves exactly one sorted file per bucket.
+        target = name if n_chunks == 1 else f"{name}__stage"
+        tloc = os.path.join(wh, target)
+        shutil.rmtree(tloc, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
         for lo in range(0, rows, chunk):
             n = min(chunk, rows - lo)
             df = gen(lo, n)
             (df.repartition(BUCKETS, F.col("clip_id"))
                .write.mode("append")
                .bucketBy(BUCKETS, "clip_id").sortBy("clip_id")
-               .option("path", loc).saveAsTable(name))
+               .option("path", tloc).saveAsTable(target))
+        if n_chunks > 1:
+            # explicit repartition on the bucket key: repartition's
+            # Murmur3-pmod placement matches bucketBy's bucket id, so
+            # each write task holds exactly one bucket → one file
+            # (without it, a file-split scan would re-create
+            # one-file-per-chunk buckets and compaction would no-op)
+            (spark.table(target)
+                  .repartition(BUCKETS, F.col("clip_id"))
+                  .write.bucketBy(BUCKETS, "clip_id").sortBy("clip_id")
+                  .option("path", loc).saveAsTable(name))
+            spark.sql(f"DROP TABLE {target}")
+            shutil.rmtree(tloc, ignore_errors=True)
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                         for f in gen(0, 1).schema.fields)
         with open(os.path.join(wh, f"{name}.schema"), "w") as fh:
             fh.write(ddl)
+        # single sorted file per bucket — the property the MERGE-join
+        # no-sort claim rests on
+        import glob as _g
+        per_bucket: dict[str, int] = {}
+        for f in _g.glob(os.path.join(loc, "part-*")):
+            b = f.rsplit("_", 1)[-1].split(".")[0]
+            per_bucket[b] = per_bucket.get(b, 0) + 1
+        assert per_bucket and max(per_bucket.values()) == 1, (
+            f"{name}: multi-file buckets after compaction: "
+            f"{ {k: v for k, v in per_bucket.items() if v > 1} }")
     spark.stop()
     with open(os.path.join(wh, "_DONE"), "w") as fh:
         fh.write("ok\n")
@@ -206,9 +253,28 @@ def main() -> None:
     samples = int(os.environ.get("SG_SAMPLES", "512"))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     tag = f"{rows}" if samples == 512 else f"{rows}_s{samples}"
+    # SG_TAG: opt-in suffix for a fresh warehouse+history when the
+    # storage layout changes materially (e.g. the lazy-ref digest
+    # columns) — min-merging timings across layouts would blur the
+    # evidence of what a layout change bought
+    if os.environ.get("SG_TAG"):
+        tag += "_" + os.environ["SG_TAG"]
     wh = os.path.join(REPO, ".bench", f"warehouse_{tag}_b{BUCKETS}")
     os.makedirs(wh, exist_ok=True)
-    build_bucketed(rows, os.path.join(REPO, ".bench"), wh, samples)
+    if not os.path.exists(os.path.join(wh, "_DONE")):
+        # build in a CHILD process: spark.stop() leaves the py4j JVM
+        # alive in this process for the rest of the run, and an idle
+        # 32-core build JVM measurably contaminates the pinned
+        # measurement children (observed at 153.6M: ~1.6 cores of
+        # residual GC/daemon load). A child's JVM dies with it.
+        code = (f"import sys; sys.path.insert(0, {REPO!r});"
+                f"sys.argv=['b'];"
+                f"from tools.bench_scaling import build_bucketed;"
+                f"build_bucketed({rows}, {os.path.join(REPO, '.bench')!r},"
+                f" {wh!r}, {samples})")
+        r = subprocess.run([sys.executable, "-c", code])
+        if r.returncode != 0:
+            raise RuntimeError("bucketed build failed")
 
     # alternate levels so bursty host noise doesn't systematically
     # favor one; keep the best (min-secs) observation per level

@@ -204,10 +204,14 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
         if n_chunks > 1:
             # explicit repartition on the bucket key: repartition's
             # Murmur3-pmod placement matches bucketBy's bucket id, so
-            # each write task holds exactly one bucket → one file
-            # (without it, a file-split scan would re-create
-            # one-file-per-chunk buckets and compaction would no-op)
-            (spark.table(target)
+            # each write task holds exactly one bucket → one file.
+            # Read the stage files AS PLAIN PARQUET BY PATH: reading
+            # the stage TABLE reports HashPartitioning(clip_id, 128),
+            # Catalyst then drops the repartition as redundant and is
+            # free to plan a file-split scan whose tasks hold
+            # arbitrary chunk files — measured result: 2 files per
+            # bucket again, compaction a no-op.
+            (spark.read.parquet(tloc)
                   .repartition(BUCKETS, F.col("clip_id"))
                   .write.bucketBy(BUCKETS, "clip_id").sortBy("clip_id")
                   .option("path", loc).saveAsTable(name))

@@ -1,0 +1,115 @@
+"""IVF quantizer recall/cost sweep (ROADMAP r4 item 3): recall@10 of
+the k-means-cell path (similarity.ivf_*) vs the exact baseline on the
+same 100k-vector clustered corpus bench_ann.py uses, across
+n_cells × nprobe.
+
+cand_frac here is measured, not the nominal nprobe/n_cells: cells are
+not perfectly balanced, so the real fraction of the corpus each query
+scores is the honest cost number.
+
+Usage: python tools/bench_ivf.py [n_vectors]      # default 100_000
+Appends a section to BENCH/ANN.md when SG_WRITE_MD=1; prints one JSON
+line per setting.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from canned_yaml_spark import similarity  # noqa: E402
+from canned_yaml_spark.session import get_spark  # noqa: E402
+
+K = 10
+N_QUERIES = 100
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    spark = get_spark("bench_ivf", cores=32, shuffle_partitions=32,
+                      extra_conf={"spark.local.dir": "/dev/shm/spark-tmp"})
+    emb = similarity.synth_clustered_embeddings(spark, n).cache()
+    emb.count()
+    q = (emb.filter(F.col("vec_id") % (n // N_QUERIES) == 0)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec"))).cache()
+    q.count()
+    exact = similarity.cosine_topk(emb, q, K).cache()
+    exact.count()
+
+    rows = []
+    for n_cells in (64, 256):
+        t0 = time.time()
+        cents = similarity.ivf_train(emb, n_cells=n_cells, iters=4,
+                                     sample_frac=0.1)
+        t_train = time.time() - t0
+        indexed = similarity.ivf_assign(emb, cents).cache()
+        cell_sizes = {r.cell: r.c for r in
+                      indexed.groupBy("cell")
+                             .agg(F.count(F.lit(1)).alias("c")).collect()}
+        for nprobe in (1, 4, 8, 16):
+            if nprobe > n_cells:
+                continue
+            t0 = time.time()
+            approx = similarity.ivf_topk(indexed, q, cents, K,
+                                         nprobe=nprobe)
+            rec = (similarity.recall_at_k(exact, approx)
+                   .agg(F.avg("recall")).first()[0])
+            secs = time.time() - t0
+            # measured candidate fraction: rows of the probed cells
+            probed_cells = (q.select(
+                "q_id",
+                F.explode(F.transform(
+                    F.slice(F.reverse(F.array_sort(
+                        similarity._cell_scores(F.col("q_vec"), cents))),
+                        1, nprobe),
+                    lambda s: s.getField("cell"))).alias("cell"))
+                .collect())
+            total = sum(cell_sizes.get(r.cell, 0) for r in probed_cells)
+            cand_frac = total / (n * len({r.q_id for r in probed_cells}))
+            row = {"n_cells": n_cells, "nprobe": nprobe,
+                   "recall": round(rec, 3),
+                   "cand_frac": round(cand_frac, 5),
+                   "secs": round(secs, 2),
+                   "train_secs": round(t_train, 2)}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        indexed.unpersist()
+
+    if os.environ.get("SG_WRITE_MD") == "1":
+        lines = "\n".join(
+            f"| {r['n_cells']} | {r['nprobe']} | {r['recall']} | "
+            f"{r['cand_frac']} | {r['secs']} |" for r in rows)
+        with open(os.path.join(REPO, "BENCH", "ANN.md"), "a") as fh:
+            fh.write(f"""
+
+## IVF quantizer path (round 4) — {n:,} vectors
+
+k-means coarse cells (similarity.ivf_train: deterministic Lloyd via
+DataFrame aggs, trained on a 10% hash-sample) vs the same exact
+baseline and query set as the LSH table above. cand_frac is MEASURED
+(cells are not perfectly balanced).
+
+| n_cells | nprobe | recall@10 | cand_frac | secs |
+|---|---|---|---|---|
+{lines}
+
+Compare with sign-bit LSH above: at equal recall the IVF path reaches
+lower cand_frac when the corpus is genuinely clustered (cells adapt to
+the data; hyperplanes do not), at the price of a training pass and a
+stored cell id per vector. The scale posture is the same — the index
+is ONE assignment pass, the probe join keys on the cell id, and the
+stored table is partitioned by cell so probes read only their cells'
+files.
+""")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

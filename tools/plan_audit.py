@@ -62,8 +62,15 @@ def main() -> int:
           row_verdicts(clips, suite),
           [("partial+final agg", lambda p: p.count("HashAggregate") >= 2)],
           "partial+final HashAggregate on part_id")
-    audit("referential (x-ref)",
+    audit("referential (x-ref, inline-IN)",
           dataset.referential_violations(clips, dim, suite.ref_checks[0]),
+          [("no join node at all", lambda p: "Join" not in p),
+           ("IN predicate in scan stage", lambda p: " IN (" in p)],
+          "small dim compiled into the scan predicate — no join, no "
+          "broadcast build; pushable to row-group pruning")
+    audit("referential (x-ref, big-dim anti-join)",
+          dataset.referential_violations(clips, dim, suite.ref_checks[0],
+                                         max_inline_keys=0),
           [("broadcast anti", lambda p: "BroadcastHashJoin" in p
             and "LeftAnti" in p)],
           "fact side never shuffles; dim broadcast")
@@ -79,18 +86,23 @@ def main() -> int:
           "redistribute-by-(key,value); hot key never funnels")
     audit("drift PSI",
           drift.psi_per_partition(clips, suite.drift_checks[0], hist),
-          [("no crossJoin", lambda p: "CartesianProduct" not in p
-            and "BroadcastNestedLoopJoin" not in p)],
-          "one big-data agg; HOF fold over bucket maps; no grid join")
+          [("no cartesian grid", lambda p: "CartesianProduct" not in p),
+           ("single big-data agg", lambda p:
+            p.count("HashAggregate") >= 2)],
+          "one big-data agg; HOF fold over bucket maps; the only "
+          "no-condition join broadcasts the ONE-ROW expected map")
     audit("drift KS (weighted)",
           drift.ks_per_partition(clips, suite.drift_checks[0], ks_ref),
           [("pre-agg before python", lambda p:
             p.index("HashAggregate") > p.index("FlatMapGroupsInPandas")
             if "FlatMapGroupsInPandas" in p else False)],
           "counts by (part, value) shuffle; python sees the histogram")
+    # payload checks need the bytes column — compile against the
+    # bench fixture's schema (the derived corpus is metadata-only)
+    bsuite = compile_spec("specs/clips.spec.yaml", bench.schema)
     audit("payload SNR (decode branch)",
           payload.payload_violations(bench, bench_ref,
-                                     suite.payload_checks[0]),
+                                     bsuite.payload_checks[0]),
           [("no sort-merge", lambda p: "SortMergeJoin" not in p),
            ("JVM prefilter before Arrow", lambda p: "Filter" in p)],
           "SHUFFLE_HASH; fast-path rows filtered before Arrow; "
@@ -100,7 +112,7 @@ def main() -> int:
                    .withColumn("pcm_len", F.length("pcm_ref")))
     audit("payload SNR (lazy-ref digest)",
           payload.payload_violations(bench, bench_ref_h,
-                                     suite.payload_checks[0]),
+                                     bsuite.payload_checks[0]),
           [("no sort-merge", lambda p: "SortMergeJoin" not in p),
            ("digest in first join", lambda p: "pcm_hash" in p),
            ("two joins (narrow then residual fetch)",
@@ -109,8 +121,9 @@ def main() -> int:
           "fetched co-partitioned for residual rows only")
     audit("minhash signatures",
           dedup.minhash_signatures(docs),
-          [("partial agg before exchange", lambda p:
-            p.index("HashAggregate") > p.index("Exchange"))],
+          [("partial agg below the exchange", lambda p:
+            "partial_min" in p
+            and p.rindex("HashAggregate") > p.index("Exchange"))],
           "map-side partial min per slot; shuffle = docs x K longs")
     audit("near_dup_pairs",
           dedup.near_dup_pairs(docs),

@@ -321,6 +321,39 @@ def _q_ann_recall(spark, sf_dir):
     return similarity.recall_at_k(exact, approx)
 
 
+def _q_ivf_recall(spark, sf_dir):
+    # IVF quantizer quality the driver can see (VERDICT r4 item 3):
+    # recall@10 of ivf_topk vs the exact baseline. Gate operating
+    # point: n_cells=256, nprobe=2 — measured mean recall 1.0 at this
+    # corpus (~20k vectors ⇒ ~80/cell; nprobe=1 measures 0.87 here
+    # because cell-boundary neighbors dominate at that density, while
+    # the 100k-vector sweep's nprobe=1 row reaches 0.998 —
+    # BENCH/ANN.md documents BOTH points with this exact reasoning).
+    # Same sf-derived corpus construction as _q_ann_recall (and the
+    # same reason the queries come from the clustered synthetic part:
+    # the raw table is geometry-free). Quantizer trained on a 25%
+    # deterministic hash sample, Lloyd iters fully DataFrame-side
+    # (similarity.ivf_train).
+    real = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                 .select((F.col("vec_id") + F.lit(10_000_000))
+                         .alias("vec_id"), "embedding"))
+    n_real = real.count()
+    n_synth = max(20_000, 10 * n_real)
+    synth = similarity.synth_clustered_embeddings(
+        spark, n_synth, n_clusters=600, partitions=16)
+    emb = synth.unionByName(real)
+    stride = max(1, n_synth // 100)      # ~100 queries, deterministic
+    q = (synth.filter(F.col("vec_id") % stride == 0)
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("embedding").alias("q_vec")))
+    cents = similarity.ivf_train(emb, n_cells=256, iters=3,
+                                 sample_frac=0.25)
+    cells = similarity.ivf_assign(emb, cents)
+    exact = similarity.cosine_topk(emb, q, 10)
+    approx = similarity.ivf_topk(cells, q, cents, 10, nprobe=2)
+    return similarity.recall_at_k(exact, approx)
+
+
 # ---------------- multimodal media columns (binary + typed meta) -----
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real byte-level decode through Arrow vs an oracle that recomputes
@@ -427,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
+        "ivf_recall": _q_ivf_recall,          # rows-only (approx path)
     }
 
 

@@ -83,33 +83,83 @@ def append_manifest(verdicts: DataFrame, manifest_dir: str,
 
 
 # ----------------------------------------------- streaming lineage
-#: streaming manifest rows carry the micro-batch id: the commit unit
-#: of a stream is (batch_id, part_id), not part_id alone — the same
-#: partition accumulates across batches
-STREAM_MANIFEST_SCHEMA = MANIFEST_SCHEMA + ", batch_id long"
+#: streaming manifest rows carry the micro-batch id AND the stream
+#: incarnation id: the commit unit of a stream is
+#: (stream_id, batch_id, part_id) — the same partition accumulates
+#: across batches, and batch ids restart at 0 whenever the streaming
+#: checkpoint is recreated, so batch_id alone does not identify a
+#: commit (ADVICE r4: a manifest outliving its checkpoint would
+#: silently skip the fresh stream's real batches).
+#:
+#: A streaming manifest_dir must be 1:1 with its lineage surface and
+#: must NOT be shared with batch append_manifest output: batch rows
+#: lack the batch_id/stream_id columns, and plain parquet reads
+#: resolve the schema from an arbitrary file (columns then error or
+#: come back null depending on which file wins).
+STREAM_MANIFEST_SCHEMA = MANIFEST_SCHEMA + ", batch_id long, stream_id string"
 
 
-def committed_batches(spark: SparkSession, manifest_dir: str) -> set[int]:
-    """Batch ids already committed to the streaming manifest. Bounded
-    driver collect: one row per micro-batch at most."""
+def stream_identity(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Identity of one logical stream incarnation: a token stored
+    INSIDE the streaming checkpoint dir, so it lives and dies with the
+    checkpoint. Wiping the checkpoint (which restarts batch ids at 0)
+    wipes the token too — the fresh incarnation's batches can never be
+    mistaken for the old one's manifest rows."""
+    import uuid
+
+    jvm = spark._jvm                                   # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()            # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{checkpoint_dir}/_stream_identity")
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        stream = fs.open(p)
+        try:
+            return jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8").strip()
+        finally:
+            stream.close()
+    token = uuid.uuid4().hex
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(token.encode("utf-8")))
+    finally:
+        out.close()
+    return token
+
+
+def committed_batches(spark: SparkSession, manifest_dir: str,
+                      stream_id: str | None = None) -> set[int]:
+    """Batch ids already committed to the streaming manifest (for the
+    given stream incarnation, when stream_id is passed). Bounded driver
+    collect: one row per micro-batch at most."""
     if not _exists(spark, manifest_dir):
         return set()
-    return {r.batch_id for r in spark.read.parquet(manifest_dir)
-                                   .select("batch_id").distinct().collect()}
+    m = spark.read.parquet(manifest_dir)
+    if "batch_id" not in m.columns:
+        return set()
+    if stream_id is not None and "stream_id" in m.columns:
+        m = m.filter(F.col("stream_id") == stream_id)
+    return {r.batch_id for r in
+            m.select("batch_id").distinct().collect()}
 
 
 def append_stream_manifest(verdicts: DataFrame, manifest_dir: str,
-                           run_id: str, batch_id: int) -> None:
+                           run_id: str, batch_id: int,
+                           stream_id: str = "") -> None:
     """Commit one micro-batch's per-partition verdicts to the lineage
-    manifest — same columns as the batch manifest plus batch_id, so
-    batch and streaming runs land in ONE queryable lineage surface."""
+    manifest — same columns as the batch manifest plus batch_id and
+    stream_id, so batch and streaming runs land in ONE queryable
+    lineage SCHEMA (but separate directories — see the module note on
+    STREAM_MANIFEST_SCHEMA)."""
     (verdicts
      .select("part_id", "n_rows", "n_violations",
              F.coalesce(F.col("max_severity"), F.lit(-1)).alias("max_severity"),
              "pass",
              F.lit(run_id).alias("run_id"),
              F.lit(time.time()).alias("completed_at"),
-             F.lit(batch_id).alias("batch_id"))
+             F.lit(batch_id).alias("batch_id"),
+             F.lit(stream_id).alias("stream_id"))
      .write.mode("append").parquet(manifest_dir))
 
 

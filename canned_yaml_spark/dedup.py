@@ -412,6 +412,78 @@ def near_dup_pairs_incremental(delta_docs: DataFrame,
     return _exact_verify(pre, all_docs, threshold)
 
 
+# ------------------------------------------- sig-store lifecycle
+def append_signatures(delta_docs: DataFrame, path: str) -> None:
+    """Evolve the signature store after an incremental run: shingle +
+    minhash ONLY the delta and append its (doc_id, sig) rows. This is
+    the O(delta) store update near_dup_pairs_incremental's contract
+    assumes ("append minhash_signatures(delta)") — the corpus is never
+    re-shingled. Each append lands as its own parquet file(s), so a
+    long append history fragments the store; compact_sig_store is the
+    periodic remedy (ROADMAP 4 / VERDICT r4 item 5)."""
+    minhash_signatures(delta_docs).write.mode("append").parquet(path)
+
+
+def _n_data_files(spark, path: str) -> int:
+    """Count parquet data files under `path` (storage-agnostic via the
+    Hadoop FS API; _SUCCESS/_metadata sidecars excluded). Bounded: one
+    listing, no data read."""
+    jvm = spark._jvm                                   # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()            # noqa: SLF001
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0
+    it, n = fs.listFiles(p, True), 0
+    while it.hasNext():
+        f = it.next()
+        if not f.getPath().getName().startswith("_"):
+            n += 1
+    return n
+
+
+def compact_sig_store(spark, path: str, n_files: int = 32) -> dict:
+    """Re-cluster a fragmented signature store into `n_files` files
+    hash-partitioned + sorted by doc_id, atomically swapping the
+    directory (write aside → rename away → rename in → drop old).
+
+    Why it matters at 10^12 docs: every consumer of the store
+    (near_dup_pairs_storage's sig join, the incremental path's band
+    projection + touched-bucket semi-join) scans or joins it by
+    doc_id; after N delta appends the store holds N× small files, so
+    those scans pay N× open/footer overhead and the doc_id join loses
+    any clustering. Compaction is ONE shuffle of (doc_id, sig) rows —
+    ~1 KB/row, no wide state — and restores one sorted run per
+    partition. In an Iceberg deployment this maps to
+    rewrite_data_files on the sig table; results of every dedup
+    operator are invariant across it (tests/test_dedup.py asserts
+    incremental output identical before/after).
+
+    Returns {"files_before": int, "files_after": int} — the read-
+    amplification figure BENCH/LSH.md records."""
+    before = _n_data_files(spark, path)
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__pre_compact"
+    jvm = spark._jvm                                   # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()            # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(conf)
+    fs.delete(hpath(tmp), True)
+    (spark.read.parquet(path)
+          .repartition(n_files, F.col("doc_id"))
+          .sortWithinPartitions("doc_id")
+          .write.mode("overwrite").parquet(tmp))
+    fs.delete(hpath(old), True)
+    if not fs.rename(hpath(path), hpath(old)):
+        raise IOError(f"compact_sig_store: cannot move {path} aside")
+    if not fs.rename(hpath(tmp), hpath(path)):
+        fs.rename(hpath(old), hpath(path))     # roll back, store intact
+        raise IOError(f"compact_sig_store: cannot swap in {tmp}")
+    fs.delete(hpath(old), True)
+    return {"files_before": before,
+            "files_after": _n_data_files(spark, path)}
+
+
 # ------------------------------------------------------------- SimHash
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """64-bit SimHash: bit b of the signature is the sign of the vote

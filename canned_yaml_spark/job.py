@@ -84,7 +84,8 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
             out = out.unionByName(
                 payload.payload_violations(
                     clips, clips_ref, pc, id_col, part_col,
-                    join_hint="MERGE" if bucketed_by_id else "SHUFFLE_HASH"))
+                    join_hint="MERGE" if bucketed_by_id else "SHUFFLE_HASH",
+                    co_located=bucketed_by_id))
     return out
 
 

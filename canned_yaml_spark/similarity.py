@@ -229,6 +229,15 @@ def ivf_train(emb: DataFrame, n_cells: int = 256, iters: int = 5,
         cents = [r.embedding for r in
                  t.withColumn("_h", F.xxhash64("vec_id", F.lit(seed)))
                   .orderBy("_h").limit(n_cells).collect()]
+        # downstream (ivf_assign/ivf_topk) assumes the quantizer has
+        # the requested geometry; a silent shortfall would mis-route
+        # probes, and an empty training set would IndexError later
+        # (ADVICE r4) — fail loudly instead
+        if len(cents) < n_cells:
+            raise ValueError(
+                f"ivf_train: training set has {len(cents)} rows "
+                f"(after sample_frac={sample_frac}), fewer than "
+                f"n_cells={n_cells}; lower n_cells or raise the sample")
         for _ in range(iters):
             assigned = ivf_assign(t, cents).select("cell", "embedding")
             rows = (assigned

@@ -158,16 +158,42 @@ def validate_stream_with_lineage(stream_df: DataFrame, suite: CheckSuite,
        the manifest — the manifest append is the commit point,
        exactly as in the batch path.
 
-    The manifest is the same parquet (Iceberg in production) surface
-    as batch runs', plus a batch_id column (STREAM_MANIFEST_SCHEMA) —
-    one queryable lineage table across both execution modes.
+    The manifest carries the same columns as batch runs' plus
+    batch_id and stream_id (STREAM_MANIFEST_SCHEMA) — one queryable
+    lineage SCHEMA across both execution modes, but the streaming
+    manifest_dir must be its own directory, never shared with batch
+    append_manifest output (plain parquet reads resolve the schema
+    from an arbitrary file; mixed files make batch_id error or null
+    out — ADVICE r4).
+
+    Replay detection is keyed on (stream_id, batch_id), where
+    stream_id is a token stored inside the streaming checkpoint dir
+    (checkpoint.stream_identity): batch ids restart at 0 when the
+    checkpoint is recreated, so a manifest that outlives its
+    checkpoint would otherwise silently skip the fresh incarnation's
+    real batches. The committed set is read from the manifest ONCE per
+    sink start and maintained in the closure afterwards — this sink is
+    the manifest's only appender, so the cache stays correct within a
+    run and a long-lived stream does not pay an O(committed batches)
+    manifest scan per micro-batch (ADVICE r4).
     """
     from canned_yaml_spark import checkpoint
     from canned_yaml_spark.runner import row_verdicts
 
+    committed: set[int] | None = None          # lazily read, then cached
+    stream_id: str | None = None
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal committed, stream_id
         spark = batch_df.sparkSession
-        if batch_id in checkpoint.committed_batches(spark, manifest_dir):
+        if committed is None:
+            # first batch of this sink's life: resolve the stream
+            # incarnation (the checkpoint dir exists by now — the
+            # stream has started) and read the manifest once
+            stream_id = checkpoint.stream_identity(spark, checkpoint_dir)
+            committed = checkpoint.committed_batches(spark, manifest_dir,
+                                                     stream_id)
+        if batch_id in committed:
             return                              # replay of a committed batch
         viol = (stream_violations(batch_df, suite, id_col, part_col)
                 .withColumn("batch_id", F.lit(batch_id)))
@@ -178,7 +204,8 @@ def validate_stream_with_lineage(stream_df: DataFrame, suite: CheckSuite,
              .parquet(out_dir))
         verdicts = row_verdicts(batch_df, suite, part_col)
         checkpoint.append_stream_manifest(verdicts, manifest_dir,
-                                          run_id, batch_id)
+                                          run_id, batch_id, stream_id)
+        committed.add(batch_id)
 
     return (stream_df.writeStream
             .foreachBatch(process_batch)

@@ -271,3 +271,52 @@ def test_stream_lineage_manifest_parity(spark, suite, tmp_path):
     got_tot = {r.part_id: (r.n_rows, r.n_violations)
                for r in tot.collect()}
     assert got_tot == want_tot
+
+
+def test_stream_manifest_survives_checkpoint_wipe(spark, suite, tmp_path):
+    # ADVICE r4: batch ids restart at 0 when the streaming checkpoint
+    # is recreated. Replay detection keys on (stream_id, batch_id) —
+    # stream_id lives INSIDE the checkpoint dir — so a manifest that
+    # outlives its checkpoint must NOT cause the fresh incarnation's
+    # batch 0 to be skipped as "already committed".
+    import shutil
+
+    from canned_yaml_spark import checkpoint
+
+    src = str(tmp_path / "src_wipe")
+    out = str(tmp_path / "viol_wipe")
+    chk = str(tmp_path / "chk_wipe")
+    man = str(tmp_path / "manifest_wipe")
+
+    first = fixtures.clips_df(spark, 200, max_samples=16)
+    first.coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(first.schema).parquet(src)
+        q = (streaming.validate_stream_with_lineage(
+                stream, suite, out, chk, man, run_id="wipe_r1")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    sid1 = checkpoint.stream_identity(spark, chk)
+    n1 = spark.read.parquet(man).count()
+    assert checkpoint.committed_batches(spark, man, sid1)
+
+    # wipe ONLY the checkpoint: the manifest outlives it
+    shutil.rmtree(chk)
+    run_once()                    # fresh incarnation, batch ids restart at 0
+    sid2 = checkpoint.stream_identity(spark, chk)
+    assert sid2 != sid1
+    man_df = spark.read.parquet(man)
+    # the fresh batch 0 was REPROCESSED (not skipped): new manifest
+    # rows under the new stream_id, old incarnation's rows intact
+    assert man_df.filter(F.col("stream_id") == sid2).count() > 0
+    assert man_df.filter(F.col("stream_id") == sid1).count() == n1
+    # per-incarnation replay sets are disjoint views of one surface
+    assert checkpoint.committed_batches(spark, man, sid2) == {0}
+    # and the violations for the replayed batch 0 were overwritten in
+    # place (dynamic partition overwrite), not duplicated
+    got = spark.read.parquet(out)
+    want = row_violations(first, suite)
+    assert got.count() == want.count()

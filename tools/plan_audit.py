@@ -112,7 +112,8 @@ def main() -> int:
                    .withColumn("pcm_len", F.length("pcm_ref")))
     audit("payload SNR (lazy-ref digest)",
           payload.payload_violations(bench, bench_ref_h,
-                                     bsuite.payload_checks[0]),
+                                     bsuite.payload_checks[0],
+                                     co_located=True),
           [("no sort-merge", lambda p: "SortMergeJoin" not in p),
            ("digest in first join", lambda p: "pcm_hash" in p),
            ("two joins (narrow then residual fetch)",

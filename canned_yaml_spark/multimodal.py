@@ -142,6 +142,72 @@ def _decode_wav(buf: bytes) -> dict:
             "mean_luma": float(pcm.mean())}
 
 
+# ----------------------------------------------- real codec: BMP (DIB)
+#: BMP corpus constants (the DuckDB oracle restates the same formula)
+BMP_W, BMP_H = 6, 5
+
+
+def bmp_pixel(k: int, j):
+    """Byte j of image k's pixel data, in LOGICAL order (row-major,
+    top-down, BGR interleaved) — pure integer arithmetic, SQL-restatable.
+    j ranges over [0, BMP_W*BMP_H*3)."""
+    return (j * 5 + k * 19) % 256
+
+
+def encode_bmp(key: int, width: int = BMP_W, height: int = BMP_H) -> bytes:
+    """A real, spec-conformant Windows BMP: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, 24 bpp uncompressed, rows stored BOTTOM-UP with
+    4-byte row padding — both quirks a parser must actually honor.
+    Pure numpy/struct — no Pillow, no external codec."""
+    px = bmp_pixel(key, np.arange(width * height * 3,
+                                  dtype=np.int64)).astype(np.uint8)
+    logical = px.reshape(height, width * 3)
+    stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : width * 3] = logical[::-1]       # bottom-up storage order
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(data), 2835, 2835, 0, 0)
+    offset = 14 + len(info)
+    head = b"BM" + struct.pack("<IHHI", offset + len(data), 0, 0, offset)
+    return head + info + data
+
+
+def _decode_bmp(buf: bytes) -> dict:
+    """Real BMP parser: validates both headers, honors the pixel-data
+    offset, 4-byte row stride, and row order (positive biHeight =
+    bottom-up, negative = top-down). 24 bpp uncompressed only — the
+    corpus's shape, and the no-dependency subset. Metadata mapping:
+    channels = 3, n_frames = 1, mean_luma = mean over all pixel bytes
+    (order-invariant, so the oracle restates it analytically)."""
+    if len(buf) < 54:
+        raise ValueError("shorter than BMP headers")
+    file_size, _, _, offset = struct.unpack("<IHHI", buf[2:14])
+    if file_size > len(buf):
+        raise ValueError(f"header declares {file_size} bytes, "
+                         f"buffer has {len(buf)}")
+    hdr_size = struct.unpack("<I", buf[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height, planes, bpp, compression = \
+        struct.unpack("<iiHHI", buf[18:34])
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: planes={planes} bpp={bpp} "
+                         f"compression={compression}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if offset + h * stride > len(buf):
+        raise ValueError("pixel data overruns buffer")
+    rows = np.frombuffer(buf, dtype=np.uint8,
+                         count=h * stride, offset=offset).reshape(h, stride)
+    logical = rows[:, : width * 3] if top_down else rows[::-1, : width * 3]
+    return {"width": width, "height": h, "channels": 3, "n_frames": 1,
+            "mean_luma": float(logical.mean())}
+
+
 def _decode_real(buf: bytes) -> dict:  # pragma: no cover - stub
     raise NotImplementedError(
         "real image/video decoding needs Pillow/ffmpeg, absent from "
@@ -155,6 +221,7 @@ _DECODERS = {
     b"RIFF": _decode_wav,                  # real container, real parser
     b"\x89PNG": _decode_real,
     b"\xff\xd8\xff\xe0": _decode_real,
+    b"BM": _decode_bmp,                    # real container, real parser
 }
 
 
@@ -174,9 +241,10 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 
 # ----------------------------------------------------- derived corpus
 #: corpus plan (pure arithmetic on o_orderkey, mirrored analytically by
-#: the DuckDB oracle): k%4∈{0,2} → 8×8×3 image, k%4==1 → real WAV/RIFF
-#: audio, k%4==3 → 4-frame 4×4 video; every 10th payload truncated to
-#: half (undecodable).
+#: the DuckDB oracle): k%4==0 → 8×8×3 IMG1 stub image, k%4==1 → real
+#: WAV/RIFF audio, k%4==2 → real 6×5 24-bpp BMP image, k%4==3 →
+#: 4-frame 4×4 video; every 10th payload truncated to half
+#: (undecodable).
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
 
@@ -186,6 +254,8 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
         buf = encode_video(k, VID_F, VID_W, VID_H)
     elif k % 4 == 1:
         buf = encode_wav(k)
+    elif k % 4 == 2:
+        buf = encode_bmp(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -224,6 +294,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
                        "image") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"VID1"), "video") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"RIFF"), "audio") \
+        .when(F.col(byte_col).substr(1, 2) == F.lit(b"BM"), "image") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

@@ -359,6 +359,7 @@ _MEDIA_KEYED = """m AS (
          CAST(o_orderkey % 64 AS INT) AS part_id,
          (o_orderkey % 4 = 3) AS is_vid,
          (o_orderkey % 4 = 1) AS is_wav,
+         (o_orderkey % 4 = 2) AS is_bmp,
          (o_orderkey % 10 = 0) AS corrupt
   FROM orders)"""
 
@@ -367,8 +368,15 @@ def sql_media_meta() -> str:
     # the WAV branch cross-checks Spark's REAL RIFF chunk walk + s16le
     # decode: sample i of clip k is (i*31 + k*7) % 2048 - 1024
     # (multimodal.wav_sample), restated here analytically
+    # the BMP branch cross-checks Spark's REAL header/stride/row-order
+    # parse: logical pixel byte i of image k is (i*5 + k*19) % 256
+    # (multimodal.bmp_pixel) — the mean is storage-order-invariant, so
+    # the bottom-up + padded file layout cancels out here while the
+    # parser still has to honor it to find the bytes at all
     img_mean = ("list_avg(list_transform(generate_series(0, 191), "
                 "i -> (i*7 + k*13) % 256))")
+    bmp_mean = ("list_avg(list_transform(generate_series(0, 89), "
+                "i -> (i*5 + k*19) % 256))")
     vid_mean = ("list_avg(list_transform(generate_series(0, 63), "
                 "i -> (i*11 + k*17) % 256))")
     wav_mean = ("list_avg(list_transform(generate_series(0, 199), "
@@ -380,9 +388,9 @@ SELECT media_id, part_id,
             ELSE 'image' END AS kind,
        NOT corrupt AS ok,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
-            WHEN is_wav THEN 2 ELSE 8 END AS width,
+            WHEN is_wav THEN 2 WHEN is_bmp THEN 6 ELSE 8 END AS width,
        CASE WHEN corrupt OR is_wav THEN NULL
-            WHEN is_vid THEN 4 ELSE 8 END AS height,
+            WHEN is_vid THEN 4 WHEN is_bmp THEN 5 ELSE 8 END AS height,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 1
             WHEN is_wav THEN 1 ELSE 3 END AS channels,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
@@ -390,6 +398,7 @@ SELECT media_id, part_id,
        CASE WHEN corrupt THEN NULL
             WHEN is_vid THEN round({vid_mean}, 4)
             WHEN is_wav THEN round({wav_mean}, 4)
+            WHEN is_bmp THEN round({bmp_mean}, 4)
             ELSE round({img_mean}, 4) END AS mean_luma
 FROM m
 """.strip()

@@ -117,3 +117,50 @@ def test_media_corpus_meta_matches_python(spark):
         else:
             assert got.width == want["width"]
             assert abs(got.mean_luma - want["mean_luma"]) < 1e-9
+
+
+def test_bmp_roundtrip_real_container():
+    # encode_bmp emits a spec-conformant 24-bpp bottom-up BMP; our
+    # parser must recover the logical (top-down) pixel content
+    import numpy as np
+    meta, err = mm.decode_media(mm.encode_bmp(7))
+    assert err is None
+    assert (meta["width"], meta["height"], meta["channels"],
+            meta["n_frames"]) == (mm.BMP_W, mm.BMP_H, 3, 1)
+    want = mm.bmp_pixel(7, np.arange(mm.BMP_W * mm.BMP_H * 3)).mean()
+    assert abs(meta["mean_luma"] - want) < 1e-9
+
+
+def test_bmp_padding_bytes_excluded_from_mean():
+    # width=1 → 3 pixel bytes/row, stride 4: fill the padding byte with
+    # 255 — a parser that slices the stride wrong would average it in
+    import struct
+    h, stride = 2, 4
+    rows = bytes([10, 20, 30, 255]) + bytes([40, 50, 60, 255])
+    info = struct.pack("<IiiHHIIiiII", 40, 1, h, 1, 24, 0,
+                       len(rows), 0, 0, 0, 0)
+    buf = (b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+           + info + rows)
+    meta, err = mm.decode_media(buf)
+    assert err is None
+    assert abs(meta["mean_luma"] - (10+20+30+40+50+60) / 6) < 1e-9
+    # top-down variant (negative biHeight) must parse identically
+    info_td = struct.pack("<IiiHHIIiiII", 40, 1, -h, 1, 24, 0,
+                          len(rows), 0, 0, 0, 0)
+    buf_td = (b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+              + info_td + rows)
+    meta_td, err = mm.decode_media(buf_td)
+    assert err is None and meta_td["height"] == h
+    assert abs(meta_td["mean_luma"] - meta["mean_luma"]) < 1e-9
+
+
+def test_bmp_parser_rejects_malformed():
+    buf = mm.encode_bmp(3)
+    _, err = mm.decode_media(buf[: len(buf) // 2])      # truncated
+    assert err and "undecodable" in err
+    bad_bpp = bytearray(buf)
+    bad_bpp[28] = 8                                     # 8 bpp palette
+    _, err = mm.decode_media(bytes(bad_bpp))
+    assert err and "unsupported BMP" in err
+    _, err = mm.decode_media(b"BM" + b"\x00" * 20)      # header torso
+    assert err and "undecodable" in err

@@ -45,7 +45,8 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
                    id_col: str = "clip_id",
                    part_col: str = "part_id",
                    skip_unique: bool = False,
-                   bucketed_by_id: bool = False) -> DataFrame:
+                   bucketed_by_id: bool = False,
+                   bucket_sort_trusted: bool | None = None) -> DataFrame:
     """Union of every check family's long-form violations.
 
     skip_unique: used by resume (job.run), where uniqueness must scan
@@ -58,8 +59,22 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
     the pre-sorted buckets (merge) instead of building per-task hash
     maps over payload-sized rows — both remove serial floors measured
     in BENCH/PROFILE.md.
+
+    bucket_sort_trusted: whether Spark will TRUST the per-bucket sort
+    order (it only does when every bucket is a single file). On a
+    multi-file-per-bucket layout — e.g. a chunk-appended table whose
+    compaction was skipped — a MERGE hint makes Spark re-SORT the
+    payload-sized rows inside every task before merging, which costs
+    more than the hash maps the merge was meant to avoid. So: MERGE
+    only when bucketed AND sort-trusted; otherwise SHUFFLE_HASH, which
+    is still exchange-free over bucketed tables (hash joins need only
+    distribution, not order). Defaults to bucketed_by_id (the
+    single-file layout is the normal posture; callers with
+    chunk-appended tables pass False).
     """
     dims = dims or {}
+    if bucket_sort_trusted is None:
+        bucket_sort_trusted = bucketed_by_id
     out = row_violations(clips, suite, id_col, part_col)
     if not skip_unique:
         for uc in suite.unique_checks:
@@ -84,7 +99,8 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
             out = out.unionByName(
                 payload.payload_violations(
                     clips, clips_ref, pc, id_col, part_col,
-                    join_hint="MERGE" if bucketed_by_id else "SHUFFLE_HASH",
+                    join_hint=("MERGE" if bucketed_by_id
+                               and bucket_sort_trusted else "SHUFFLE_HASH"),
                     co_located=bucketed_by_id))
     return out
 

@@ -127,12 +127,17 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
     failed clip.
 
     join_hint: SHUFFLE_HASH for unorganized inputs (hashing one side
-    beats sorting 2× payload-sized rows). Pass "MERGE" when both
-    tables are bucketed AND sorted by clip_id: the merge join then
-    streams the two pre-sorted bucket files with no sort and no
-    per-task hash map over payload rows — one fewer full pass over
-    the byte columns, which is what the host memory bus pays for
-    (BENCH/MEMBW.md, BENCH/PROFILE.md).
+    beats sorting 2× payload-sized rows). Pass "MERGE" only when both
+    tables are bucketed AND sorted by clip_id AND the scan actually
+    reports that order — which requires one file per bucket AND
+    `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    (off by default since Spark 3.0, SPARK-28595). Under those
+    conditions the merge join streams the pre-sorted bucket files
+    with no sort and no per-task hash map over payload rows — one
+    fewer full pass over the byte columns, which is what the host
+    memory bus pays for (BENCH/MEMBW.md). Without them a MERGE hint
+    silently re-SORTs payload-sized rows inside every task; prefer
+    SHUFFLE_HASH (still exchange-free over bucketed layouts).
 
     co_located: declare that clips and clips_ref are stored bucketed
     by clip_id (job.py threads bucketed_by_id through). Layout-aware
@@ -202,14 +207,21 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
                        & (F.length(F.col("_bytes")) == F.col("pcm_len")),
                        F.lit(False))
         # join 2 fetches pcm_ref for the residual only, co-partitioned
-        # on clip_id (zero exchange over bucketed tables)
+        # on clip_id (zero exchange over bucketed tables). The hint
+        # sits on the RESIDUAL side: under SHUFFLE_HASH the hinted
+        # side becomes the build side, and the residual (~30% of rows,
+        # mostly small lossy payloads) is several times smaller than
+        # the full pcm_ref column — building over ref would copy every
+        # reference byte into per-task hash maps, a full extra pass
+        # the memory bus pays for. (Under MERGE the hint side carries
+        # no build-side meaning; placement is irrelevant.)
         need = (joined.filter(F.col("_codec").isin(*sorted(_MAGIC))
                               & ~fast_ok)
                       .drop("pcm_hash", "pcm_len")
+                      .hint(join_hint)
                       .join(clips_ref.select(
                                 "clip_id",
-                                F.col("pcm_ref").alias("_pcm_ref"))
-                            .hint(join_hint),
+                                F.col("pcm_ref").alias("_pcm_ref")),
                             "clip_id", "inner"))
     else:
         joined = probe.join(

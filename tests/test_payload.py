@@ -116,3 +116,62 @@ def test_payload_plan_is_layout_aware(spark, clips, clips_ref, suite):
                                            co_located=True) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "pcm_hash" in lazy_plan
+
+
+def test_lazy_join2_builds_on_residual_side(spark, clips, clips_ref, suite):
+    # Under SHUFFLE_HASH the hinted side becomes the build side. Join 1
+    # (digest probe) must build on the narrow ref-digest side
+    # (BuildRight); join 2 (the residual pcm_ref fetch) must build on
+    # the RESIDUAL (BuildLeft) — building over ref would copy every
+    # reference byte into per-task hash maps.
+    pc = suite.payload_checks[0]
+    ref_h = (clips_ref
+             .withColumn("pcm_hash", F.xxhash64("pcm_ref"))
+             .withColumn("pcm_len", F.length("pcm_ref")))
+    plan = payload.payload_violations(clips, ref_h, pc, co_located=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BuildLeft" in plan and "BuildRight" in plan
+
+
+def test_job_join_hint_is_layout_aware(spark, clips, clips_ref, suite,
+                                       codec_dim):
+    # bucketed tables whose per-bucket sort Spark can't trust (multi
+    # file per bucket) must NOT get the MERGE hint: it re-inserts a
+    # Sort over payload-sized rows in every task. The fallback hash
+    # join is still exchange-free over bucketed layouts.
+    from canned_yaml_spark import fixtures
+    from canned_yaml_spark import job as jobmod
+
+    # fresh (uncached) inputs: an earlier test caches a
+    # payload_violations subtree over the shared fixtures, and the
+    # cache manager would substitute InMemoryRelation for the
+    # identical logical subtree here — erasing the very joins whose
+    # strategy this test inspects
+    clips = fixtures.clips_df(spark, 300)
+    clips_ref = fixtures.clips_ref_df(spark, 300)
+    kw = dict(dims={"codec_dim": codec_dim}, clips_ref=clips_ref,
+              bucketed_by_id=True)
+    # pin AQE/auto-broadcast off so the compared physical plans are
+    # final and strategy choice reflects only the hints under test
+    saved = {k: spark.conf.get(k) for k in
+             ("spark.sql.adaptive.enabled",
+              "spark.sql.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_merge = jobmod.all_violations(clips, suite, **kw,
+                                           bucket_sort_trusted=True) \
+            ._jdf.queryExecution().executedPlan().toString()
+        plan_hash = jobmod.all_violations(clips, suite, **kw,
+                                          bucket_sort_trusted=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan_merge.count("SortMergeJoin") > \
+            plan_hash.count("SortMergeJoin")
+        # default follows bucketed_by_id (single-file layout posture)
+        plan_default = jobmod.all_violations(clips, suite, **kw) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan_default.count("SortMergeJoin") == \
+            plan_merge.count("SortMergeJoin")
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

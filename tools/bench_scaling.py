@@ -64,13 +64,26 @@ from canned_yaml_spark import job as jobmod
 rows = int(os.environ["SG_ROWS"])
 wh = os.environ["SG_WAREHOUSE"]
 
+# Spark only trusts per-bucket sort order when each bucket is one
+# file — and even then only behind the (off-by-default since 3.0,
+# SPARK-28595) legacy outputOrdering flag. Without both, a MERGE hint
+# re-SORTs payload-sized rows inside every task. Detect the layout:
+# single-file buckets → enable the flag and stream true sort-free
+# merges; chunk-appended layout → exchange-free SHUFFLE_HASH instead.
+import glob as _glob
+_nf = max(len(_glob.glob(os.path.join(wh, t, "part-*")))
+          for t in ("clips_b", "clips_ref_b"))
+sort_trusted = _nf <= {buckets}
+
 # shuffle partitions match the bucket count at BOTH levels (identical
 # config, the only variable is core count): shuffle stages then run
 # {buckets}/cores waves, so stragglers amortize instead of extending a
 # single-wave stage 1:1
 spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions={buckets},
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp",
-                               "spark.sql.warehouse.dir": wh}})
+                               "spark.sql.warehouse.dir": wh,
+                               "spark.sql.legacy.bucketedTableScan.outputOrdering":
+                                   str(sort_trusted).lower()}})
 
 # re-register the bucketed tables (in-memory catalog is per-session;
 # the bucket layout lives in the files + this DDL)
@@ -92,7 +105,8 @@ ks_ref = fixtures.reference_dur_sample()
 
 viol = jobmod.all_violations(
     clips, suite, dims={{"codec_dim": dim}}, clips_ref=ref,
-    expected_hist=hist, ks_reference=ks_ref, bucketed_by_id=True)
+    expected_hist=hist, ks_reference=ks_ref, bucketed_by_id=True,
+    bucket_sort_trusted=sort_trusted)
 plan = viol._jdf.queryExecution().executedPlan().toString()
 payload_join_exchange_free = "ShuffledHashJoin" not in plan and \
     "SortMergeJoin" not in plan or plan.count("Exchange") <= plan.count("HashAggregate")
@@ -118,6 +132,7 @@ print(json.dumps({{"cores": cores, "secs": round(secs, 3),
                    "clips_per_sec": round(rows / secs),
                    "all_runs": [round(t, 2) for t in ts],
                    "plan_sort_nodes": n_sorts,
+                   "sort_trusted_layout": sort_trusted,
                    "exchange_free_join": payload_join_exchange_free}}))
 spark.stop()
 """

@@ -14,12 +14,20 @@ Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
 
-One REAL container rides alongside the stubs (VERDICT r3 item 7):
-RIFF/WAVE with 16-bit PCM needs no external library — encode_wav
-writes a spec-conformant file (fmt chunk, a LIST chunk so parsers must
-actually walk, word-aligned data chunk) and _decode_wav is a generic
-RIFF chunk walker, not a fixed-offset reader. Swapping the pixel stubs
-for Pillow later changes nothing about this path.
+THREE real containers ride alongside the stubs, one per modality,
+each needing no external library:
+- RIFF/WAVE 16-bit PCM (r4): spec-conformant writer (fmt chunk, a
+  LIST chunk so parsers must actually walk, word-aligned data chunk)
+  + a generic RIFF chunk walker, cross-checked against stdlib `wave`.
+- Windows BMP, 24 bpp uncompressed (r5): both headers validated;
+  parser honors the pixel-data offset, 4-byte row stride, and
+  bottom-up vs top-down row order.
+- YUV4MPEG2 (r5): tagged plain-text stream header + FRAME markers
+  with raw planar YUV, the layout ffmpeg/mjpegtools emit; C420/C444/
+  Cmono supported, mean_luma over Y planes only.
+Formats that genuinely need Pillow/ffmpeg (PNG, JPEG, MP4) remain
+declared NotImplementedError stubs. Swapping those in changes only
+`_DECODERS`.
 """
 
 from __future__ import annotations
@@ -208,6 +216,104 @@ def _decode_bmp(buf: bytes) -> dict:
             "mean_luma": float(logical.mean())}
 
 
+# ------------------------------------------ real codec: Y4M (YUV4MPEG2)
+#: Y4M corpus constants (the DuckDB oracle restates the same formula)
+Y4M_F, Y4M_W, Y4M_H = 4, 4, 4
+#: bytes per C420 frame at the corpus geometry: Y (w·h) + U + V (¼ each)
+Y4M_FRAME = Y4M_W * Y4M_H * 3 // 2
+
+
+def y4m_byte(k: int, j):
+    """Byte j of stream k's CONCATENATED frame payloads (headers
+    excluded) — pure integer arithmetic, SQL-restatable. Within each
+    24-byte C420 frame, offsets [0,16) are the Y plane, [16,24) the
+    chroma planes, so luma bytes are j % 24 < 16."""
+    return (j * 11 + k * 17) % 256
+
+
+def encode_y4m(key: int, n_frames: int = Y4M_F, width: int = Y4M_W,
+               height: int = Y4M_H, csp: str = "420") -> bytes:
+    """A real YUV4MPEG2 stream: tagged plain-text stream header, then
+    per-frame `FRAME\\n` markers each followed by raw planar YUV —
+    exactly the layout ffmpeg/mjpegtools emit. Pure numpy/struct."""
+    plane = {"420": width * height * 3 // 2, "444": width * height * 3,
+             "mono": width * height}[csp]
+    head = (f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 "
+            f"C{csp}\n").encode()
+    px = y4m_byte(key, np.arange(n_frames * plane,
+                                 dtype=np.int64)).astype(np.uint8)
+    out = [head]
+    for f in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(px[f * plane:(f + 1) * plane].tobytes())
+    return b"".join(out)
+
+
+def _parse_y4m_header(buf: bytes) -> tuple[int, int, str, int]:
+    """(width, height, colourspace, header_end) from the stream-header
+    line; raises on malformed/missing tags."""
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("no stream-header newline")
+    tags = buf[:nl].decode("ascii", "replace").split(" ")
+    if tags[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    csp = "420jpeg"                        # spec default when no C tag
+    for t in tags[1:]:
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            csp = t[1:]
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions W={w} H={h}")
+    return w, h, csp, nl + 1
+
+
+def _y4m_frame_bytes(w: int, h: int, csp: str) -> tuple[int, int]:
+    """(bytes per frame, channels) for the supported colourspaces."""
+    if csp.startswith("420"):
+        if (w | h) & 1:
+            raise ValueError(f"C{csp} needs even dimensions, "
+                             f"got {w}x{h}")
+        return w * h * 3 // 2, 3
+    if csp == "444":
+        return w * h * 3, 3
+    if csp == "mono":
+        return w * h, 1
+    raise ValueError(f"unsupported colourspace C{csp}")
+
+
+def _decode_y4m(buf: bytes) -> dict:
+    """Real Y4M parser: walks the stream header then every FRAME
+    marker (allowing per-frame parameters after `FRAME`), slicing
+    planar YUV by the colourspace's frame size. mean_luma is the mean
+    over Y planes only — chroma planes carry colour, not luminance."""
+    w, h, csp, pos = _parse_y4m_header(buf)
+    fsz, channels = _y4m_frame_bytes(w, h, csp)
+    n_frames, luma_sum = 0, 0
+    while pos < len(buf):
+        if buf[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        nl = buf.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = nl + 1
+        if pos + fsz > len(buf):
+            raise ValueError("frame data overruns buffer")
+        y = np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=pos)
+        luma_sum += int(y.sum(dtype=np.int64))
+        n_frames += 1
+        pos += fsz
+    if n_frames == 0:
+        raise ValueError("stream contains no frames")
+    return {"width": w, "height": h, "channels": channels,
+            "n_frames": n_frames,
+            "mean_luma": luma_sum / (n_frames * w * h)}
+
+
 def _decode_real(buf: bytes) -> dict:  # pragma: no cover - stub
     raise NotImplementedError(
         "real image/video decoding needs Pillow/ffmpeg, absent from "
@@ -222,6 +328,7 @@ _DECODERS = {
     b"\x89PNG": _decode_real,
     b"\xff\xd8\xff\xe0": _decode_real,
     b"BM": _decode_bmp,                    # real container, real parser
+    b"YUV4MPEG2": _decode_y4m,             # real container, real parser
 }
 
 
@@ -242,16 +349,17 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 # ----------------------------------------------------- derived corpus
 #: corpus plan (pure arithmetic on o_orderkey, mirrored analytically by
 #: the DuckDB oracle): k%4==0 → 8×8×3 IMG1 stub image, k%4==1 → real
-#: WAV/RIFF audio, k%4==2 → real 6×5 24-bpp BMP image, k%4==3 →
-#: 4-frame 4×4 video; every 10th payload truncated to half
-#: (undecodable).
+#: WAV/RIFF audio, k%4==2 → real 6×5 24-bpp BMP image, k%4==3 → real
+#: 4-frame 4×4 C420 Y4M video; every 10th payload truncated to half
+#: (undecodable). The IMG1 stub slot stays: it exercises the
+#: declared-stub plumbing a future Pillow decoder would slot into.
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
 
 
 def media_row(k: int) -> tuple[str, int, bytearray]:
     if k % 4 == 3:
-        buf = encode_video(k, VID_F, VID_W, VID_H)
+        buf = encode_y4m(k)
     elif k % 4 == 1:
         buf = encode_wav(k)
     elif k % 4 == 2:
@@ -293,6 +401,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
     kind_expr = F.when(F.col(byte_col).substr(1, 4) == F.lit(b"IMG1"),
                        "image") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"VID1"), "video") \
+        .when(F.col(byte_col).substr(1, 4) == F.lit(b"YUV4"), "video") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"RIFF"), "audio") \
         .when(F.col(byte_col).substr(1, 2) == F.lit(b"BM"), "image") \
         .otherwise("unknown")
@@ -324,16 +433,45 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
                  id_col: str = "media_id") -> DataFrame:
     """Sample every Nth frame of video payloads → one row per sampled
     frame (media_id, frame_idx, frame bytes). The explode happens
-    Python-side per batch so only sampled frames cross back."""
+    Python-side per batch so only sampled frames cross back. Handles
+    both the VID1 stub container and real Y4M streams; truncated
+    payloads yield clipped/empty frame slices (the oracle restates
+    the clipping arithmetic)."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(byte_col).alias("_media")) \
-            .filter(F.col(byte_col).substr(1, 4) == F.lit(b"VID1"))
+            .filter((F.col(byte_col).substr(1, 4) == F.lit(b"VID1"))
+                    | (F.col(byte_col).substr(1, 4) == F.lit(b"YUV4")))
+
+    def y4m_slices(buf: bytes) -> tuple[int, list[bytes]]:
+        """(declared n_frames, per-frame payload slices, clipped to the
+        available bytes) — frame COUNT comes from walking the frames
+        that fit, plus one clipped trailing frame if bytes remain."""
+        w, h, csp, pos = _parse_y4m_header(buf)
+        fsz, _ = _y4m_frame_bytes(w, h, csp)
+        out = []
+        while pos < len(buf) and buf[pos:pos + 5] == b"FRAME":
+            nl = buf.find(b"\n", pos)
+            if nl < 0:
+                break
+            out.append(bytes(buf[nl + 1:nl + 1 + fsz]))
+            pos = nl + 1 + fsz
+        return len(out), out
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for i in range(len(pdf)):
                 buf = bytes(pdf["_media"].iat[i])
+                if buf[:4] == b"YUV4":
+                    try:
+                        f, slices = y4m_slices(buf)
+                    except ValueError:
+                        continue           # headerless torso: no frames
+                    for k in range(0, f, every):
+                        ids.append(pdf["media_id"].iat[i])
+                        idxs.append(k)
+                        frames.append(slices[k])
+                    continue
                 f, w, h = struct.unpack("<HHH", buf[4:10])
                 body = buf[10:]
                 fsz = w * h

@@ -377,8 +377,14 @@ def sql_media_meta() -> str:
                 "i -> (i*7 + k*13) % 256))")
     bmp_mean = ("list_avg(list_transform(generate_series(0, 89), "
                 "i -> (i*5 + k*19) % 256))")
-    vid_mean = ("list_avg(list_transform(generate_series(0, 63), "
-                "i -> (i*11 + k*17) % 256))")
+    # the Y4M branch cross-checks Spark's REAL stream-header + FRAME
+    # walk: payload byte j of stream k is (j*11 + k*17) % 256
+    # (multimodal.y4m_byte); mean_luma averages ONLY the Y plane —
+    # within each 24-byte C420 frame that is offsets j % 24 < 16, so
+    # the parser must slice planes correctly, not just find the bytes
+    vid_mean = ("list_avg(list_transform(list_filter("
+                "generate_series(0, 95), j -> j % 24 < 16), "
+                "j -> (j*11 + k*17) % 256))")
     wav_mean = ("list_avg(list_transform(generate_series(0, 199), "
                 "i -> (i*31 + k*7) % 2048 - 1024))")
     return f"""
@@ -391,7 +397,7 @@ SELECT media_id, part_id,
             WHEN is_wav THEN 2 WHEN is_bmp THEN 6 ELSE 8 END AS width,
        CASE WHEN corrupt OR is_wav THEN NULL
             WHEN is_vid THEN 4 WHEN is_bmp THEN 5 ELSE 8 END AS height,
-       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 1
+       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 3
             WHEN is_wav THEN 1 ELSE 3 END AS channels,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
             WHEN is_wav THEN 200 ELSE 1 END AS n_frames,
@@ -405,16 +411,16 @@ FROM m
 
 
 def sql_frame_sample() -> str:
-    # videos only (magic-detected, so corrupt VID containers included);
-    # frame bytes beyond the truncated body come back empty
+    # videos only — real 4-frame 4x4 C420 Y4M streams, sampled every
+    # 2nd frame; each sampled frame is one full planar YUV payload
+    # (16 Y + 4 U + 4 V = 24 bytes). Corrupt video rows cannot occur:
+    # corruption hits k % 10 = 0 (even) while video is k % 4 = 3 (odd).
     return f"""
 WITH {_MEDIA_KEYED},
-v AS (SELECT media_id, CASE WHEN corrupt THEN 27 ELSE 64 END AS body_len
-      FROM m WHERE is_vid),
+v AS (SELECT media_id FROM m WHERE is_vid),
 idx AS (SELECT unnest([0, 2]) AS frame_idx)
 SELECT v.media_id, CAST(idx.frame_idx AS INT) AS frame_idx,
-       CAST(greatest(0, least(body_len, (frame_idx + 1) * 16)
-                        - frame_idx * 16) AS INT) AS frame_len
+       CAST(24 AS INT) AS frame_len
 FROM v CROSS JOIN idx
 """.strip()
 

@@ -164,3 +164,52 @@ def test_bmp_parser_rejects_malformed():
     assert err and "unsupported BMP" in err
     _, err = mm.decode_media(b"BM" + b"\x00" * 20)      # header torso
     assert err and "undecodable" in err
+
+
+def test_y4m_roundtrip_real_container():
+    import numpy as np
+    meta, err = mm.decode_media(mm.encode_y4m(9))
+    assert err is None
+    assert (meta["width"], meta["height"], meta["channels"],
+            meta["n_frames"]) == (mm.Y4M_W, mm.Y4M_H, 3, mm.Y4M_F)
+    # mean_luma averages Y planes only: within each 24-byte C420 frame
+    # offsets [0,16) are luma
+    j = np.arange(mm.Y4M_F * mm.Y4M_FRAME)
+    want = mm.y4m_byte(9, j[j % 24 < 16]).mean()
+    assert abs(meta["mean_luma"] - want) < 1e-9
+
+
+def test_y4m_colourspace_variants():
+    import numpy as np
+    meta, err = mm.decode_media(mm.encode_y4m(3, csp="mono"))
+    assert err is None and meta["channels"] == 1
+    j = np.arange(mm.Y4M_F * mm.Y4M_W * mm.Y4M_H)
+    assert abs(meta["mean_luma"] - mm.y4m_byte(3, j).mean()) < 1e-9
+    meta, err = mm.decode_media(mm.encode_y4m(3, csp="444"))
+    assert err is None and meta["channels"] == 3
+    # C420 needs even dimensions
+    _, err = mm.decode_media(mm.encode_y4m(3, width=3, height=4))
+    assert err and "even dimensions" in err
+
+
+def test_y4m_parser_rejects_malformed():
+    buf = mm.encode_y4m(5)
+    _, err = mm.decode_media(buf[: len(buf) - 10])      # truncated frame
+    assert err and "overruns buffer" in err
+    _, err = mm.decode_media(b"YUV4MPEG2 W4 H4\n" + b"JUNK")
+    assert err and "FRAME marker" in err
+    _, err = mm.decode_media(b"YUV4MPEG2 W0 H4\nFRAME\n")
+    assert err and "bad dimensions" in err
+
+
+def test_y4m_frame_sample(spark):
+    rows = [("v0", 0, bytearray(mm.encode_y4m(0))),
+            ("v1", 1, bytearray(mm.encode_y4m(1)[:77]))]  # truncated
+    df = spark.createDataFrame(rows,
+                               "media_id string, part_id int, media binary")
+    got = {(r.media_id, r.frame_idx): len(r.frame)
+           for r in mm.frame_sample(df, every=2).collect()}
+    # full stream samples frames 0 and 2 (24 planar bytes each);
+    # the truncated stream has one complete frame -> only frame 0,
+    # and frame 1's clipped tail is not sampled at every=2
+    assert got == {("v0", 0): 24, ("v0", 2): 24, ("v1", 0): 24}

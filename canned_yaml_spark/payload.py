@@ -52,13 +52,19 @@ def _transcript_mismatch(t: F.Column, tr: F.Column) -> F.Column:
 
 def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
     """Vectorized SNR: group equal-length (ref, dec) pairs and compute
-    power ratios as one matrix op per length group. Rows whose decode
-    failed or whose lengths mismatch keep snr=-inf (the caller's
-    preset); bit-exact rows get +inf.
+    power ratios as row-axis reductions over one matrix per length
+    group. Rows whose decode failed or whose lengths mismatch keep
+    snr=-inf (the caller's preset); bit-exact rows get +inf.
 
-    Almost every clip in a real corpus shares the dominant sample
-    count, so this turns ~all of the SNR math into two row-axis
-    reductions over a single (n, L) float64 matrix.
+    The matrices stay in the samples' native int16 and the three
+    power sums accumulate in int64 inside einsum (EXACT: products are
+    ≤ 2³⁰, row sums ≤ L·2³⁰ — overflow needs L > 2³³ samples). This
+    is the payload family's hottest loop at scale, and it is memory-
+    bound: the previous float64 formulation moved ~3.5× these bytes
+    per row (f64 copies of both matrices plus a materialized noise
+    matrix) for identical results, since int16 → f64 products are
+    exact too. p_noise comes from Σr² + Σd² − 2Σrd instead of a
+    (r − d)² temporary — same exact integer value.
     """
     groups: dict[int, list[int]] = {}
     for i, d in enumerate(decs):
@@ -71,20 +77,21 @@ def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
             continue
         groups.setdefault(d.size, []).append(i)
     for size, idx in groups.items():
-        r = np.empty((len(idx), size), dtype=np.float64)
-        d = np.empty((len(idx), size), dtype=np.float64)
+        r = np.empty((len(idx), size), dtype=np.int16)
+        d = np.empty((len(idx), size), dtype=np.int16)
         for j, i in enumerate(idx):
             r[j] = refs[i]
             d[j] = decs[i]
-        noise = r - d
-        p_sig = np.einsum("ij,ij->i", r, r)
-        p_noise = np.einsum("ij,ij->i", noise, noise)
+        p_sig = np.einsum("ij,ij->i", r, r, dtype=np.int64)
+        p_dec = np.einsum("ij,ij->i", d, d, dtype=np.int64)
+        p_cross = np.einsum("ij,ij->i", r, d, dtype=np.int64)
+        p_noise = p_sig + p_dec - 2 * p_cross
         with np.errstate(divide="ignore", invalid="ignore"):
-            s = 10.0 * np.log10(p_sig / p_noise)
+            s = 10.0 * np.log10(p_sig / p_noise.astype(np.float64))
         # precedence matches audio.snr_db: p_noise==0 → +inf wins even
         # when p_sig==0 too (bit-exact all-zero signal is a pass)
-        s = np.where(p_sig == 0.0, -np.inf, s)
-        s = np.where(p_noise == 0.0, np.inf, s)
+        s = np.where(p_sig == 0, -np.inf, s)
+        s = np.where(p_noise == 0, np.inf, s)
         snr[np.asarray(idx)] = s
 
 

@@ -74,6 +74,15 @@ import glob as _glob
 _nf = max(len(_glob.glob(os.path.join(wh, t, "part-*")))
           for t in ("clips_b", "clips_ref_b"))
 sort_trusted = _nf <= {buckets}
+# SG_FORCE_HASH / SG_FORCE_MERGE: A/B knobs — pin the plan family
+# regardless of the detected layout (the legacy ordering flag is
+# harmless on multi-file layouts: the scan reports no ordering there
+# and the MERGE hint's sorts come back, which is exactly the variant
+# under test)
+if os.environ.get("SG_FORCE_HASH") == "1":
+    sort_trusted = False
+elif os.environ.get("SG_FORCE_MERGE") == "1":
+    sort_trusted = True
 
 # shuffle partitions match the bucket count at BOTH levels (identical
 # config, the only variable is core count): shuffle stages then run

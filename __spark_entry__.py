@@ -385,6 +385,22 @@ def _q_payload_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_payload_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Certified-ingest payload plan (payload.py select_payload_plan
+    # "certified"): the ref table carries codec_ref + enc_hash/enc_len
+    # of the payload bytes that passed validation at ingest plus
+    # compressed pcm_z, so unchanged payloads of ANY codec fast-pass by
+    # digest and only the damaged residual is decoded. Must emit the
+    # IDENTICAL violation set as the eager plan (_q_payload_snr) over
+    # the same 2000-row fixture corpus — binary audio isn't derivable
+    # in SQL → rows-only gate, cross-checked by pytest equality tests.
+    clips = fixtures.clips_df(spark, 2000)
+    ref = fixtures.clips_ref_df(spark, 2000, certified=True)
+    suite = compile_spec(SPEC, clips.schema)
+    return (payload.payload_violations(clips, ref, suite.payload_checks[0])
+            .select(*_VCOLS))
+
+
 def _q_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SURVEY §2 #25 — checkpoint/resume end to end: phase 1 validates
     # half the partitions and commits them to the manifest; phase 2 sees
@@ -456,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
+        "payload_certified": _q_payload_certified,  # rows-only (binary)
         "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)

@@ -40,25 +40,28 @@ BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def ensure_bench_corpus(spark) -> None:
-    # v2: the ref table stores its PCM digest at ingest (pcm_hash +
-    # pcm_len) — payload_violations' lazy-reference path then fetches
-    # pcm_ref bytes only for rows failing the digest fast path
+    # v3: the ref table is written with the CERTIFIED ingest posture
+    # (codec_ref + enc_hash/enc_len of the payload bytes that passed
+    # validation at ingest, compressed pcm_z, plus the pcm digest) —
+    # payload_violations then proves unchanged payloads of any codec by
+    # digest and fetches compressed reference bytes for the damaged
+    # residual only (select_payload_plan → "certified").
     from pyspark.sql import functions as F
 
     from canned_yaml_spark import fixtures
     marker = os.path.join(BENCH_DIR, "_DONE")
-    if os.path.exists(marker) and open(marker).read().strip() == "v2":
+    if os.path.exists(marker) and open(marker).read().strip() == "v3":
         return
     fixtures.clips_df(spark, BENCH_ROWS, max_samples=512,
                       partitions=64) \
         .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips.parquet")
     (fixtures.clips_ref_df(spark, BENCH_ROWS, max_samples=512,
-                           partitions=64)
+                           partitions=64, certified=True)
         .withColumn("pcm_hash", F.xxhash64("pcm_ref"))
         .withColumn("pcm_len", F.length("pcm_ref"))
         .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips_ref.parquet"))
     with open(marker, "w") as fh:
-        fh.write("v2\n")
+        fh.write("v3\n")
 
 
 def run_suite() -> dict:

@@ -129,6 +129,29 @@ def _gen_ref(max_samples: int):
     return gen
 
 
+def _gen_ref_cert(max_samples: int):
+    """Certified-ingest reference rows: alongside the raw PCM, the row
+    carries the codec the payload was validated AS at ingest
+    (codec_ref), the exact payload bytes that passed that validation
+    (payload_ref — hashed to enc_hash/enc_len by the caller, never
+    stored), and a losslessly-compressed copy of the PCM (pcm_z) so a
+    residual byte-fetch moves compressed bytes through the bus."""
+    import zlib
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for k in pdf["id"]:
+                clips_row, ref_row = make_row(int(k), max_samples, False)
+                out.append((ref_row[0], ref_row[1], ref_row[2],
+                            clips_row[4], clips_row[1],
+                            bytearray(zlib.compress(bytes(ref_row[1]), 1))))
+            yield pd.DataFrame(out, columns=[
+                "clip_id", "pcm_ref", "transcript_ref",
+                "codec_ref", "payload_ref", "pcm_z"])
+    return gen
+
+
 def clips_df(spark: SparkSession, n_rows: int, *, inject: bool = True,
              max_samples: int = 2048, partitions: int | None = None,
              start: int = 0) -> DataFrame:
@@ -143,10 +166,28 @@ def clips_df(spark: SparkSession, n_rows: int, *, inject: bool = True,
 def clips_ref_df(spark: SparkSession, n_rows: int, *,
                  max_samples: int = 2048,
                  partitions: int | None = None,
-                 start: int = 0) -> DataFrame:
+                 start: int = 0,
+                 certified: bool = False) -> DataFrame:
+    """certified=True models the production ingest posture: the ref row
+    stores (codec_ref, enc_hash, enc_len) — the codec and xxhash64 +
+    length of the payload bytes that passed validation at ingest — and
+    pcm_z, a zlib copy of the reference PCM. payload_violations'
+    certified plan then proves unchanged payloads by digest alone (any
+    codec, not just pcm) and fetches compressed reference bytes for the
+    damaged residual only. enc_hash is computed by Spark's own xxhash64
+    so the probe-side comparison is definitionally the same function;
+    the raw payload_ref bytes never cross a shuffle or reach storage."""
+    from pyspark.sql import functions as F
     parts = partitions or max(8, min(64, n_rows // 10_000 or 8))
-    return (spark.range(start, start + n_rows, numPartitions=parts)
-            .mapInPandas(_gen_ref(max_samples), REF_SCHEMA))
+    rng = spark.range(start, start + n_rows, numPartitions=parts)
+    if not certified:
+        return rng.mapInPandas(_gen_ref(max_samples), REF_SCHEMA)
+    cert_schema = (REF_SCHEMA + ", codec_ref string, "
+                   "payload_ref binary, pcm_z binary")
+    return (rng.mapInPandas(_gen_ref_cert(max_samples), cert_schema)
+               .withColumn("enc_hash", F.xxhash64("payload_ref"))
+               .withColumn("enc_len", F.length("payload_ref"))
+               .drop("payload_ref"))
 
 
 def codec_dim_df(spark: SparkSession) -> DataFrame:

@@ -27,6 +27,7 @@ co-location). Two further scale decisions (both measured, round 2):
 from __future__ import annotations
 
 import logging
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -97,9 +98,21 @@ def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
 
 def select_payload_plan(clips_ref: DataFrame, co_located: bool,
                         lazy_ref: bool | None = None) -> str:
-    """Pick the physical strategy for the decode/SNR branch: "lazy"
-    (digest fast path + residual pcm_ref fetch) or "eager" (single
-    join carrying pcm_ref).
+    """Pick the physical strategy for the decode/SNR branch:
+    "certified" (ingest-certified payload digest, any codec),
+    "lazy" (stored PCM digest fast path + residual pcm_ref fetch, pcm
+    rows only) or "eager" (single join carrying pcm_ref).
+
+    certified requires (codec_ref, enc_hash, enc_len) — written at
+    ingest when the payload last PASSED validation — plus a PCM column
+    (pcm_z compressed, or pcm_ref). It fast-paths EVERY codec whose
+    label and bytes are unchanged since ingest, so the residual that
+    needs reference bytes is only the damaged/tampered fraction, and
+    with pcm_z that fetch moves compressed bytes. It wins on any
+    layout: join 1 is narrow on the ref side, and join 2's ref side is
+    either compressed (pcm_z) or no heavier than the single eager join
+    would have been — while the Arrow/decode stage shrinks from the
+    whole lossy-codec share to the damaged rows.
 
     The lazy plan only wins when its SECOND join — the residual
     pcm_ref fetch — is exchange-free, i.e. both tables are bucketed
@@ -107,12 +120,18 @@ def select_payload_plan(clips_ref: DataFrame, co_located: bool,
     re-shuffles the full byte column and costs more than the digest
     fast path saves (judge A/B, VERDICT r4: lazy 3.74s vs eager 2.87s
     on the unbucketed 600k corpus; lazy is the measured winner on
-    bucketed tables). So: lazy iff the stored digest exists AND the
-    caller declares co-location, unless forced via `lazy_ref`.
+    bucketed tables). So, auto order: certified if its ingest columns
+    exist, else lazy iff the stored digest exists AND the caller
+    declares co-location, else eager — unless forced via `lazy_ref`
+    (True → lazy, False → eager; both override certified detection).
     """
-    has_digest = ("pcm_hash" in clips_ref.columns
-                  and "pcm_len" in clips_ref.columns)
+    cols = set(clips_ref.columns)
+    has_cert = ({"codec_ref", "enc_hash", "enc_len"} <= cols
+                and ("pcm_z" in cols or "pcm_ref" in cols))
+    has_digest = "pcm_hash" in cols and "pcm_len" in cols
     if lazy_ref is None:
+        if has_cert:
+            return "certified"
         return "lazy" if (has_digest and co_located) else "eager"
     if lazy_ref and not has_digest:
         raise ValueError("lazy_ref=True requires pcm_hash + pcm_len "
@@ -152,11 +171,20 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
     is chosen only when it is exchange-free — see select_payload_plan.
 
     lazy_ref: force the plan regardless of layout (None = auto).
-    Note the lazy plan replaces the byte-exact fast-path comparison
-    with xxhash64+length equality against the STORED ingest digest —
-    false-pass probability ≤ 2⁻⁶⁴ per pair on non-adversarial data;
-    ingest a cryptographic digest instead if inputs are adversarial
-    (ADVICE r4). The selection is logged at INFO.
+    Note the lazy and certified plans replace the byte-exact fast-path
+    comparison with xxhash64+length equality against the STORED ingest
+    digest — false-pass probability ≤ 2⁻⁶⁴ per pair on non-adversarial
+    data; ingest a cryptographic digest instead if inputs are
+    adversarial (ADVICE r4). The selection is logged at INFO.
+
+    certified (auto when clips_ref carries codec_ref/enc_hash/enc_len,
+    see select_payload_plan): the ingest certificate proves ANY
+    unchanged payload — not just pcm — so the Python decode/SNR stage
+    runs over the damaged residual only, and the residual reference
+    fetch moves zlib-compressed PCM when the ingest stored pcm_z. At
+    10^12 rows this is the production posture: the heavy work is
+    proportional to what changed since the last validation, not to the
+    lossy-codec share of the corpus.
     """
     rule_id = check.rule_id
     severity = int(check.severity)
@@ -176,6 +204,11 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
     _LOG.info("payload_violations rule=%s plan=%s (co_located=%s)",
               rule_id, plan, co_located)
     lazy = plan == "lazy"
+    certified = plan == "certified"
+    # residual ref bytes: prefer the compressed PCM copy when the
+    # ingest wrote one — join 2 then moves zlib bytes, not raw PCM
+    ref_is_z = certified and "pcm_z" in clips_ref.columns
+    ref_pcm_col = "pcm_z" if ref_is_z else "pcm_ref"
 
     # ---- branch 1: transcript equality — pure JVM, bytes never read.
     # Column pruning keeps this scan to 3 narrow columns per side; with
@@ -202,7 +235,41 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
         F.col(byte_col).alias("_bytes"),
         F.col("codec").alias("_codec"),
     )
-    if lazy:
+    if certified:
+        # join 1 is NARROW on the ref side: the ingest certificate.
+        # A payload fast-passes iff its codec label equals the codec it
+        # was validated AS at ingest AND its bytes hash+length match the
+        # bytes that passed — unchanged-since-validation implies the
+        # SNR/transcript verdict is unchanged too, for ANY codec. The
+        # codec_ref conjunct is load-bearing: a row whose bytes are
+        # intact but whose codec column was tampered to another
+        # decodable codec must fall through to the decode path (where
+        # it fails exactly as the eager plan fails it). coalesce()
+        # keeps the left==right equalities out of the join keys
+        # (see payload_snr_stats below) and maps NULL certs to False.
+        joined = probe.join(
+            clips_ref.select("clip_id", "codec_ref",
+                             "enc_hash", "enc_len").hint(join_hint),
+            "clip_id", "inner")
+        fast_ok = F.col("_bytes").isNotNull() & F.coalesce(
+            (F.col("_codec") == F.col("codec_ref"))
+            & (F.xxhash64(F.col("_bytes")) == F.col("enc_hash"))
+            & (F.length(F.col("_bytes")) == F.col("enc_len")),
+            F.lit(False))
+        # join 2 fetches reference PCM for the damaged residual only —
+        # compressed (pcm_z) when the ingest stored it. Build side =
+        # the residual (hint on it), which is tiny by construction:
+        # only rows whose bytes or codec changed since they last
+        # passed validation.
+        need = (joined.filter(F.col("_codec").isin(*sorted(_MAGIC))
+                              & ~fast_ok)
+                      .drop("codec_ref", "enc_hash", "enc_len")
+                      .hint(join_hint)
+                      .join(clips_ref.select(
+                                "clip_id",
+                                F.col(ref_pcm_col).alias("_pcm_ref")),
+                            "clip_id", "inner"))
+    elif lazy:
         # join 1 is NARROW on the ref side: stored digest only
         joined = probe.join(
             clips_ref.select("clip_id", "pcm_hash", "pcm_len")
@@ -266,8 +333,13 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
             for i in range(n):
                 decs[i] = (decode(payloads[i], codecs[i])
                            if payloads[i] is not None else None)
-                refs[i] = (np.frombuffer(raw_refs[i], dtype="<i2")
-                           if raw_refs[i] is not None else _EMPTY)
+                if raw_refs[i] is None:
+                    refs[i] = _EMPTY
+                elif ref_is_z:
+                    refs[i] = np.frombuffer(
+                        zlib.decompress(raw_refs[i]), dtype="<i2")
+                else:
+                    refs[i] = np.frombuffer(raw_refs[i], dtype="<i2")
             snr = np.full(n, -np.inf)
             _batch_snr(decs, refs, snr)
 

@@ -133,6 +133,71 @@ def test_lazy_join2_builds_on_residual_side(spark, clips, clips_ref, suite):
     assert "BuildLeft" in plan and "BuildRight" in plan
 
 
+def test_certified_path_matches_eager(spark, clips, suite):
+    # a ref table carrying the ingest certificate (codec_ref +
+    # enc_hash/enc_len of the payload bytes that passed validation at
+    # ingest, + compressed pcm_z) must produce the IDENTICAL violation
+    # set: unchanged payloads of ANY codec fast-pass by digest, damaged
+    # rows fall through to decode/SNR against the decompressed pcm_z
+    from canned_yaml_spark import fixtures
+    from tests.conftest import N_SMALL
+    pc = suite.payload_checks[0]
+    ref_plain = fixtures.clips_ref_df(spark, N_SMALL)
+    ref_cert = fixtures.clips_ref_df(spark, N_SMALL, certified=True)
+    assert payload.select_payload_plan(ref_cert, co_located=False) \
+        == "certified"
+    want = {(r.clip_id, r.rule_id, r.message)
+            for r in payload.payload_violations(clips, ref_plain, pc)
+            .collect()}
+    got = {(r.clip_id, r.rule_id, r.message)
+           for r in payload.payload_violations(clips, ref_cert, pc)
+           .collect()}
+    assert got == want and want
+
+    # the certified plan must never read raw pcm_ref off storage: join
+    # 1 scans the certificate columns, join 2 the compressed pcm_z —
+    # assert it at the parquet scan (ReadSchema), where pruning counts
+    import re
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        ref_cert.write.parquet(f"{td}/ref")
+        ref_pq = spark.read.parquet(f"{td}/ref")
+        plan = payload.payload_violations(clips, ref_pq, pc) \
+            ._jdf.queryExecution().executedPlan().toString()
+        schemas = re.findall(r"ReadSchema: struct<[^>\n]*", plan)
+        ref_scans = [s for s in schemas if "enc_hash" in s or "pcm" in s]
+        assert ref_scans
+        assert all("pcm_ref" not in s for s in ref_scans)
+        assert any("pcm_z" in s for s in ref_scans)
+
+
+def test_certified_catches_codec_label_tamper(spark, suite):
+    # bytes intact but the codec column flipped to ANOTHER decodable
+    # codec post-ingest: the digest matches the bytes, so only the
+    # codec_ref conjunct forces the row down the decode path — where it
+    # must fail exactly as the eager plan fails it (decode under the
+    # wrong codec → undecodable). A certified plan without the
+    # codec_ref check would silently pass these rows.
+    from canned_yaml_spark import fixtures
+    pc = suite.payload_checks[0]
+    clips = fixtures.clips_df(spark, 400, inject=False)
+    tampered = clips.withColumn(
+        "codec",
+        F.when(F.col("clip_id").substr(-1, 1) == "7",
+               F.lit("flac")).otherwise(F.col("codec")))
+    ref_cert = fixtures.clips_ref_df(spark, 400, certified=True)
+    want = sorted(
+        (r.clip_id, r.message) for r in payload.payload_violations(
+            tampered, fixtures.clips_ref_df(spark, 400), pc).collect())
+    got = sorted(
+        (r.clip_id, r.message) for r in payload.payload_violations(
+            tampered, ref_cert, pc).collect())
+    assert got == want
+    # the tamper set is non-empty: every clean pcm row ending in 7 now
+    # decodes as flac and fails magic
+    assert any("undecodable" in m for _, m in got)
+
+
 def test_job_join_hint_is_layout_aware(spark, clips, clips_ref, suite,
                                        codec_dim):
     # bucketed tables whose per-bucket sort Spark can't trust (multi

@@ -177,6 +177,9 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
     # bytes against a ~25 GB budget instead. Row k is a pure function
     # of k, so chunking is bit-identical to one pass.
     row_bytes = max_samples * 2 * 2 + 400     # bytes + pcm_ref + overhead
+    if os.environ.get("SG_CERT") == "1":
+        # + pcm_z (≤ raw size; sine PCM compresses far below it)
+        row_bytes += max_samples * 2
     chunk = max(1_000_000, int(25e9 / (2.0 * row_bytes)))
     # generation tasks capped at ~600k rows: larger Arrow-streaming
     # tasks (2.4M rows at 153.6M/64) hit a Python↔JVM pipe stall under
@@ -187,14 +190,19 @@ def build_bucketed(rows: int, bench_dir: str, wh: str,
         return max(64, n // 600_000)
     # the ref table stores a digest of its PCM at ingest (pcm_hash +
     # pcm_len) — payload_violations' lazy-reference path then fetches
-    # pcm_ref bytes only for rows that fail the digest fast path
+    # pcm_ref bytes only for rows that fail the digest fast path.
+    # SG_CERT=1 additionally writes the full ingest certificate
+    # (codec_ref + enc_hash/enc_len + compressed pcm_z): the certified
+    # plan then fast-passes ANY unchanged codec and the residual fetch
+    # moves compressed bytes (select_payload_plan auto-detects).
+    certified = os.environ.get("SG_CERT") == "1"
     gens = {
         "clips_b": lambda lo, n: fixtures.clips_df(
             spark, n, max_samples=max_samples, partitions=n_parts(n),
             start=lo),
         "clips_ref_b": lambda lo, n: fixtures.clips_ref_df(
             spark, n, max_samples=max_samples, partitions=n_parts(n),
-            start=lo)
+            start=lo, certified=certified)
             .withColumn("pcm_hash", F.xxhash64("pcm_ref"))
             .withColumn("pcm_len", F.length("pcm_ref")),
     }
@@ -290,6 +298,8 @@ def main() -> None:
     samples = int(os.environ.get("SG_SAMPLES", "512"))
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     tag = f"{rows}" if samples == 512 else f"{rows}_s{samples}"
+    if os.environ.get("SG_CERT") == "1":
+        tag += "_cert"
     # SG_TAG: opt-in suffix for a fresh warehouse+history when the
     # storage layout changes materially (e.g. the lazy-ref digest
     # columns) — min-merging timings across layouts would blur the

@@ -96,6 +96,13 @@ class PayloadCheck:
     snr_db_min: float = 30.0
     ref_table: str = "clips_ref"
     severity: Severity = Severity.ERROR
+    #: spec knob ``digest_fast_path`` — False forces the eager
+    #: byte-exact plan even when the ref table carries ingest digests
+    #: (the lazy/certified fast paths accept an xxhash64+length match,
+    #: false-pass ≤ 2⁻⁶⁴ per pair on non-adversarial data; forbid it
+    #: when inputs are adversarial and no cryptographic digest was
+    #: ingested)
+    allow_digest: bool = True
 
 
 @dataclass

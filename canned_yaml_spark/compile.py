@@ -545,7 +545,8 @@ class _Compiler:
             self.suite.payload_checks.append(PayloadCheck(
                 rule_id=f"x-payload.{column}", column=column,
                 snr_db_min=float(xp.get("snr_db_min", 30.0)),
-                ref_table=xp.get("ref_table", "clips_ref")))
+                ref_table=xp.get("ref_table", "clips_ref"),
+                allow_digest=bool(xp.get("digest_fast_path", True))))
 
 
 def _literal(v: Any, path: str) -> Column:

@@ -200,6 +200,10 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
     # join's ref side to (clip_id, 8 B, 4 B); the residual fetch is a
     # second co-partitioned join (zero exchange over bucketed tables —
     # and ONLY chosen over such tables, select_payload_plan).
+    if lazy_ref is None and not check.allow_digest:
+        # spec said `digest_fast_path: false` — byte-exact semantics,
+        # no digest plan may be auto-selected (see PayloadCheck)
+        lazy_ref = False
     plan = select_payload_plan(clips_ref, co_located, lazy_ref)
     _LOG.info("payload_violations rule=%s plan=%s (co_located=%s)",
               rule_id, plan, co_located)

@@ -198,6 +198,30 @@ def test_certified_catches_codec_label_tamper(spark, suite):
     assert any("undecodable" in m for _, m in got)
 
 
+def test_spec_can_forbid_digest_fast_path(spark, clips, suite):
+    # x-payload.digest_fast_path: false pins byte-exact semantics — no
+    # digest plan may be auto-selected even over a certified ref table
+    # (ADVICE r4: the fast path trades byte-exactness for a 2^-64
+    # false-pass bound; the spec owns that trade, not the layout)
+    from canned_yaml_spark import compile_spec, fixtures
+    spec = {
+        "type": "object",
+        "properties": {
+            "bytes": {"x-payload": {"snr_db_min": 30.0,
+                                    "digest_fast_path": False}},
+        },
+    }
+    pc = compile_spec(spec, clips.schema).payload_checks[0]
+    assert pc.allow_digest is False
+    ref_cert = fixtures.clips_ref_df(spark, 200, certified=True)
+    plan = payload.payload_violations(
+        clips.limit(200), ref_cert, pc) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "enc_hash" not in plan and "xxhash64" not in plan
+    # default spec keeps the digest plans available
+    assert suite.payload_checks[0].allow_digest is True
+
+
 def test_job_join_hint_is_layout_aware(spark, clips, clips_ref, suite,
                                        codec_dim):
     # bucketed tables whose per-bucket sort Spark can't trust (multi

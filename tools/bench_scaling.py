@@ -358,7 +358,16 @@ def main() -> None:
     p_par = max(0.0, (lo["secs"] - hi["secs"]) * 32.0 / 3.0)
     f_ser = max(0.0, lo["secs"] - p_par / 8.0)
 
+    cert_note = (
+        "\nStorage layout: CERTIFIED ingest posture (SG_CERT=1) — the ref\n"
+        "table stores codec_ref + enc_hash/enc_len (digest of the payload\n"
+        "bytes that passed validation at ingest) and zlib pcm_z;\n"
+        "payload_violations runs its certified plan (digest fast path for\n"
+        "every codec, compressed residual fetch). See FIXTURES.md table 4\n"
+        "and BENCH/SCALING_MODEL.md round-5 addition.\n"
+        if os.environ.get("SG_CERT") == "1" else "")
     md = f"""# BENCH — scaling evidence (north_rule) — {rows:,} rows, {samples} samples/clip
+{cert_note}
 
 End-to-end constraint-suite job — the union of every check family
 (row checks + uniqueness + referential + PSI + KS drift + payload SNR)

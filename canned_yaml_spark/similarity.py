@@ -284,8 +284,9 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]],
 
 def ivf_topk(emb_cells: DataFrame, queries: DataFrame,
              centroids: list[list[float]], k: int = 10,
-             nprobe: int = 8) -> DataFrame:
-    """IVF approximate top-k: probe the `nprobe` nearest cells per
+             nprobe: int = 8,
+             probe_margin: float | None = None) -> DataFrame:
+    """IVF approximate top-k: probe up to `nprobe` nearest cells per
     query, exact cosine inside them.
 
     emb_cells: output of ivf_assign — at 10^12 vectors this is the
@@ -294,13 +295,40 @@ def ivf_topk(emb_cells: DataFrame, queries: DataFrame,
     argmax way (broadcast centroids), explode to (cell, q) pairs, and
     join on cell — the only shuffle keys on the cell id. cand_frac ≈
     nprobe/n_cells at balanced cells, tunable per query set.
+
+    probe_margin (ROADMAP r5: probe cells by margin, not rank — the
+    IVF analogue of multi_probe_topk's low-|margin| bit flips): when
+    set, a non-best cell is probed only if its score is within
+    `probe_margin` of the best cell's score, with `nprobe` as the hard
+    cap. _cell_scores returns v·cᵢ − ‖cᵢ‖²/2, so a score gap of m
+    equals a squared-L2 gap of 2m: a query deep inside its Voronoi
+    cell probes 1 cell, a boundary query probes several — average
+    cand_frac drops at equal recall because extra reads are spent only
+    where the quantizer is actually ambiguous (BENCH/ANN.md IVF
+    sweep). None keeps the fixed-rank behavior.
     """
     scored_cells = _cell_scores(F.col("q_vec"), centroids)
-    probes = (queries.select(
-        "q_id", "q_vec",
-        F.explode(F.transform(
-            F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe),
-            lambda s: s.getField("cell"))).alias("cell")))
+    top = F.slice(F.reverse(F.array_sort(scored_cells)), 1, nprobe)
+    if probe_margin is None:
+        probes = (queries.select(
+            "q_id", "q_vec",
+            F.explode(F.transform(
+                top, lambda s: s.getField("cell"))).alias("cell")))
+    else:
+        # materialize the sorted slice ONCE per query row, then filter
+        # by gap-to-best; posexplode (not a HOF lambda capturing the
+        # array) keeps the sort from re-evaluating per element
+        probes = (queries
+                  .select("q_id", "q_vec", top.alias("_top"))
+                  .select("q_id", "q_vec",
+                          F.element_at("_top", 1).getField("score")
+                           .alias("_best"),
+                          F.posexplode("_top").alias("_pos", "_s"))
+                  .filter((F.col("_pos") == 0)
+                          | (F.col("_s").getField("score")
+                             >= F.col("_best") - float(probe_margin)))
+                  .select("q_id", "q_vec",
+                          F.col("_s").getField("cell").alias("cell")))
     j = emb_cells.join(F.broadcast(probes), "cell")
     cos = _dot(F.col("embedding"), F.col("q_vec")) / \
         (_norm(F.col("embedding")) * _norm(F.col("q_vec")))

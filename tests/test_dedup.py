@@ -220,6 +220,52 @@ def test_ivf_quantizer_recall(spark):
     emb.unpersist(); indexed.unpersist()
 
 
+def test_ivf_margin_probing(spark):
+    # probe_margin semantics (ROADMAP r5): a huge margin degenerates to
+    # the fixed-rank nprobe plan, margin=0 to single-cell probing, and
+    # an intermediate margin spends candidates only on boundary queries
+    emb = similarity.synth_clustered_embeddings(spark, 4000,
+                                                n_clusters=120,
+                                                partitions=8).cache()
+    cents = similarity.ivf_train(emb, n_cells=48, iters=3)
+    indexed = similarity.ivf_assign(emb, cents).cache()
+    q = (emb.filter(F.col("vec_id") % 200 == 0)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+
+    def rows(df):
+        return {(r.q_id, r.vec_id, r.cosine) for r in df.collect()}
+
+    fixed = similarity.ivf_topk(indexed, q, cents, 10, nprobe=8)
+    assert rows(similarity.ivf_topk(indexed, q, cents, 10, nprobe=8,
+                                    probe_margin=1e18)) == rows(fixed)
+    single = similarity.ivf_topk(indexed, q, cents, 10, nprobe=1)
+    assert rows(similarity.ivf_topk(indexed, q, cents, 10, nprobe=8,
+                                    probe_margin=0.0)) == rows(single)
+
+    # candidate volume with a modest margin sits strictly between the
+    # single-probe and full-rank plans, and recall does not regress
+    # below the single-probe floor
+    def cand_count(margin):
+        big = similarity.ivf_topk(indexed, q, cents, 10**9, nprobe=8,
+                                  probe_margin=margin)
+        return big.count()
+
+    c_single = cand_count(0.0)
+    c_full = cand_count(1e18)
+    c_mid = cand_count(2.0)
+    assert c_single <= c_mid <= c_full
+    exact = similarity.cosine_topk(emb, q, 10)
+    rec_mid = (similarity.recall_at_k(
+        exact, similarity.ivf_topk(indexed, q, cents, 10, nprobe=8,
+                                   probe_margin=2.0))
+        .agg(F.avg("recall")).first()[0])
+    rec_single = (similarity.recall_at_k(exact, single)
+                  .agg(F.avg("recall")).first()[0])
+    assert rec_mid >= rec_single
+    emb.unpersist(); indexed.unpersist()
+
+
 def test_sig_store_lifecycle_compaction(spark, docs, docs2, tmp_path):
     # ROADMAP 4 / VERDICT r4 item 5: after N delta appends the
     # signature store fragments; compaction (re-cluster by doc_id)

@@ -44,6 +44,7 @@ def main() -> None:
     exact.count()
 
     rows = []
+    margin_rows = []
     for n_cells in (64, 256):
         t0 = time.time()
         cents = similarity.ivf_train(emb, n_cells=n_cells, iters=4,
@@ -80,6 +81,29 @@ def main() -> None:
                    "train_secs": round(t_train, 2)}
             rows.append(row)
             print(json.dumps(row), flush=True)
+        if n_cells == 256:
+            # margin sweep (ROADMAP r5: probe cells by margin, not
+            # rank): nprobe stays the cap; the margin decides how many
+            # of those ranked cells each query actually opens.
+            # cand_frac is measured as the rows the probe join scores.
+            n_q = q.count()
+            for margin in (0.0, 0.5, 1.0, 2.0, 4.0, None):
+                t0 = time.time()
+                approx = similarity.ivf_topk(indexed, q, cents, K,
+                                             nprobe=8,
+                                             probe_margin=margin)
+                rec = (similarity.recall_at_k(exact, approx)
+                       .agg(F.avg("recall")).first()[0])
+                secs = time.time() - t0
+                cand = similarity.ivf_topk(indexed, q, cents, 10**9,
+                                           nprobe=8,
+                                           probe_margin=margin).count()
+                row = {"n_cells": n_cells, "nprobe": 8,
+                       "margin": margin, "recall": round(rec, 3),
+                       "cand_frac": round(cand / (n * n_q), 5),
+                       "secs": round(secs, 2)}
+                margin_rows.append(row)
+                print(json.dumps(row), flush=True)
         indexed.unpersist()
 
     if os.environ.get("SG_WRITE_MD") == "1":
@@ -107,6 +131,25 @@ stored cell id per vector. The scale posture is the same — the index
 is ONE assignment pass, the probe join keys on the cell id, and the
 stored table is partitioned by cell so probes read only their cells'
 files.
+""")
+        if margin_rows:
+            mlines = "\n".join(
+                f"| {'∞ (fixed rank)' if r['margin'] is None else r['margin']} | "
+                f"{r['recall']} | {r['cand_frac']} | {r['secs']} |"
+                for r in margin_rows)
+            with open(os.path.join(REPO, "BENCH", "ANN.md"), "a") as fh:
+                fh.write(f"""
+### Margin-based probing (round 5) — n_cells=256, nprobe cap 8
+
+`probe_margin` opens a ranked cell only when its quantizer score is
+within the margin of the query's best cell (gap of m in score = 2m in
+squared L2) — the IVF analogue of multi-probe LSH's low-|margin| bit
+flips. Boundary queries keep their extra probes; queries deep inside
+one cell stop at 1.
+
+| margin | recall@10 | cand_frac | secs |
+|---|---|---|---|
+{mlines}
 """)
     spark.stop()
 

@@ -120,6 +120,29 @@ def main() -> int:
             lambda p: p.count("Join") >= 3)],  # 2 decode-branch + transcript
           "first join's ref side is (clip_id, 12 B digest); pcm_ref "
           "fetched co-partitioned for residual rows only")
+    # the certified entry reads a PARQUET copy so the assertion below
+    # checks real scan-level column pruning (an in-memory MapInPandas
+    # fixture always lists every output column, prunable or not)
+    import tempfile
+    cert_dir = tempfile.mkdtemp(prefix="plan_audit_cert_")
+    fixtures.clips_ref_df(spark, 2000, max_samples=64, certified=True) \
+        .write.mode("overwrite").parquet(f"{cert_dir}/ref.parquet")
+    bench_ref_c = spark.read.parquet(f"{cert_dir}/ref.parquet")
+    audit("payload SNR (certified ingest)",
+          payload.payload_violations(bench, bench_ref_c,
+                                     bsuite.payload_checks[0]),
+          [("no sort-merge", lambda p: "SortMergeJoin" not in p),
+           ("ingest certificate in first join",
+            lambda p: "enc_hash" in p and "enc_len" in p),
+           ("residual fetch moves compressed pcm_z; raw pcm_ref "
+            "pruned from every scan",
+            lambda p: "pcm_z" in p and not any(
+                "pcm_ref" in seg.split(">")[0]
+                for seg in p.split("ReadSchema: struct<")[1:]))],
+          "join 1 carries the (codec_ref, enc_hash, enc_len) ingest "
+          "certificate — every unchanged payload of ANY codec "
+          "fast-passes; join 2 fetches zlib pcm_z for the damaged "
+          "residual only; raw pcm_ref never scanned")
     audit("minhash signatures",
           dedup.minhash_signatures(docs),
           [("partial agg below the exchange", lambda p:

@@ -1,10 +1,15 @@
 """spark-submit entry point.
 
-    spark-submit --py-files canned_yaml_spark.zip \
-        -m canned_yaml_spark.cli -- \
+    spark-submit --master <cluster> --py-files canned_yaml_spark.zip \
+        tools/submit_main.py \
         --spec specs/clips.spec.yaml --table /data/clips.parquet \
         --ref /data/clips_ref.parquet --dim codec_dim=/data/codec_dim.parquet \
         --out /data/validation_run
+
+(spark-submit's primary resource must be a script file — see
+tools/submit_main.py; tests/test_cli_submit.py drives this exact
+invocation end-to-end with the package importable ONLY from the
+--py-files zip, and asserts the submitted --master is respected.)
 
 Exit code 0 iff no ERROR-severity violation (the reference's process
 contract, /root/reference/canner/src/validate.cpp:12-26 /

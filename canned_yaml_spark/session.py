@@ -9,7 +9,32 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
+
+
+def _submitted_master() -> str | None:
+    """The master spark-submit (or the environment) already chose, if any.
+
+    Builder-level .master() OVERRIDES `spark-submit --master`, so the
+    factory must not set one when the launcher did — otherwise
+    `spark-submit --master yarn --py-files canned_yaml_spark.zip ...`
+    (the north-rule launch contract) silently runs local-mode on the
+    driver host. Detection: spark-submit's PythonRunner launches this
+    process with PYSPARK_GATEWAY_PORT pointing at a JVM that already
+    holds the submitted conf as system properties — connect to it
+    (cheap, the port is open) and read spark.master. Under a bare
+    `python` invocation neither signal exists and the sandbox default
+    applies. (Pre-gateway SparkConf() is a plain dict and can NOT see
+    submitted properties, hence the explicit _ensure_initialized.)
+    """
+    if os.environ.get("MASTER"):
+        return os.environ["MASTER"]
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        return None
+    from pyspark import SparkContext
+    SparkContext._ensure_initialized()
+    return SparkConf().get("spark.master", None)
 
 
 def get_spark(app: str = "canned_yaml_spark",
@@ -28,7 +53,6 @@ def get_spark(app: str = "canned_yaml_spark",
         os.makedirs(local_dir, exist_ok=True)
     b = (
         SparkSession.builder
-        .master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,6 +69,10 @@ def get_spark(app: str = "canned_yaml_spark",
         # fatal when that dir is tmpfs (counts against RAM)
         .config("spark.cleaner.periodicGC.interval", "45s")
     )
+    if _submitted_master() is None:
+        # sandbox / bare-python default; a spark-submit launch keeps
+        # the --master it was given (see _submitted_master)
+        b = b.master(f"local[{cores}]")
     if local_dir:
         b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():

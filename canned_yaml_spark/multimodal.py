@@ -14,8 +14,8 @@ Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
 
-THREE real containers ride alongside the stubs, one per modality,
-each needing no external library:
+FOUR real containers ride alongside the stubs, covering every
+modality, each needing no external library:
 - RIFF/WAVE 16-bit PCM (r4): spec-conformant writer (fmt chunk, a
   LIST chunk so parsers must actually walk, word-aligned data chunk)
   + a generic RIFF chunk walker, cross-checked against stdlib `wave`.
@@ -25,14 +25,19 @@ each needing no external library:
 - YUV4MPEG2 (r5): tagged plain-text stream header + FRAME markers
   with raw planar YUV, the layout ffmpeg/mjpegtools emit; C420/C444/
   Cmono supported, mean_luma over Y planes only.
-Formats that genuinely need Pillow/ffmpeg (PNG, JPEG, MP4) remain
-declared NotImplementedError stubs. Swapping those in changes only
-`_DECODERS`.
+- PNG (r5): chunk walk with CRC32 verification, zlib-inflated IDAT,
+  and full reversal of all five scanline filters (None/Sub/Up/
+  Average/Paeth) — the encoder cycles filter types per row so the
+  decoder's unfiltering is actually load-bearing. stdlib zlib only.
+Formats that genuinely need external codecs (JPEG's DCT entropy
+coding, MP4/H.264) remain declared NotImplementedError stubs.
+Swapping those in changes only `_DECODERS`.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -216,6 +221,153 @@ def _decode_bmp(buf: bytes) -> dict:
             "mean_luma": float(logical.mean())}
 
 
+# ----------------------------------------------------- real codec: PNG
+#: PNG corpus constants (the DuckDB oracle restates the same formula);
+#: height 5 so the encoder's per-row filter cycle r % 5 exercises ALL
+#: five PNG filter types (None/Sub/Up/Average/Paeth) in every image
+PNG_W, PNG_H = 5, 5
+
+#: PNG file signature (PNG spec §5.2)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_pixel(k: int, j):
+    """Byte j of image k's pixel data in logical order (row-major RGB)
+    — pure integer arithmetic, SQL-restatable. j in [0, PNG_W*PNG_H*3)."""
+    return (j * 3 + k * 23) % 256
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """PaethPredictor (PNG spec §9.4) over int arrays."""
+    p = a.astype(np.int32) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def encode_png(key: int, width: int = PNG_W, height: int = PNG_H,
+               channels: int = 3) -> bytes:
+    """A real, spec-conformant PNG: signature, IHDR/IDAT/IEND chunks
+    with big-endian lengths and CRC32s, zlib-compressed scanlines.
+    Row r is written with filter type r % 5, so a decoder must
+    implement ALL five filters (None/Sub/Up/Average/Paeth) correctly
+    to reconstruct the pixels — filtering is lossless, so the decoded
+    bytes still equal png_pixel(key, j) and the oracle can restate the
+    mean analytically. Pure numpy/struct/zlib — no Pillow."""
+    color_type = {1: 0, 3: 2, 4: 6}[channels]    # gray / RGB / RGBA
+    px = png_pixel(key, np.arange(width * height * channels,
+                                  dtype=np.int64)).astype(np.uint8)
+    raw = px.reshape(height, width * channels).astype(np.int32)
+    bpp = channels                                # bit depth 8
+    lines = []
+    prior = np.zeros(width * channels, dtype=np.int32)
+    for r in range(height):
+        cur = raw[r]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.int32),
+                                  prior[:-bpp]])
+        ftype = r % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prior
+        elif ftype == 3:
+            filt = cur - (left + prior) // 2
+        else:
+            filt = cur - _paeth(left, prior, up_left)
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(buf: bytes) -> dict:
+    """Real PNG parser: validates the signature, walks chunks verifying
+    every CRC32, parses IHDR (bit depth 8; gray/RGB/RGBA; no interlace),
+    inflates the concatenated IDAT stream, and reverses the per-row
+    filter (all five types, PNG spec §9) to reconstruct pixels.
+    Sub/Average/Paeth unfiltering is inherently sequential in x (each
+    byte needs the reconstructed byte bpp to its left), so rows decode
+    with a per-byte loop — fine for metadata extraction; a columnar
+    raster pipeline would batch whole images per Arrow batch anyway.
+    Metadata mapping matches BMP: mean_luma = mean over all samples
+    (order-invariant, so the oracle restates it analytically)."""
+    if len(buf) < 8 or bytes(buf[:8]) != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, idat, seen_end = 8, None, [], False
+    while pos + 8 <= len(buf):
+        ln = struct.unpack(">I", buf[pos:pos + 4])[0]
+        ctype = bytes(buf[pos + 4:pos + 8])
+        end = pos + 8 + ln
+        if end + 4 > len(buf):
+            raise ValueError(f"chunk {ctype!r} overruns buffer")
+        data = bytes(buf[pos + 8:end])
+        crc = struct.unpack(">I", buf[end:end + 4])[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos = end + 4
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR/IDAT/IEND chunk")
+    w, h, depth, color_type, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError(f"unsupported PNG: depth={depth} "
+                         f"color_type={color_type} interlace={interlace}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    stream = zlib.decompress(b"".join(idat))
+    rowlen = w * channels
+    if len(stream) != h * (1 + rowlen):
+        raise ValueError(f"inflated stream {len(stream)} != "
+                         f"{h}x(1+{rowlen})")
+    sl = np.frombuffer(stream, dtype=np.uint8).reshape(h, 1 + rowlen)
+    bpp = channels
+    recon = np.zeros((h, rowlen), dtype=np.int32)
+    prior = np.zeros(rowlen, dtype=np.int32)
+    for r in range(h):
+        ftype, frow = int(sl[r, 0]), sl[r, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = frow
+        elif ftype == 2:
+            cur = (frow + prior) % 256
+        elif ftype in (1, 3, 4):
+            cur = np.empty(rowlen, dtype=np.int32)
+            for x in range(rowlen):
+                left = cur[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + prior[x]) // 2
+                else:
+                    ul = prior[x - bpp] if x >= bpp else 0
+                    pred = int(_paeth(np.int32(left), np.int32(prior[x]),
+                                      np.int32(ul)))
+                cur[x] = (frow[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ftype} on row {r}")
+        recon[r] = cur
+        prior = cur
+    return {"width": int(w), "height": int(h), "channels": channels,
+            "n_frames": 1, "mean_luma": float(recon.mean())}
+
+
 # ------------------------------------------ real codec: Y4M (YUV4MPEG2)
 #: Y4M corpus constants (the DuckDB oracle restates the same formula)
 Y4M_F, Y4M_W, Y4M_H = 4, 4, 4
@@ -325,7 +477,7 @@ _DECODERS = {
     b"IMG1": _decode_image_stub,
     b"VID1": _decode_video_stub,
     b"RIFF": _decode_wav,                  # real container, real parser
-    b"\x89PNG": _decode_real,
+    b"\x89PNG": _decode_png,               # real container, real parser
     b"\xff\xd8\xff\xe0": _decode_real,
     b"BM": _decode_bmp,                    # real container, real parser
     b"YUV4MPEG2": _decode_y4m,             # real container, real parser
@@ -348,11 +500,12 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 
 # ----------------------------------------------------- derived corpus
 #: corpus plan (pure arithmetic on o_orderkey, mirrored analytically by
-#: the DuckDB oracle): k%4==0 → 8×8×3 IMG1 stub image, k%4==1 → real
-#: WAV/RIFF audio, k%4==2 → real 6×5 24-bpp BMP image, k%4==3 → real
-#: 4-frame 4×4 C420 Y4M video; every 10th payload truncated to half
-#: (undecodable). The IMG1 stub slot stays: it exercises the
-#: declared-stub plumbing a future Pillow decoder would slot into.
+#: the DuckDB oracle): k%4==1 → real WAV/RIFF audio, k%4==2 → real 6×5
+#: 24-bpp BMP image, k%4==3 → real 4-frame 4×4 C420 Y4M video; the
+#: k%4==0 slot splits — k%8==4 → real 5×5 RGB PNG (all five filters),
+#: k%8==0 → 8×8×3 IMG1 stub image; every 10th payload truncated to
+#: half (undecodable). The IMG1 stub slot stays: it exercises the
+#: declared-stub plumbing a future JPEG/MP4 decoder would slot into.
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
 
@@ -364,6 +517,8 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
         buf = encode_wav(k)
     elif k % 4 == 2:
         buf = encode_bmp(k)
+    elif k % 8 == 4:
+        buf = encode_png(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -404,6 +559,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"YUV4"), "video") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"RIFF"), "audio") \
         .when(F.col(byte_col).substr(1, 2) == F.lit(b"BM"), "image") \
+        .when(F.col(byte_col).substr(1, 4) == F.lit(b"\x89PNG"), "image") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

@@ -360,6 +360,7 @@ _MEDIA_KEYED = """m AS (
          (o_orderkey % 4 = 3) AS is_vid,
          (o_orderkey % 4 = 1) AS is_wav,
          (o_orderkey % 4 = 2) AS is_bmp,
+         (o_orderkey % 8 = 4) AS is_png,
          (o_orderkey % 10 = 0) AS corrupt
   FROM orders)"""
 
@@ -377,6 +378,13 @@ def sql_media_meta() -> str:
                 "i -> (i*7 + k*13) % 256))")
     bmp_mean = ("list_avg(list_transform(generate_series(0, 89), "
                 "i -> (i*5 + k*19) % 256))")
+    # the PNG branch cross-checks Spark's REAL chunk walk + CRC32
+    # verification + zlib inflate + five-filter unfiltering: logical
+    # pixel byte j of image k is (j*3 + k*23) % 256 (multimodal.
+    # png_pixel); filtering is lossless, so the decoded mean equals the
+    # analytic mean — but only if every filter type inverts correctly
+    png_mean = ("list_avg(list_transform(generate_series(0, 74), "
+                "j -> (j*3 + k*23) % 256))")
     # the Y4M branch cross-checks Spark's REAL stream-header + FRAME
     # walk: payload byte j of stream k is (j*11 + k*17) % 256
     # (multimodal.y4m_byte); mean_luma averages ONLY the Y plane —
@@ -394,9 +402,11 @@ SELECT media_id, part_id,
             ELSE 'image' END AS kind,
        NOT corrupt AS ok,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
-            WHEN is_wav THEN 2 WHEN is_bmp THEN 6 ELSE 8 END AS width,
+            WHEN is_wav THEN 2 WHEN is_bmp THEN 6
+            WHEN is_png THEN 5 ELSE 8 END AS width,
        CASE WHEN corrupt OR is_wav THEN NULL
-            WHEN is_vid THEN 4 WHEN is_bmp THEN 5 ELSE 8 END AS height,
+            WHEN is_vid THEN 4 WHEN is_bmp THEN 5
+            WHEN is_png THEN 5 ELSE 8 END AS height,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 3
             WHEN is_wav THEN 1 ELSE 3 END AS channels,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
@@ -405,6 +415,7 @@ SELECT media_id, part_id,
             WHEN is_vid THEN round({vid_mean}, 4)
             WHEN is_wav THEN round({wav_mean}, 4)
             WHEN is_bmp THEN round({bmp_mean}, 4)
+            WHEN is_png THEN round({png_mean}, 4)
             ELSE round({img_mean}, 4) END AS mean_luma
 FROM m
 """.strip()

@@ -59,8 +59,58 @@ def test_frame_sampling(spark, media):
 
 
 def test_real_format_routes_to_stub():
+    # JPEG still needs an external codec; PNG is real as of r5
+    meta, err = mm.decode_media(b"\xff\xd8\xff\xe0" + b"x" * 16)
+    assert meta is None and "multimodal._DECODERS" in err
+
+
+def test_png_roundtrip_all_five_filters():
+    # encode_png cycles filter type r % 5 per row, so a 5-row image
+    # exercises None/Sub/Up/Average/Paeth; filtering is lossless, so
+    # the decoded mean must equal the analytic png_pixel mean exactly
+    import numpy as np
+    for k in (0, 4, 12, 9999):
+        meta, err = mm.decode_media(mm.encode_png(k))
+        assert err is None
+        assert (meta["width"], meta["height"], meta["channels"],
+                meta["n_frames"]) == (mm.PNG_W, mm.PNG_H, 3, 1)
+        want = mm.png_pixel(k, np.arange(mm.PNG_W * mm.PNG_H * 3)).mean()
+        assert abs(meta["mean_luma"] - want) < 1e-9
+    # gray + RGBA color types, and >5 rows (filter cycle repeats)
+    for ch, w, h in ((1, 7, 10), (4, 3, 6), (3, 16, 16)):
+        meta, err = mm.decode_media(mm.encode_png(77, w, h, ch))
+        assert err is None, err
+        want = mm.png_pixel(77, np.arange(w * h * ch)).mean()
+        assert (meta["channels"], meta["width"], meta["height"]) == (ch, w, h)
+        assert abs(meta["mean_luma"] - want) < 1e-9
+
+
+def test_png_parser_rejects_malformed():
+    good = mm.encode_png(5)
+    # bad signature
     meta, err = mm.decode_media(b"\x89PNG\r\n" + b"x" * 16)
-    assert meta is None and "Pillow/ffmpeg" in err
+    assert meta is None and "signature" in err
+    # truncation lands mid-IDAT → chunk overrun
+    meta, err = mm.decode_media(good[: len(good) // 2])
+    assert meta is None and "undecodable" in err
+    # CRC corruption is detected (flip a byte inside IHDR data)
+    bad = bytearray(good)
+    bad[18] ^= 0xFF
+    meta, err = mm.decode_media(bytes(bad))
+    assert meta is None and "CRC mismatch" in err
+    # interlaced images are declared unsupported, not mis-decoded
+    ihdr = bytearray(good[16:29])              # IHDR data (13 bytes)
+    ihdr[12] = 1                               # interlace = Adam7
+    rebuilt = good[:8] + mm._png_chunk(b"IHDR", bytes(ihdr)) + good[33:]
+    meta, err = mm.decode_media(rebuilt)
+    assert meta is None and "unsupported PNG" in err
+    # declared-vs-inflated size mismatch (extra scanline appended)
+    stream_rows = (1 + mm.PNG_W * 3) * mm.PNG_H + 7
+    idat = mm._png_chunk(b"IDAT", __import__("zlib").compress(
+        b"\x00" * stream_rows))
+    rebuilt = good[:8] + good[8:33] + idat + mm._png_chunk(b"IEND", b"")
+    meta, err = mm.decode_media(rebuilt)
+    assert meta is None and "inflated stream" in err
 
 
 def test_wav_roundtrip_real_container():

@@ -2,7 +2,10 @@
 __spark_entry__ query in Spark AND its oracle SQL in DuckDB at a given
 sf dir, compare row count + order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [only_substr ...]
+(extra args restrict the run to queries whose name contains any of
+them — e.g. `python tools/check_oracle.py /root/testdata/sf0.01
+media frame` after touching the media corpus)
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: tuple[str, ...] = ()) -> int:
     spark = get_spark("oracle_check", cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -42,6 +45,8 @@ def main(sf_dir: str) -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:24s} rows={len(sdf):7d}  (rows-only, no oracle)")
@@ -71,5 +76,6 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else
-                  "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1
+                  else "/root/testdata/sf0.01",
+                  tuple(sys.argv[2:])))

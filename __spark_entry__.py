@@ -374,6 +374,48 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.length("frame").alias("frame_len")))
 
 
+def _q_transcript_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # edit distance vs the pre-injection ground-truth transcript table
+    # (derive.transcript_ref_select) — keeps only drifted rows. The
+    # injected wrong-id rule (clip_id of k-1) mis-joins to k-1's
+    # reference exactly as a real mislabeled clip would, and surfaces
+    # here with dist > 0; NULL transcripts yield NULL dist (dropped),
+    # they are `required` violations, not distance ones.
+    from canned_yaml_spark import derive, payload
+    clips = derive.clips_df(spark, sf_dir)       # registers `orders` view
+    tref = spark.sql(derive.transcript_ref_select("spark"))
+    d = payload.transcript_distance(clips, tref)
+    return d.filter(F.col("dist") > 0)
+
+
+def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-clip quality metrics (peak/RMS dBFS/clipping/silence/DC) over
+    # the media corpus's REAL RIFF/WAVE rows, decoded by the generic
+    # chunk walker; the oracle recomputes every metric analytically
+    # from wav_sample(k, i) = (i*31 + k*7) % 2048 - 1024
+    from canned_yaml_spark import multimodal, payload
+    media = multimodal.media_corpus_df(spark, sf_dir)
+    wavs = (media.filter(F.col("media").substr(1, 4) == F.lit(b"RIFF"))
+                 .withColumn("codec", F.lit("wav")))
+
+    def riff_decoder(buf, codec):
+        try:
+            pcm, _ = multimodal.wav_pcm(bytes(buf))
+            return pcm
+        except ValueError:
+            return None
+
+    s = payload.audio_stats(wavs, byte_col="media", id_col="media_id",
+                            clip_thresh=1000, silence_thresh=16,
+                            decoder=riff_decoder)
+    return s.select(
+        F.col("clip_id").alias("media_id"), "part_id", "n_samples",
+        "peak", F.round("dc_offset", 4).alias("dc_offset"),
+        F.round("rms_db", 4).alias("rms_db"),
+        F.round("clip_frac", 4).alias("clip_frac"),
+        F.round("silence_frac", 4).alias("silence_frac"))
+
+
 # --- non-SQL-expressible (rows-only checks by the driver) -------------
 def _q_payload_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow-vectorized payload decode + SNR vs reference (input_hint);
@@ -471,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
+        "audio_stats": _q_audio_stats,
+        "transcript_distance": _q_transcript_distance,
         "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
         "payload_certified": _q_payload_certified,  # rows-only (binary)
         "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
@@ -515,5 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),
+        "audio_stats": oracle.sql_audio_stats(),
+        "transcript_distance": oracle.sql_transcript_distance(),
         "ks_drift": oracle.sql_ks_drift(),
     }

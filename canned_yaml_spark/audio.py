@@ -109,6 +109,57 @@ def decode(data: bytes | bytearray | memoryview, codec: str) -> np.ndarray | Non
     return np.frombuffer(raw, dtype="<i2")
 
 
+def batch_stats(decs: list, clip_thresh: int,
+                silence_thresh: int) -> dict[str, np.ndarray]:
+    """Per-clip quality metrics over a batch of decoded PCM arrays,
+    vectorized the same way payload._batch_snr is: equal-length clips
+    stack into ONE int16 matrix per length group, and every metric is
+    a row-axis reduction over it (exact int64 accumulation; the only
+    floats are the final divisions). Training-data pipelines gate on
+    these: clipping → distorted capture, near-zero RMS / high silence
+    fraction → dead air, DC offset → broken recording chain.
+
+    Returns arrays aligned with `decs`; rows whose decode failed
+    (None) keep n_samples = -1 and NaN metrics (the Spark caller maps
+    those to NULLs), empty clips keep n_samples = 0.
+    """
+    n = len(decs)
+    out = {
+        "n_samples": np.full(n, -1, dtype=np.int64),
+        "peak": np.zeros(n, dtype=np.int64),
+        "dc_offset": np.full(n, np.nan),
+        "rms_db": np.full(n, np.nan),
+        "clip_frac": np.full(n, np.nan),
+        "silence_frac": np.full(n, np.nan),
+    }
+    groups: dict[int, list[int]] = {}
+    for i, d in enumerate(decs):
+        if d is None:
+            continue
+        if d.size == 0:
+            out["n_samples"][i] = 0
+            continue
+        groups.setdefault(d.size, []).append(i)
+    for size, idx in groups.items():
+        d = np.empty((len(idx), size), dtype=np.int16)
+        for j, i in enumerate(idx):
+            d[j] = decs[i]
+        ix = np.asarray(idx)
+        a = np.abs(d.astype(np.int32))
+        sums = d.sum(axis=1, dtype=np.int64)
+        sumsq = np.einsum("ij,ij->i", d, d, dtype=np.int64)
+        out["n_samples"][ix] = size
+        out["peak"][ix] = a.max(axis=1)
+        out["dc_offset"][ix] = sums / size
+        rms = np.sqrt(sumsq / size)
+        with np.errstate(divide="ignore"):
+            db = 20.0 * np.log10(rms / 32768.0)
+        out["rms_db"][ix] = np.where(rms > 0, db, np.nan)  # silence: NULL
+        out["clip_frac"][ix] = (a >= clip_thresh).sum(axis=1) / size
+        out["silence_frac"][ix] = (a <= silence_thresh).sum(axis=1) / size
+    return out
+
+
 def snr_db(ref: np.ndarray, dec: np.ndarray | None) -> float:
     """Signal-to-noise ratio of decoded vs reference PCM, in dB.
 

@@ -105,6 +105,24 @@ class PayloadCheck:
     allow_digest: bool = True
 
 
+@dataclass(frozen=True)
+class AudioStatsCheck:
+    """x-audio-stats: decode audio ``column`` and gate per-clip quality
+    metrics — clipping fraction, silence fraction, RMS dBFS floor.
+    No reference table: these are absolute quality gates (the audio
+    analogue of textops.quality_score), one Arrow pass, no join.
+    A threshold left as None is not checked."""
+
+    rule_id: str
+    column: str
+    clip_thresh: int = 32000       # |sample| ≥ this counts as clipped
+    silence_thresh: int = 16       # |sample| ≤ this counts as silence
+    max_clip_frac: float | None = None
+    max_silence_frac: float | None = None
+    min_rms_db: float | None = None
+    severity: Severity = Severity.WARN
+
+
 @dataclass
 class CheckSuite:
     """Everything compiled from one spec.
@@ -119,6 +137,7 @@ class CheckSuite:
     ref_checks: list[RefCheck] = field(default_factory=list)
     drift_checks: list[DriftCheck] = field(default_factory=list)
     payload_checks: list[PayloadCheck] = field(default_factory=list)
+    audio_checks: list[AudioStatsCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -133,6 +152,7 @@ class CheckSuite:
         for group, items in (
             ("unique", self.unique_checks), ("ref", self.ref_checks),
             ("drift", self.drift_checks), ("payload", self.payload_checks),
+            ("audio", self.audio_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

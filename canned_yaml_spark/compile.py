@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
-    Check, CheckSuite, DriftCheck, PayloadCheck, RefCheck, Severity,
+    AudioStatsCheck, Check, CheckSuite, DriftCheck, PayloadCheck, RefCheck,
+    Severity,
     UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
@@ -547,6 +548,17 @@ class _Compiler:
                 snr_db_min=float(xp.get("snr_db_min", 30.0)),
                 ref_table=xp.get("ref_table", "clips_ref"),
                 allow_digest=bool(xp.get("digest_fast_path", True))))
+        if "x-audio-stats" in sub:
+            xa = sub["x-audio-stats"]
+            opt = (lambda k: float(xa[k]) if k in xa else None)
+            self.suite.audio_checks.append(AudioStatsCheck(
+                rule_id=f"x-audio-stats.{column}", column=column,
+                clip_thresh=int(xa.get("clip_thresh", 32000)),
+                silence_thresh=int(xa.get("silence_thresh", 16)),
+                max_clip_frac=opt("max_clip_frac"),
+                max_silence_frac=opt("max_silence_frac"),
+                min_rms_db=opt("min_rms_db"),
+                severity=Severity[xa.get("severity", "WARN").upper()]))
 
 
 def _literal(v: Any, path: str) -> Column:

@@ -132,6 +132,25 @@ def clips_duckdb_cte() -> str:
     return f"clips AS ({clips_select('duckdb')})"
 
 
+def transcript_ref_select(dialect: str, orders_rel: str = "orders") -> str:
+    """Ground-truth transcript table (clip_id, transcript_ref): the
+    PRE-injection transcript for every key — what an ASR reference
+    table would hold. Same two-engine discipline as clips_select."""
+    if dialect == "spark":
+        fmt = "format_string"
+    elif dialect == "duckdb":
+        fmt = "printf"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    word = _word_case(f"(o_orderkey * 7919) % {len(WORDS)}")
+    return f"""
+SELECT {fmt}('clip_%010d', o_orderkey) AS clip_id,
+       rtrim(repeat(concat({word}, ' '),
+             CAST((o_orderkey * 104729) % 40 + 1 AS INT))) AS transcript_ref
+FROM {orders_rel}
+""".strip()
+
+
 # ------------------------------------------------------------ nested corpus
 #: injection cycle for the nested corpus (every 10th key, 8 rules):
 #: 0 tags too long (maxItems)      1 tags empty (minItems)

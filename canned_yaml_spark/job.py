@@ -102,6 +102,12 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
                     join_hint=("MERGE" if bucketed_by_id
                                and bucket_sort_trusted else "SHUFFLE_HASH"),
                     co_located=bucketed_by_id))
+    for ac in suite.audio_checks:
+        # absolute quality gates, no reference table; skipped when the
+        # table has no such column (e.g. the transcript-only corpus)
+        if ac.column in clips.columns:
+            out = out.unionByName(
+                payload.audio_stats_violations(clips, ac, id_col, part_col))
     return out
 
 

@@ -115,12 +115,10 @@ def encode_wav(key: int, n_samples: int = WAV_N, sr_hz: int = WAV_SR,
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def _decode_wav(buf: bytes) -> dict:
-    """Generic RIFF walker: validates the envelope, iterates chunks
-    with word alignment, requires one fmt (PCM, 16-bit) and one data
-    chunk. Metadata mapping for the audio kind: width = sample width
-    in bytes, height = NULL (no spatial axis), n_frames = per-channel
-    frames, mean_luma = mean sample value (mean amplitude)."""
+def wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
+    """(PCM16 samples, channels) from a RIFF/WAVE buffer — the generic
+    chunk walk shared by the metadata decoder and audio_stats. Raises
+    ValueError on malformed containers."""
     if len(buf) < 12 or buf[8:12] != b"WAVE":
         raise ValueError("not a WAVE file")
     riff_size = struct.unpack("<I", buf[4:8])[0]
@@ -149,7 +147,17 @@ def _decode_wav(buf: bytes) -> dict:
     pcm = np.frombuffer(data, dtype="<i2")
     if pcm.size % channels:
         raise ValueError("data chunk not a whole number of frames")
-    del sr_hz                              # parsed + validated, not in META_SCHEMA
+    del sr_hz                              # parsed + validated, callers don't need it
+    return pcm, channels
+
+
+def _decode_wav(buf: bytes) -> dict:
+    """Generic RIFF walker (wav_pcm): validates the envelope, iterates
+    chunks with word alignment, requires one fmt (PCM, 16-bit) and one
+    data chunk. Metadata mapping for the audio kind: width = sample
+    width in bytes, height = NULL (no spatial axis), n_frames =
+    per-channel frames, mean_luma = mean sample value (mean amplitude)."""
+    pcm, channels = wav_pcm(buf)
     return {"width": 2, "height": None, "channels": channels,
             "n_frames": pcm.size // channels,
             "mean_luma": float(pcm.mean())}

@@ -421,6 +421,51 @@ FROM m
 """.strip()
 
 
+def sql_transcript_distance() -> str:
+    # both engines implement classic Levenshtein; the wrong-id
+    # injection (rule 5) mis-joins to the previous key's reference and
+    # always differs (word index steps by 7919 % 16 = 15 per key), the
+    # junk-transcript injection (rule 7) differs trivially, NULLs drop
+    from canned_yaml_spark.derive import (
+        clips_duckdb_cte, transcript_ref_select,
+    )
+    return f"""
+WITH {clips_duckdb_cte()},
+tref AS ({transcript_ref_select('duckdb')})
+SELECT * FROM (
+  SELECT c.clip_id, c.part_id,
+         CAST(levenshtein(c.transcript, t.transcript_ref) AS INT) AS dist
+  FROM clips c JOIN tref t USING (clip_id))
+WHERE dist > 0
+""".strip()
+
+
+def sql_audio_stats() -> str:
+    # audio quality metrics over the REAL WAV rows: every metric is
+    # restated analytically from wav_sample(k, i) = (i*31+k*7)%2048-1024
+    # over i in [0, 200). Corrupt WAVs cannot occur (k%4=1 is odd,
+    # corruption hits even keys), so every row has full metrics. The
+    # double math (avg → sqrt → log10) runs in the same IEEE order in
+    # both engines; round(4) absorbs any final-ulp drift.
+    smp = ("list_transform(generate_series(0, 199), "
+           "i -> (i*31 + k*7) % 2048 - 1024)")
+    return f"""
+WITH {_MEDIA_KEYED},
+s AS (SELECT media_id, part_id, {smp} AS smp FROM m WHERE is_wav)
+SELECT media_id, part_id,
+       CAST(200 AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+       round(list_avg(smp), 4) AS dc_offset,
+       round(20 * log10(sqrt(list_avg(list_transform(smp,
+             v -> CAST(v AS DOUBLE) * v))) / 32768.0), 4) AS rms_db,
+       round(len(list_filter(smp, v -> abs(v) >= 1000)) / 200.0, 4)
+           AS clip_frac,
+       round(len(list_filter(smp, v -> abs(v) <= 16)) / 200.0, 4)
+           AS silence_frac
+FROM s
+""".strip()
+
+
 def sql_frame_sample() -> str:
     # videos only — real 4-frame 4x4 C420 Y4M streams, sampled every
     # 2nd frame; each sampled frame is one full planar YUV payload

@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from canned_yaml_spark.audio import _MAGIC, decode, snr_db
+from canned_yaml_spark.audio import _MAGIC, batch_stats, decode, snr_db
 from canned_yaml_spark.checks import PayloadCheck
 
 _LOG = logging.getLogger(__name__)
@@ -44,6 +44,27 @@ _OUT_SCHEMA = ("clip_id string, part_id int, rule_id string, "
                "severity int, message string")
 
 _EMPTY = np.zeros(0, dtype="<i2")
+
+
+def _ref_pcm(raw, compressed: bool = False) -> np.ndarray | None:
+    """Reference PCM from the stored ref-table bytes. Returns None when
+    the STORED reference itself is malformed (odd byte length, or bad
+    zlib for the compressed certified layout) — the caller surfaces
+    that as a violation row. A validation engine has to survive garbage
+    in its own reference table; np.frombuffer on an odd-length buffer
+    would otherwise kill the whole Arrow task (found driving a
+    corrupted ref row through the job boundary)."""
+    if raw is None:
+        return _EMPTY
+    buf = bytes(raw)
+    if compressed:
+        try:
+            buf = zlib.decompress(buf)
+        except zlib.error:
+            return None
+    if len(buf) % 2:
+        return None
+    return np.frombuffer(buf, dtype="<i2")
 
 
 def _transcript_mismatch(t: F.Column, tr: F.Column) -> F.Column:
@@ -69,8 +90,8 @@ def _batch_snr(decs: list, refs: list, snr: np.ndarray) -> None:
     """
     groups: dict[int, list[int]] = {}
     for i, d in enumerate(decs):
-        if d is None:
-            continue
+        if d is None or refs[i] is None:
+            continue               # undecodable payload / malformed ref
         if d.size != refs[i].size:
             continue               # stays -inf: hard fail
         if d.size == 0:
@@ -337,13 +358,7 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
             for i in range(n):
                 decs[i] = (decode(payloads[i], codecs[i])
                            if payloads[i] is not None else None)
-                if raw_refs[i] is None:
-                    refs[i] = _EMPTY
-                elif ref_is_z:
-                    refs[i] = np.frombuffer(
-                        zlib.decompress(raw_refs[i]), dtype="<i2")
-                else:
-                    refs[i] = np.frombuffer(raw_refs[i], dtype="<i2")
+                refs[i] = _ref_pcm(raw_refs[i], compressed=ref_is_z)
             snr = np.full(n, -np.inf)
             _batch_snr(decs, refs, snr)
 
@@ -352,6 +367,10 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
             for i in bad:
                 if decs[i] is None:
                     out_msg.append(f"payload undecodable as {codecs[i]}")
+                elif refs[i] is None:
+                    out_msg.append(
+                        "reference pcm malformed (odd length or bad "
+                        "compression)")
                 else:
                     out_msg.append(
                         f"SNR {snr[i]:.1f} dB < {snr_min:.1f} dB "
@@ -368,6 +387,153 @@ def payload_violations(clips: DataFrame, clips_ref: DataFrame,
             })
 
     return need.mapInPandas(check_batches, _OUT_SCHEMA).unionByName(t_viol)
+
+
+def transcript_distance(clips: DataFrame, clips_ref: DataFrame,
+                        id_col: str = "clip_id",
+                        part_col: str = "part_id",
+                        ref_col: str = "transcript_ref",
+                        join_hint: str = "SHUFFLE_HASH") -> DataFrame:
+    """Levenshtein distance between each clip's transcript and its
+    reference — the ASR-tolerance generalization of the equality
+    branch in payload_violations (reference analog: equal.cc's exact
+    equality; a WER-style pipeline gates on dist ≤ k instead of
+    dist = 0, tolerating transcription variance).
+
+    Output: (clip_id, part_id, dist) with dist NULL when either side
+    is NULL. Pure JVM — F.levenshtein is a codegen expression, the
+    scans are pruned to three narrow columns per side, and the join is
+    the same clip_id equi-join shape as the transcript branch, so it
+    is exchange-free over clip_id-bucketed tables.
+    """
+    t = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(part_col).alias("part_id"),
+        F.col("transcript").alias("_t"),
+    ).join(
+        clips_ref.select("clip_id",
+                         F.col(ref_col).alias("_tr")).hint(join_hint),
+        "clip_id", "inner")
+    return t.select("clip_id", "part_id",
+                    F.levenshtein("_t", "_tr").alias("dist"))
+
+
+#: audio_stats output schema — one metrics row per input clip
+_STATS_SCHEMA = ("clip_id string, part_id int, n_samples bigint, "
+                 "peak int, dc_offset double, rms_db double, "
+                 "clip_frac double, silence_frac double")
+
+
+def audio_stats(clips: DataFrame,
+                byte_col: str = "bytes", codec_col: str = "codec",
+                id_col: str = "clip_id", part_col: str = "part_id",
+                clip_thresh: int = 32000, silence_thresh: int = 16,
+                decoder=None) -> DataFrame:
+    """Per-clip audio quality metrics: sample count, peak |amplitude|,
+    DC offset, RMS level in dBFS, clipping fraction (|s| ≥
+    clip_thresh) and silence fraction (|s| ≤ silence_thresh).
+
+    These are the audio analogues of textops.quality_score — the
+    columns a training-data pipeline filters on before a clip is worth
+    transcribing. One Arrow pass, no reference table, no join: the
+    plan is scan → mapInPandas → done, embarrassingly parallel at any
+    scale. The numpy math is exact-int64 length-grouped matrix
+    reductions shared with the SNR path (audio.batch_stats).
+
+    decoder: (bytes, codec) → PCM16 ndarray or None; defaults to the
+    engine codec registry (audio.decode). Pass a custom one for other
+    containers (e.g. multimodal.wav_pcm for RIFF/WAVE). Undecodable
+    rows surface as n_samples NULL (not dropped) so callers can count
+    them; empty-but-decodable clips are n_samples 0.
+    """
+    dec_fn = decoder or decode
+    src = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(part_col).alias("part_id"),
+        F.col(byte_col).alias("_bytes"),
+        F.col(codec_col).alias("_codec"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf["_bytes"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
+            decs = [None] * n
+            for i in range(n):
+                if payloads[i] is not None:
+                    decs[i] = dec_fn(payloads[i], codecs[i])
+            s = batch_stats(decs, clip_thresh, silence_thresh)
+            ns = s["n_samples"]
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "part_id": pdf["part_id"].astype("int32"),
+                "n_samples": pd.array(
+                    [None if v < 0 else int(v) for v in ns],
+                    dtype="Int64"),
+                "peak": pd.array(
+                    [int(p) if v > 0 else None
+                     for v, p in zip(ns, s["peak"])], dtype="Int32"),
+                "dc_offset": s["dc_offset"],
+                "rms_db": s["rms_db"],
+                "clip_frac": s["clip_frac"],
+                "silence_frac": s["silence_frac"],
+            })
+
+    return src.mapInPandas(run, _STATS_SCHEMA)
+
+
+def audio_stats_violations(clips: DataFrame, check,
+                           id_col: str = "clip_id",
+                           part_col: str = "part_id") -> DataFrame:
+    """Violation rows for clips breaching an AudioStatsCheck's
+    quality thresholds (x-audio-stats): clipping fraction, silence
+    fraction, RMS dBFS floor. One row per breached threshold per clip.
+
+    Unknown codecs skip (the enum/referential checks own those — same
+    contract as payload_violations); undecodable payloads of KNOWN
+    codecs violate. An all-silence clip has no defined RMS level
+    (rms_db NULL) and counts as below any min_rms_db floor. No
+    reference table and no join: scan → Arrow pass → filter, so the
+    plan is exchange-free at any scale.
+    """
+    rule_id = check.rule_id
+    severity = int(check.severity)
+    src = clips.filter(F.col("codec").isin(*sorted(_MAGIC)))
+    s = audio_stats(src, byte_col=check.column, id_col=id_col,
+                    part_col=part_col, clip_thresh=check.clip_thresh,
+                    silence_thresh=check.silence_thresh)
+    msgs = [F.when(F.col("n_samples").isNull(),
+                   F.lit("payload undecodable for audio stats"))]
+    if check.max_clip_frac is not None:
+        msgs.append(F.when(
+            F.col("clip_frac") > float(check.max_clip_frac),
+            F.concat(F.lit("clipping fraction "),
+                     F.round("clip_frac", 4).cast("string"),
+                     F.lit(f" > {check.max_clip_frac}"))))
+    if check.max_silence_frac is not None:
+        msgs.append(F.when(
+            F.col("silence_frac") > float(check.max_silence_frac),
+            F.concat(F.lit("silence fraction "),
+                     F.round("silence_frac", 4).cast("string"),
+                     F.lit(f" > {check.max_silence_frac}"))))
+    if check.min_rms_db is not None:
+        msgs.append(F.when(
+            F.col("n_samples").isNotNull()
+            & (F.col("rms_db").isNull()           # silent clip: no level
+               | (F.col("rms_db") < float(check.min_rms_db))),
+            F.concat(F.lit("RMS "),
+                     F.coalesce(F.round("rms_db", 1).cast("string"),
+                                F.lit("-inf")),
+                     F.lit(f" dBFS < {check.min_rms_db}"))))
+    exploded = s.select(
+        "clip_id", "part_id",
+        F.explode(F.array_compact(F.array(*msgs))).alias("message"))
+    return exploded.select(
+        "clip_id", "part_id",
+        F.lit(rule_id).alias("rule_id"),
+        F.lit(severity).alias("severity"),
+        "message")
 
 
 def payload_snr_stats(clips: DataFrame, clips_ref: DataFrame,
@@ -409,8 +575,7 @@ def payload_snr_stats(clips: DataFrame, clips_ref: DataFrame,
             refs = [None] * n
             for i in range(n):
                 decs[i] = decode(payloads[i], codecs[i])
-                refs[i] = (np.frombuffer(raw_refs[i], dtype="<i2")
-                           if raw_refs[i] is not None else _EMPTY)
+                refs[i] = _ref_pcm(raw_refs[i])
             snr = np.full(n, -np.inf)
             _batch_snr(decs, refs, snr)
             snr = np.where(np.isfinite(snr), snr, np.nan)

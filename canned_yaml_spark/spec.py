@@ -43,8 +43,8 @@ NODE_KEYWORDS = {
     "oneOf", "anyOf", "enum", "$ref", "definitions",
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "pattern", "minLength", "maxLength",
-    "x-unique", "x-ref", "x-drift", "x-payload", "x-severity",
-    "x-closed-world",
+    "x-unique", "x-ref", "x-drift", "x-payload", "x-audio-stats",
+    "x-severity", "x-closed-world",
     "$schema", "title", "description",
 }
 
@@ -197,6 +197,26 @@ def validate_spec(node: Any, path: str) -> None:
         xd = node["x-drift"]
         if not isinstance(xd, dict) or "column" not in xd:
             raise SpecError(f"{path}.x-drift", "must be a map with at least 'column'")
+
+    if "x-audio-stats" in node:
+        xa = node["x-audio-stats"]
+        if not isinstance(xa, dict):
+            raise SpecError(f"{path}.x-audio-stats", "must be a map")
+        for key in ("max_clip_frac", "max_silence_frac"):
+            if key in xa and not (isinstance(xa[key], (int, float))
+                                  and 0.0 <= float(xa[key]) <= 1.0):
+                raise SpecError(f"{path}.x-audio-stats.{key}",
+                                f"must be a fraction in [0, 1], got "
+                                f"{xa[key]!r}")
+        if "min_rms_db" in xa and not isinstance(xa["min_rms_db"],
+                                                 (int, float)):
+            raise SpecError(f"{path}.x-audio-stats.min_rms_db",
+                            f"must be a number, got {xa['min_rms_db']!r}")
+        if not any(k in xa for k in ("max_clip_frac", "max_silence_frac",
+                                     "min_rms_db")):
+            raise SpecError(f"{path}.x-audio-stats",
+                            "needs at least one threshold (max_clip_frac, "
+                            "max_silence_frac, min_rms_db)")
 
 
 def resolve_ref(root: dict, ref: str, path: str) -> tuple[str, dict]:

@@ -264,3 +264,157 @@ def test_job_join_hint_is_layout_aware(spark, clips, clips_ref, suite,
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_audio_stats_exact_values(spark):
+    # hand-computable clips through the public operator: a known ramp,
+    # a constant (pure DC), an empty clip, an undecodable payload, and
+    # a clipping square wave
+    import numpy as np
+    ramp = np.arange(-4, 4, dtype="<i2")              # [-4..3]
+    dc = np.full(10, 100, dtype="<i2")
+    square = np.array([32767, -32768] * 5, dtype="<i2")
+    rows = [
+        ("ramp", 0, "pcm_s16le", bytearray(ramp.tobytes())),
+        ("dc", 0, "pcm_s16le", bytearray(dc.tobytes())),
+        ("empty", 1, "pcm_s16le", bytearray(b"")),
+        ("bad", 1, "flac", bytearray(b"not flac at all")),
+        ("square", 2, "pcm_s16le", bytearray(square.tobytes())),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, part_id int, codec string, bytes binary")
+    out = {r.clip_id: r for r in payload.audio_stats(
+        df, clip_thresh=32000, silence_thresh=4).collect()}
+
+    r = out["ramp"]
+    assert (r.n_samples, r.peak) == (8, 4)
+    assert abs(r.dc_offset - ramp.mean()) < 1e-12
+    assert abs(r.rms_db - 20 * __import__("math").log10(
+        float(np.sqrt((ramp.astype("i8") ** 2).mean())) / 32768.0)) < 1e-9
+    assert r.clip_frac == 0.0
+    assert r.silence_frac == 1.0                      # every |s| <= 4
+
+    d = out["dc"]
+    assert (d.n_samples, d.peak, d.dc_offset) == (10, 100, 100.0)
+    assert d.clip_frac == 0.0 and d.silence_frac == 0.0
+
+    e = out["empty"]
+    assert e.n_samples == 0
+    assert e.peak is None and e.rms_db is None
+
+    b = out["bad"]
+    assert b.n_samples is None and b.rms_db is None
+
+    s = out["square"]
+    assert (s.n_samples, s.peak) == (10, 32768)
+    assert s.clip_frac == 1.0 and s.silence_frac == 0.0
+    assert abs(s.rms_db - 20 * __import__("math").log10(
+        float(np.sqrt((square.astype("i8") ** 2).mean())) / 32768.0)) < 1e-9
+
+
+def test_audio_stats_all_silence_rms_null(spark):
+    import numpy as np
+    z = np.zeros(16, dtype="<i2")
+    df = spark.createDataFrame(
+        [("z", 0, "pcm_s16le", bytearray(z.tobytes()))],
+        "clip_id string, part_id int, codec string, bytes binary")
+    r = payload.audio_stats(df).collect()[0]
+    assert r.rms_db is None                # log of zero power: NULL, not -inf
+    assert r.silence_frac == 1.0 and r.peak == 0 and r.dc_offset == 0.0
+
+
+def test_transcript_distance_semantics(spark):
+    clips = spark.createDataFrame(
+        [("a", 0, "kitten"), ("b", 0, "sitting"), ("c", 1, None),
+         ("d", 1, "exact")],
+        "clip_id string, part_id int, transcript string")
+    ref = spark.createDataFrame(
+        [("a", "sitting"), ("b", "sitting"), ("c", "anything"),
+         ("d", "exact"), ("orphan", "x")],
+        "clip_id string, transcript_ref string")
+    out = {r.clip_id: r.dist for r in
+           payload.transcript_distance(clips, ref).collect()}
+    assert out == {"a": 3, "b": 0, "c": None, "d": 0}  # orphan drops
+    # pure JVM: no Arrow/Python nodes in the plan
+    plan = (payload.transcript_distance(clips, ref)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_audio_stats_violations_spec_check(spark):
+    # x-audio-stats as a first-class spec extension: crafted corpus
+    # with one clean clip, one clipping, one silent, one undecodable,
+    # one unknown-codec (skipped — enum's job)
+    import numpy as np
+    from canned_yaml_spark import compile_spec
+
+    clean = (np.sin(np.arange(64) * 0.3) * 20000).astype("<i2")
+    square = np.array([32700, -32700] * 32, dtype="<i2")
+    silent = np.zeros(64, dtype="<i2")
+    rows = [
+        ("clean", 0, "pcm_s16le", bytearray(clean.tobytes())),
+        ("clipper", 0, "pcm_s16le", bytearray(square.tobytes())),
+        ("dead_air", 1, "pcm_s16le", bytearray(silent.tobytes())),
+        ("broken", 1, "flac", bytearray(b"fLaCgarbage")),
+        ("alien", 2, "vorbis", bytearray(b"whatever")),
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, part_id int, codec string, bytes binary")
+    suite = compile_spec("""
+type: object
+properties:
+  bytes:
+    x-audio-stats:
+      max_clip_frac: 0.05
+      max_silence_frac: 0.5
+      min_rms_db: -40.0
+""")
+    [ac] = suite.audio_checks
+    assert ac.rule_id == "x-audio-stats.bytes" and ac.min_rms_db == -40.0
+    out = payload.audio_stats_violations(clips, ac).collect()
+    by_clip = {}
+    for r in out:
+        assert r.rule_id == "x-audio-stats.bytes"
+        assert r.severity == 1               # default WARN
+        by_clip.setdefault(r.clip_id, []).append(r.message)
+    assert "clean" not in by_clip and "alien" not in by_clip
+    assert any("clipping fraction" in m for m in by_clip["clipper"])
+    msgs = by_clip["dead_air"]
+    assert any("silence fraction" in m for m in msgs)
+    assert any("RMS -inf dBFS" in m for m in msgs)
+    assert by_clip["broken"] == ["payload undecodable for audio stats"]
+
+    # wired through the job driver: same rows appear in all_violations
+    from canned_yaml_spark import job as jobmod
+    av = (jobmod.all_violations(clips, suite)
+          .filter(F.col("rule_id") == "x-audio-stats.bytes"))
+    assert av.count() == len(out)
+
+
+def test_malformed_reference_pcm_violates_not_crashes(spark, suite):
+    # a garbage row in the REFERENCE table (odd byte length — e.g. a
+    # truncated object-store read) must surface as a violation, never
+    # kill the Arrow task (np.frombuffer ValueError, found at the job
+    # boundary). Same guard covers bad zlib in the certified layout.
+    import numpy as np
+    pc = suite.payload_checks[0]
+    good = np.arange(16, dtype="<i2")
+    clips = spark.createDataFrame(
+        [("a", 0, "pcm_s16le", bytearray(good.tobytes()), "t"),
+         ("b", 0, "pcm_s16le", bytearray(good.tobytes()), "t")],
+        "clip_id string, part_id int, codec string, bytes binary, "
+        "transcript string")
+    ref = spark.createDataFrame(
+        [("a", bytearray(good.tobytes()), "t"),        # clean
+         ("b", bytearray(b"\x01\x02\x03"), "t")],      # odd length
+        "clip_id string, pcm_ref binary, transcript_ref string")
+    v = payload.payload_violations(clips, ref, pc).collect()
+    msgs = {r.clip_id: r.message for r in v}
+    assert "a" not in msgs
+    assert "reference pcm malformed" in msgs["b"]
+
+    # aggregate stats path survives too: b counts as an SNR fail (NaN
+    # snr), not a decode_fail, and no task dies
+    s = {r.part_id: r for r in
+         payload.payload_snr_stats(clips, ref, pc).collect()}
+    assert s[0].n_payloads == 2 and s[0].n_decode_fail == 0

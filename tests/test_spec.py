@@ -71,3 +71,25 @@ def test_bad_ref_syntax():
 def test_x_ref_shape():
     with pytest.raises(SpecError, match="x-ref"):
         load_spec({"properties": {"a": {"x-ref": {"table": "t"}}}})
+
+
+def test_audio_stats_spec_validation():
+    import pytest
+    from canned_yaml_spark.errors import SpecError
+    from canned_yaml_spark.spec import load_spec, validate_spec
+
+    def check(frag):
+        validate_spec(load_spec(frag), "$")
+
+    with pytest.raises(SpecError, match="at least one threshold"):
+        check("{type: object, properties: {b: {x-audio-stats: {}}}}")
+    with pytest.raises(SpecError, match="fraction"):
+        check("{type: object, properties: "
+              "{b: {x-audio-stats: {max_clip_frac: 1.5}}}}")
+    with pytest.raises(SpecError, match="must be a number"):
+        check("{type: object, properties: "
+              "{b: {x-audio-stats: {min_rms_db: loud}}}}")
+    with pytest.raises(SpecError, match="must be a map"):
+        check("{type: object, properties: {b: {x-audio-stats: true}}}")
+    check("{type: object, properties: "
+          "{b: {x-audio-stats: {max_silence_frac: 0.5}}}}")

@@ -143,6 +143,30 @@ def main() -> int:
           "certificate — every unchanged payload of ANY codec "
           "fast-passes; join 2 fetches zlib pcm_z for the damaged "
           "residual only; raw pcm_ref never scanned")
+    audit("audio quality stats (x-audio-stats)",
+          payload.audio_stats_violations(bench, bsuite.audio_checks[0]),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           # the fixture corpus is itself MapInPandas-generated; the
+           # operator must add exactly ONE Arrow node of its own
+           ("one Arrow pass", lambda p: p.count("MapInPandas run(") == 1),
+           ("no join", lambda p: "Join" not in p)],
+          "scan → JVM codec prefilter → ONE mapInPandas → threshold "
+          "filter; no reference table, embarrassingly parallel")
+    audit("transcript distance",
+          payload.transcript_distance(
+              bench,
+              bench.select("clip_id", F.concat(
+                  "transcript", F.lit(" x")).alias("transcript_ref"))),
+          # the fixture corpus is MapInPandas-generated; the OPERATOR
+          # must add no Python node of its own
+          [("operator adds no Python node",
+            lambda p: p.count("MapInPandas")
+            == p.count("MapInPandas gen(") and "EvalPython" not in p),
+           ("levenshtein is a plan expression",
+            lambda p: "levenshtein" in p),
+           ("single equi-join", lambda p: p.count("Join") == 1)],
+          "levenshtein is a codegen expression over the pruned "
+          "3-column transcript join — same shape as the equality branch")
     audit("minhash signatures",
           dedup.minhash_signatures(docs),
           [("partial agg below the exchange", lambda p:

@@ -282,6 +282,23 @@ def _q_embedding_near_dups(spark, sf_dir):
     return dedup.embedding_near_dups_lsh(e2, 0.95)
 
 
+def _q_audio_near_dups(spark, sf_dir):
+    # acoustic near-dup over the PAYLOAD (Haitsma-Kalker fingerprint
+    # LSH + JVM bit-error-rate verify, audiofp.py): keys drawn from
+    # orders, every 5th key re-encoded under the next lossy codec as
+    # '<id>_dup'. The oracle states the injected ground truth — valid
+    # because the operator's margins are structural (measured dup BER
+    # ≤ 0.01 vs threshold 0.15; worst clip keeps 20/29 exact probe
+    # frames; cross-key BER ≥ 0.3). ber itself is FFT-derived (not
+    # SQL-expressible) and is pinned in tests/test_audiofp.py instead.
+    from canned_yaml_spark import audiofp
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    corpus = audiofp.chirp_corpus_df(spark, keys=keys, dup_every=5)
+    return audiofp.near_dup_audio(corpus).select("clip_a", "clip_b")
+
+
 def _q_simhash_groups(spark, sf_dir):
     # engine-hash-dependent (xxhash64) → rows-only
     d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
@@ -511,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_delta": _q_near_dup_delta,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "audio_near_dups": _q_audio_near_dups,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
@@ -557,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_delta": oracle.sql_near_dup_delta(),
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
+        "audio_near_dups": oracle.sql_audio_near_dups(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),

@@ -1,0 +1,279 @@
+"""Acoustic fingerprinting + near-duplicate audio detection.
+
+The text/embedding near-dup family (dedup.py) covers transcripts and
+vectors; this module covers the AUDIO PAYLOAD itself: find clips that
+are the same recording under a different encoding (lossy re-encode,
+container change, level-preserving transcode) without ever comparing
+raw bytes.
+
+Scheme: Haitsma & Kalker's robust hash (ISMIR 2002) re-expressed
+Spark-first. Per clip, one Arrow pass computes a sequence of 32-bit
+sub-fingerprints — the sign of the band-energy difference along both
+frequency and time:
+
+    bit[t, m] = (E[t, m] − E[t, m+1]) − (E[t−1, m] − E[t−1, m+1]) > 0
+
+over 33 log-spaced spectral bands of overlapping FFT frames. The signs
+survive quantization/level changes (energies move, their ordering
+mostly doesn't), so a lossy re-encode differs in a few % of bits.
+
+Distributed shape (the part that must hold at 100 TB):
+- fingerprinting is embarrassingly parallel: scan → ONE mapInPandas →
+  (clip_id, array<long>); the FFT is ONE batched np.fft.rfft per
+  equal-length group, not per clip.
+- candidate generation is the SAME banded plan as MinHash-LSH
+  (dedup.py:193): posexplode sub-fingerprints → self-join on
+  (frame_idx, subfp) — a frame-aligned exact 32-bit match. At a few %
+  bit-error rate the chance that NO frame of a true dup matches
+  exactly is (1−0.97³²)^frames ≈ 0 for ≥10 frames, while unrelated
+  clips collide on a full 32-bit word at random ≈ 2⁻³². One shuffle,
+  keyed on (frame_idx, subfp); hot buckets (e.g. digital silence) are
+  capped on the join's own partitioning like dedup.lsh_candidate_pairs.
+- verification is pure JVM codegen: bit-error rate via
+  zip_with + bit_count + aggregate over the two long arrays — no
+  second Python crossing, no byte movement.
+
+No oracle SQL is possible (DuckDB has no FFT) — the driver gate is
+rows-only; correctness is pytest-pinned against injected ground truth
+(recall AND precision = 1.0 on the chirp corpus, robustness across
+every lossy codec in the registry).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from canned_yaml_spark.audio import decode
+
+FP_FRAME = 256     #: samples per FFT frame
+FP_HOP = 128       #: hop between frames (50% overlap)
+FP_BANDS = 33      #: log-spaced energy bands → 32 sign bits per frame
+
+#: fingerprint output schema — fp NULL = undecodable, [] = too short
+_FP_SCHEMA = "clip_id string, fp array<bigint>"
+
+
+def _band_matrix(frame: int, bands: int) -> np.ndarray:
+    """(n_bins, bands) 0/1 pooling matrix with log-spaced band edges
+    over FFT bins [1, frame/2] (bin 0 = DC is excluded: it carries
+    offset, not pitch). Edges are forced strictly increasing so every
+    band owns ≥1 bin."""
+    n_bins = frame // 2 + 1
+    edges = np.geomspace(1, n_bins - 1, bands + 1)
+    e = np.round(edges).astype(np.int64)
+    for i in range(1, len(e)):
+        if e[i] <= e[i - 1]:
+            e[i] = e[i - 1] + 1
+    if e[-1] > n_bins:
+        raise ValueError(f"frame {frame} too small for {bands} bands")
+    B = np.zeros((n_bins, bands))
+    for b in range(bands):
+        B[e[b]:e[b + 1], b] = 1.0
+    return B
+
+
+def _batch_fingerprints(decs: list, frame: int, hop: int,
+                        bands: int) -> list:
+    """Sub-fingerprint sequences for a batch of decoded PCM arrays,
+    vectorized like audio.batch_stats: equal-length clips stack into
+    ONE (n_clips, n_samples) matrix per length group, frames come from
+    a zero-copy sliding_window_view, and the FFT/pooling/sign math is
+    one 3-D pipeline per group. Returns per-clip int64 lists (None for
+    failed decodes, [] for clips shorter than two frames)."""
+    n = len(decs)
+    out: list = [None] * n
+    window = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(frame) / (frame - 1))   # Hann
+    B = _band_matrix(frame, bands)
+    pow2 = (1 << np.arange(bands - 1, dtype=np.int64))
+
+    groups: dict[int, list[int]] = {}
+    for i, d in enumerate(decs):
+        if d is None:
+            continue
+        if d.size < frame + hop:                 # < 2 frames: no bits
+            out[i] = []
+            continue
+        groups.setdefault(d.size, []).append(i)
+    for size, idx in groups.items():
+        m = np.empty((len(idx), size), dtype=np.int16)
+        for j, i in enumerate(idx):
+            m[j] = decs[i]
+        frames = np.lib.stride_tricks.sliding_window_view(
+            m, frame, axis=1)[:, ::hop, :]       # (c, t, frame) view
+        spec = np.abs(np.fft.rfft(frames * window, axis=2)) ** 2
+        E = spec @ B                             # (c, t, bands)
+        d_freq = E[:, :, :-1] - E[:, :, 1:]      # (c, t, bands-1)
+        bits = (d_freq[:, 1:, :] - d_freq[:, :-1, :]) > 0
+        subfp = bits @ pow2                      # (c, t-1) int64
+        for j, i in enumerate(idx):
+            out[i] = [int(v) for v in subfp[j]]
+    return out
+
+
+def fingerprint(clips: DataFrame,
+                byte_col: str = "bytes", codec_col: str = "codec",
+                id_col: str = "clip_id",
+                frame: int = FP_FRAME, hop: int = FP_HOP,
+                bands: int = FP_BANDS, decoder=None) -> DataFrame:
+    """(clip_id, fp): the clip's acoustic fingerprint as an array of
+    32-bit sub-fingerprints (one per frame transition), computed in a
+    single Arrow pass. fp is NULL for undecodable payloads and [] for
+    clips too short to frame. decoder as in payload.audio_stats."""
+    dec_fn = decoder or decode
+    src = clips.select(F.col(id_col).alias("clip_id"),
+                       F.col(byte_col).alias("_bytes"),
+                       F.col(codec_col).alias("_codec"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["_bytes"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
+            decs = [dec_fn(payloads[i], codecs[i])
+                    if payloads[i] is not None else None
+                    for i in range(len(pdf))]
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "fp": _batch_fingerprints(decs, frame, hop, bands)})
+
+    return src.mapInPandas(run, _FP_SCHEMA)
+
+
+def _ber(fp_a, fp_b) -> F.Column:
+    """Bit-error rate between two sub-fingerprint arrays over their
+    aligned prefix — pure codegen (zip_with + bit_count + aggregate),
+    no Python. NULL when either side is empty."""
+    mn = F.least(F.size(fp_a), F.size(fp_b))
+    xor_bits = F.aggregate(
+        F.zip_with(F.slice(fp_a, F.lit(1), mn),
+                   F.slice(fp_b, F.lit(1), mn),
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                                 .cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return F.when(mn > 0, xor_bits / (32.0 * mn))
+
+
+def near_dup_audio(clips: DataFrame,
+                   ber_threshold: float = 0.15,
+                   min_overlap: float = 0.8,
+                   max_bucket: int = 1024,
+                   byte_col: str = "bytes", codec_col: str = "codec",
+                   id_col: str = "clip_id", decoder=None) -> DataFrame:
+    """Near-duplicate AUDIO pairs (clip_a, clip_b, ber): same recording
+    under different encodings. Exact w.r.t. its stated match rule —
+    a pair is reported iff (a) at least one frame-aligned 32-bit
+    sub-fingerprint matches exactly (the LSH probe), (b) the aligned
+    bit-error rate is ≤ ber_threshold, and (c) the shorter fingerprint
+    covers ≥ min_overlap of the longer (rules out prefix collisions).
+
+    Plan: one Arrow fingerprint pass → posexplode → one shuffle keyed
+    on (frame_idx, subfp) with a bucket cap on the join's own
+    partitioning → JVM-only BER verify on the candidate ids. The
+    fingerprint table (few hundred bytes per clip) is what shuffles —
+    never payload bytes.
+    """
+    from pyspark.sql import Window
+    fps = fingerprint(clips, byte_col=byte_col, codec_col=codec_col,
+                      id_col=id_col, decoder=decoder)
+    # fp is carried THROUGH the band join (same choice as
+    # dedup.near_dup_pairs carrying minhash signatures): the verify
+    # stage then needs no joins back to the fingerprint table, so the
+    # whole operator is ONE Arrow pass + one (frame_idx, subfp)-keyed
+    # shuffle, and what shuffles is frames × fingerprint longs per
+    # clip — never payload bytes. At 10^12 clips you'd materialize the
+    # fingerprint table once and band on ids instead (the
+    # dedup.near_dup_pairs_storage plan shape).
+    probes = (fps.filter(F.col("fp").isNotNull())
+                 .select("clip_id", "fp",
+                         F.posexplode("fp").alias("frame_idx", "subfp")))
+    w = Window.partitionBy("frame_idx", "subfp")
+    kept = (probes.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                  .filter(F.col("_bsz") <= max_bucket))
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (a.join(b, (F.col("a.frame_idx") == F.col("b.frame_idx"))
+                   & (F.col("a.subfp") == F.col("b.subfp"))
+                   & (F.col("a.clip_id") < F.col("b.clip_id")))
+             .select(F.col("a.clip_id").alias("clip_a"),
+                     F.col("b.clip_id").alias("clip_b"),
+                     F.col("a.fp").alias("fp_a"),
+                     F.col("b.fp").alias("fp_b"))
+             .dropDuplicates(["clip_a", "clip_b"]))
+    scored = (cand
+              .withColumn("_ov", F.least(F.size("fp_a"), F.size("fp_b"))
+                          / F.greatest(F.size("fp_a"), F.size("fp_b")))
+              .withColumn("ber", _ber(F.col("fp_a"), F.col("fp_b"))))
+    return (scored.filter((F.col("_ov") >= min_overlap)
+                          & (F.col("ber") <= ber_threshold))
+                  .select("clip_a", "clip_b", F.round("ber", 4).alias("ber")))
+
+
+# ------------------------------------------------------------ fixtures
+def chirp_pcm(key: int, n_samples: int = 4000,
+              sr_hz: int = 8000) -> np.ndarray:
+    """Deterministic per-key chirp with temporal spectral structure
+    (a stationary pure tone has near-constant band energies, which
+    degenerates ANY temporal-difference fingerprint — real speech and
+    music do not look like that). Frequency sweeps f0(k) → f0(k) +
+    rate(k)·dur with an amplitude ripple; distinct keys give distinct
+    band trajectories."""
+    f0 = 300.0 + (key * 37) % 1500
+    rate = 500.0 + (key * 61) % 900
+    t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
+    phase = 2.0 * np.pi * (f0 * t + 0.5 * rate * t * t)
+    am = 0.7 + 0.3 * np.sin(2.0 * np.pi * 3.0 * t + key % 7)
+    sig = am * (np.sin(phase) + 0.5 * np.sin(2 * phase)
+                + 0.25 * np.sin(3 * phase))
+    # broadband noise floor (hash-style, deterministic per key): a
+    # narrowband-only signal leaves most bands at leakage level, where
+    # codec quantization noise decides the difference signs — BER on a
+    # lossy re-encode then approaches coin-flip. ~5% of full scale
+    # keeps every band's energy signal-owned.
+    i = np.arange(n_samples, dtype=np.float64)
+    h = np.sin((i + key * 131.0) * 12.9898) * 43758.5453
+    noise = 2.0 * (h - np.floor(h)) - 1.0
+    return np.clip((sig * 0.55 + noise * 0.05) * 32767.0,
+                   -32768, 32767).astype("<i2")
+
+
+def chirp_corpus_df(spark, n_clips: int | None = None,
+                    dup_every: int = 5, n_samples: int = 4000,
+                    keys: DataFrame | None = None) -> DataFrame:
+    """(clip_id, part_id, codec, bytes) chirp corpus with known audio
+    near-dups: every key ≡ 0 (mod dup_every) is re-encoded under the
+    next lossy codec in the registry (quantized — different bytes,
+    same recording) as '<id>_dup'. Ground truth: exactly those pairs.
+    keys: optional one-column ('k') DataFrame of clip keys (e.g. drawn
+    from a driver table); defaults to range(n_clips)."""
+    from canned_yaml_spark.audio import _MAGIC, encode
+    lossy = sorted(c for c in _MAGIC if c != "pcm_s16le")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, parts, codecs, blobs = [], [], [], []
+            for k in pdf["k"]:
+                k = int(k)
+                pcm = chirp_pcm(k, n_samples)
+                ids.append(f"clip_{k:010d}")
+                parts.append(k % 32)
+                codecs.append("pcm_s16le")
+                blobs.append(pcm.tobytes())
+                if k % dup_every == 0:
+                    c = lossy[(k // dup_every) % len(lossy)]
+                    ids.append(f"clip_{k:010d}_dup")
+                    parts.append(k % 32)
+                    codecs.append(c)
+                    blobs.append(encode(pcm, c))
+            yield pd.DataFrame({
+                "clip_id": ids,
+                "part_id": pd.array(parts, dtype="int32"),
+                "codec": codecs, "bytes": blobs})
+
+    if keys is None:
+        keys = spark.range(n_clips).select(F.col("id").alias("k"))
+    return keys.mapInPandas(
+        gen, "clip_id string, part_id int, codec string, bytes binary")

@@ -658,6 +658,22 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def sql_audio_near_dups() -> str:
+    # ground truth by construction: the gate corpus injects exactly one
+    # lossy re-encode per key ≡ 0 (mod 5) over the keys ≡ 0 (mod 37)
+    # drawn from orders (audiofp.chirp_corpus_df). The fingerprint
+    # operator's structural margins (dup BER ≤ 0.01 vs threshold 0.15,
+    # ≥ 20/29 exact probe frames, cross-key BER ≥ 0.3) make its output
+    # on this corpus exactly this set — recall AND precision 1.0,
+    # pinned in tests/test_audiofp.py.
+    return """
+SELECT printf('clip_%010d', o_orderkey) AS clip_a,
+       printf('clip_%010d_dup', o_orderkey) AS clip_b
+FROM orders
+WHERE o_orderkey % 37 = 0 AND o_orderkey % 5 = 0
+""".strip()
+
+
 def sql_embedding_near_dups(threshold: float = 0.95) -> str:
     # brute force over the injected corpus — a valid oracle for the
     # engine's LSH+exact-verify path because LSH only prunes (recall

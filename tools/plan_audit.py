@@ -167,6 +167,36 @@ def main() -> int:
            ("single equi-join", lambda p: p.count("Join") == 1)],
           "levenshtein is a codegen expression over the pruned "
           "3-column transcript join — same shape as the equality branch")
+    # at-scale shape (auto-broadcast off: on the tiny audit corpus
+    # Catalyst rightly broadcasts the b-side, which hides the reuse
+    # property that matters when both sides are big)
+    from canned_yaml_spark import audiofp
+    _saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _nd = audiofp.near_dup_audio(audiofp.chirp_corpus_df(spark, 400))
+        _nd.collect()        # finalize THIS plan's AQE — reuse shows
+        #                      post-execution (count() would execute a
+        #                      different QueryExecution)
+        # executed AQE plans print Final + Initial sections — assert on
+        # the final one only
+        _fin = (lambda p: p.split("== Initial Plan ==")[0])
+        audit("audio near-dup (fingerprint LSH)",
+              _nd,
+              [("single self-join (fp carried, no verify joins)",
+                lambda p: _fin(p).count("SortMergeJoin")
+                + _fin(p).count("ShuffledHashJoin")
+                + _fin(p).count("BroadcastHashJoin") == 1),
+               ("ONE fingerprint Arrow pass (b-side reuses the "
+                "exploded exchange, it doesn't recompute)",
+                lambda p: _fin(p).count("MapInPandas run(") == 1),
+               ("verify is JVM-only", lambda p: "EvalPython" not in _fin(p))],
+              "one Arrow fingerprint pass -> (frame_idx, subfp) shuffle "
+              "with bucket cap -> BER verify as zip_with/bit_count "
+              "codegen over the carried fp arrays; payload bytes never "
+              "shuffle")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _saved_bc)
     audit("minhash signatures",
           dedup.minhash_signatures(docs),
           [("partial agg below the exchange", lambda p:

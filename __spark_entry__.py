@@ -299,6 +299,18 @@ def _q_audio_near_dups(spark, sf_dir):
     return audiofp.near_dup_audio(corpus).select("clip_a", "clip_b")
 
 
+def _q_audio_segments(spark, sf_dir):
+    # VAD-style silence-split segmentation over a gap-laid-out corpus
+    # whose every boundary is closed-form in the clip key — the oracle
+    # restates the arithmetic (oracle.sql_audio_segments), so the
+    # operator's mask/run detection is value-checked, not rows-only.
+    from canned_yaml_spark import segment
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    return segment.segments(segment.seg_corpus_df(spark, keys))
+
+
 def _q_simhash_groups(spark, sf_dir):
     # engine-hash-dependent (xxhash64) → rows-only
     d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
@@ -529,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "audio_near_dups": _q_audio_near_dups,
+        "audio_segments": _q_audio_segments,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
@@ -576,6 +589,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "audio_near_dups": oracle.sql_audio_near_dups(),
+        "audio_segments": oracle.sql_audio_segments(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),

@@ -674,6 +674,31 @@ WHERE o_orderkey % 37 = 0 AND o_orderkey % 5 = 0
 """.strip()
 
 
+def sql_audio_segments() -> str:
+    # every boundary of the gate corpus is closed-form in the clip key
+    # (segment.seg_pcm: n_seg = k%3+1, len(j) = 400 + ((k*7+j*13)%200),
+    # 250-sample gaps before/between/after) — the oracle restates the
+    # arithmetic, so the operator's mask/run detection is value-checked
+    # end to end. n_seg ≤ 3 lets start(j) unroll exactly.
+    ln = "(400 + ((k*7 + {j}*13) % 200))"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 37 = 0),
+js AS (SELECT k, unnest(range(0, k % 3 + 1)) AS j FROM ks)
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(j AS INT) AS seg_idx,
+       CAST(250*(j+1)
+            + CASE WHEN j >= 1 THEN {ln.format(j=0)} ELSE 0 END
+            + CASE WHEN j >= 2 THEN {ln.format(j=1)} ELSE 0 END
+         AS BIGINT) AS seg_start,
+       CAST(250*(j+1)
+            + CASE WHEN j >= 1 THEN {ln.format(j=0)} ELSE 0 END
+            + CASE WHEN j >= 2 THEN {ln.format(j=1)} ELSE 0 END
+            + {ln.format(j='j')}
+         AS BIGINT) AS seg_end
+FROM js
+""".strip()
+
+
 def sql_embedding_near_dups(threshold: float = 0.95) -> str:
     # brute force over the injected corpus — a valid oracle for the
     # engine's LSH+exact-verify path because LSH only prunes (recall

@@ -167,6 +167,16 @@ def main() -> int:
            ("single equi-join", lambda p: p.count("Join") == 1)],
           "levenshtein is a codegen expression over the pruned "
           "3-column transcript join — same shape as the equality branch")
+    from canned_yaml_spark import segment
+    audit("audio segmentation (silence-split)",
+          segment.segments(segment.seg_corpus_df(
+              spark, spark.range(200).select(F.col("id").alias("k")))),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           ("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1),
+           ("no join", lambda p: "Join" not in p)],
+          "scan -> ONE mapInPandas (O(n) mask/diff run detection) -> "
+          "segment rows; no reference table, embarrassingly parallel")
     # at-scale shape (auto-broadcast off: on the tiny audit corpus
     # Catalyst rightly broadcasts the b-side, which hides the reuse
     # property that matters when both sides are big)

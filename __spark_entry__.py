@@ -311,6 +311,26 @@ def _q_audio_segments(spark, sf_dir):
     return segment.segments(segment.seg_corpus_df(spark, keys))
 
 
+def _q_resample(spark, sf_dir):
+    # 16 kHz → 12 kHz linear-interp resample of a closed-form corpus,
+    # value-checked through per-clip metrics of the RESAMPLED samples
+    # (peak / dc / rms over exact-integer sums): the oracle restates
+    # the interpolation arithmetic itself (oracle.sql_resample).
+    from canned_yaml_spark import resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    out = rs.resample(rs.mod_corpus_df(spark, keys), 12000)
+    stats = payload.audio_stats(
+        out.withColumn("codec", F.lit("pcm_s16le"))
+           .withColumn("part_id", F.lit(0)),
+        byte_col="bytes")
+    return stats.select(
+        "clip_id", "n_samples", "peak",
+        F.round("dc_offset", 4).alias("dc_offset"),
+        F.round("rms_db", 4).alias("rms_db"))
+
+
 def _q_simhash_groups(spark, sf_dir):
     # engine-hash-dependent (xxhash64) → rows-only
     d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
@@ -542,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "audio_near_dups": _q_audio_near_dups,
         "audio_segments": _q_audio_segments,
+        "resample": _q_resample,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
@@ -590,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "audio_near_dups": oracle.sql_audio_near_dups(),
         "audio_segments": oracle.sql_audio_segments(),
+        "resample": oracle.sql_resample(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),

@@ -699,6 +699,39 @@ FROM js
 """.strip()
 
 
+def sql_resample() -> str:
+    # value-checks the resampler sample-by-sample THROUGH aggregate
+    # metrics: the gate corpus's sample i is the cross-engine-exact
+    # modular form (i*31 + k*7) % 2048 - 1024 at 16 kHz, resampled to
+    # 12 kHz (ratio 4/3). The oracle restates the exact interpolation
+    # arithmetic — f = (j*16000)//12000, r = (j*16000)%12000, out =
+    # round((s(f)*(12000-r) + s(f+1)*r)/12000.0) — then the same
+    # stats math audio_stats proved cross-engine (sum/sumsq are exact
+    # integers; one double division/sqrt/log in identical IEEE order;
+    # round(4) absorbs final-ulp drift). Fractions here are thirds, so
+    # the round-half tie between engines can never fire.
+    s_of = "(({f})*31 + k*7) % 2048 - 1024"
+    f = "((j*16000)//12000)"
+    f2 = f"least({f} + 1, 3999)"
+    r = "((j*16000)%12000)"    # parenthesized: `*` and `%` share
+    #                            precedence, s*r must not re-associate
+    out = (f"CAST(round((({s_of.format(f=f)}) * (12000 - {r}) "
+           f"+ ({s_of.format(f=f2)}) * {r}) / 12000.0) AS BIGINT)")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 37 = 0),
+s AS (SELECT printf('clip_%010d', k) AS clip_id,
+             list_transform(range(0, 3000), j -> {out}) AS smp
+      FROM ks)
+SELECT clip_id,
+       CAST(3000 AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+       round(list_avg(smp), 4) AS dc_offset,
+       round(20 * log10(sqrt(list_avg(list_transform(smp,
+             v -> CAST(v AS DOUBLE) * v))) / 32768.0), 4) AS rms_db
+FROM s
+""".strip()
+
+
 def sql_embedding_near_dups(threshold: float = 0.95) -> str:
     # brute force over the injected corpus — a valid oracle for the
     # engine's LSH+exact-verify path because LSH only prunes (recall

@@ -1,0 +1,64 @@
+"""Sample-rate conversion (resample.py)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from canned_yaml_spark import resample as rs
+
+
+def test_resample_group_hand_values():
+    # 4 samples at 16k -> 12k (ratio 4/3): positions 0, 4/3, 8/3;
+    # n_out = 3*3//4 + 1 = 3
+    m = np.array([[0, 300, 600, 900]], dtype=np.int16)
+    out = rs._resample_group(m, 16000, 12000)
+    assert out.tolist() == [[0, 400, 800]]     # exact thirds
+    # upsample 2x: midpoints are exact halves of neighbors
+    out2 = rs._resample_group(np.array([[0, 100, -100]], dtype=np.int16),
+                              8000, 16000)
+    assert out2.tolist() == [[0, 50, 100, 0, -100]]
+    # single sample / empty
+    assert rs._resample_group(np.array([[7]], dtype=np.int16),
+                              16000, 12000).tolist() == [[7]]
+    assert rs._resample_group(np.zeros((1, 0), dtype=np.int16),
+                              16000, 12000).shape == (1, 0)
+    # int16 extremes interpolate without overflow
+    ex = rs._resample_group(np.array([[32767, -32768]], dtype=np.int16),
+                            8000, 16000)
+    assert ex.tolist() == [[32767, 0, -32768]]
+
+
+def test_resample_operator_semantics(spark):
+    pcm = rs.mod_pcm(3, 400)
+    rows = [
+        ("a", 16000, "pcm_s16le", bytearray(pcm.tobytes())),
+        ("same", 12000, "pcm_s16le", bytearray(pcm.tobytes())),
+        ("bad", 12000, "flac", bytearray(b"junk")),
+        ("nosr", None, "pcm_s16le", bytearray(pcm.tobytes())),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, sr_hz int, codec string, bytes binary")
+    out = {r.clip_id: r for r in rs.resample(df, 12000).collect()}
+
+    a = out["a"]
+    assert (a.sr_hz, a.n_samples) == (12000, (400 - 1) * 3 // 4 + 1)
+    expect = rs._resample_group(pcm[None, :], 16000, 12000)[0]
+    assert np.array_equal(np.frombuffer(bytes(a.bytes), dtype="<i2"),
+                          expect)
+
+    s = out["same"]                            # passthrough: bit-exact
+    assert bytes(s.bytes) == pcm.tobytes() and s.n_samples == 400
+
+    assert out["bad"].n_samples is None and out["bad"].bytes is None
+    assert out["nosr"].n_samples is None
+
+
+def test_resample_round_trip_spectrum_preserved():
+    # down 16k->12k then up 12k->16k of a smooth low-frequency signal
+    # stays close (linear interp error is second-order in the step)
+    t = np.arange(4000) / 16000.0
+    pcm = (10000 * np.sin(2 * np.pi * 400 * t)).astype(np.int16)
+    down = rs._resample_group(pcm[None, :], 16000, 12000)
+    up = rs._resample_group(down, 12000, 16000)[0]
+    n = min(up.size, pcm.size)
+    err = np.abs(up[:n].astype(np.int64) - pcm[:n].astype(np.int64))
+    assert err.max() < 200                     # < 2% of amplitude

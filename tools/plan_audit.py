@@ -177,6 +177,18 @@ def main() -> int:
            ("no join", lambda p: "Join" not in p)],
           "scan -> ONE mapInPandas (O(n) mask/diff run detection) -> "
           "segment rows; no reference table, embarrassingly parallel")
+    from canned_yaml_spark import resample as _rsmod
+    audit("resample (sr conversion)",
+          _rsmod.resample(_rsmod.mod_corpus_df(
+              spark, spark.range(200).select(F.col("id").alias("k"))),
+              12000),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           ("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1),
+           ("no join", lambda p: "Join" not in p)],
+          "scan -> ONE mapInPandas ((n, sr)-grouped matrix gathers, "
+          "exact-int interpolation numerators) -> resampled bytes; "
+          "embarrassingly parallel")
     # at-scale shape (auto-broadcast off: on the tiny audit corpus
     # Catalyst rightly broadcasts the b-side, which hides the reuse
     # property that matters when both sides are big)

@@ -331,6 +331,27 @@ def _q_resample(spark, sf_dir):
         F.round("rms_db", 4).alias("rms_db"))
 
 
+def _q_spectral_stats(spark, sf_dir):
+    # FFT-derived spectral quality features (band-limit/transcode
+    # detection) over the chirp corpus — rows-only (DuckDB has no FFT);
+    # the physics is pinned in tests/test_audiofp.py (pure tone,
+    # hash-noise, 4x-upsampled band-limited clip).
+    from canned_yaml_spark import audiofp
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    corpus = (audiofp.chirp_corpus_df(spark, keys=keys)
+              .withColumn("sr_hz", F.lit(8000)))
+    s = audiofp.spectral_stats(corpus)
+    return s.select(
+        "clip_id", "n_frames",
+        F.round("centroid_hz", 2).alias("centroid_hz"),
+        F.round("bandwidth_hz", 2).alias("bandwidth_hz"),
+        F.round("rolloff95_hz", 2).alias("rolloff95_hz"),
+        F.round("flatness", 4).alias("flatness"),
+        F.round("hf_ratio", 4).alias("hf_ratio"))
+
+
 def _q_simhash_groups(spark, sf_dir):
     # engine-hash-dependent (xxhash64) → rows-only
     d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
@@ -563,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": _q_audio_near_dups,
         "audio_segments": _q_audio_segments,
         "resample": _q_resample,
+        "spectral_stats": _q_spectral_stats,   # rows-only (FFT)
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,

@@ -212,6 +212,110 @@ def near_dup_audio(clips: DataFrame,
                   .select("clip_a", "clip_b", F.round("ber", 4).alias("ber")))
 
 
+#: spectral_stats output schema
+_SPEC_SCHEMA = ("clip_id string, n_frames int, centroid_hz double, "
+                "bandwidth_hz double, rolloff95_hz double, "
+                "flatness double, hf_ratio double")
+
+
+def spectral_stats(clips: DataFrame,
+                   byte_col: str = "bytes", codec_col: str = "codec",
+                   sr_col: str = "sr_hz", id_col: str = "clip_id",
+                   frame: int = FP_FRAME, hop: int = FP_HOP,
+                   decoder=None) -> DataFrame:
+    """Per-clip spectral quality features, energy-weighted across
+    frames: centroid and bandwidth (spectral mass center/spread, Hz),
+    95% rolloff (Hz below which 95% of energy sits), flatness
+    (geometric/arithmetic mean of the power spectrum — ≈1 noise-like,
+    →0 tonal), and hf_ratio (energy share above 90% of Nyquist).
+
+    These are the signals a corpus pipeline filters on: a clip whose
+    rolloff sits far below Nyquist was band-limited upstream (e.g.
+    8 kHz telephony upsampled and passed off as 16 kHz), flatness
+    separates tones/hum from speech/noise, hf_ratio exposes aliasing.
+    Same distributed shape as fingerprint(): one Arrow pass, batched
+    FFT per length group, no join, no shuffle. NULL metrics for
+    undecodable or too-short clips.
+    """
+    dec_fn = decoder or decode
+    src = clips.select(F.col(id_col).alias("clip_id"),
+                       F.col(sr_col).cast("int").alias("_sr"),
+                       F.col(byte_col).alias("_bytes"),
+                       F.col(codec_col).alias("_codec"))
+    window = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(frame) / (frame - 1))
+    n_bins = frame // 2 + 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf["_bytes"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
+            srs = pdf["_sr"].to_numpy()
+            out = {k: np.full(n, np.nan) for k in
+                   ("centroid", "bandwidth", "rolloff", "flatness",
+                    "hf")}
+            nf = np.zeros(n, dtype=np.int64)
+            groups: dict[int, list[int]] = {}
+            decs: list = [None] * n
+            for i in range(n):
+                if payloads[i] is None or pd.isna(srs[i]):
+                    continue
+                d = dec_fn(payloads[i], codecs[i])
+                if d is None or d.size < frame:
+                    continue
+                decs[i] = d
+                groups.setdefault(d.size, []).append(i)
+            for size, idx in groups.items():
+                m = np.empty((len(idx), size), dtype=np.int16)
+                for j, i in enumerate(idx):
+                    m[j] = decs[i]
+                frames = np.lib.stride_tricks.sliding_window_view(
+                    m, frame, axis=1)[:, ::hop, :]
+                spec = np.abs(np.fft.rfft(frames * window, axis=2)) ** 2
+                ix = np.asarray(idx)
+                nf[ix] = spec.shape[1]
+                # energy-weighted across frames == pool power first
+                p = spec.sum(axis=1)                 # (clips, bins)
+                tot = p.sum(axis=1)                  # (clips,)
+                sr = np.array([srs[i] for i in idx], dtype=np.float64)
+                freqs = np.arange(n_bins) / float(frame)  # × sr later
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cen = (p @ freqs) / tot
+                    bw = np.sqrt(np.maximum(
+                        (p @ freqs**2) / tot - cen**2, 0.0))
+                    cum = np.cumsum(p, axis=1)
+                    roll_bin = np.argmax(
+                        cum >= 0.95 * tot[:, None], axis=1)
+                    # flatness over bins 1..n-1 (DC excluded), on the
+                    # frame-pooled spectrum, eps-guarded for exact-zero
+                    # bins (silence)
+                    q = np.maximum(p[:, 1:], 1e-12)
+                    flat = np.exp(np.mean(np.log(q), axis=1)) \
+                        / np.mean(q, axis=1)
+                    hf_cut = int(np.floor(0.9 * (n_bins - 1)))
+                    hf = p[:, hf_cut:].sum(axis=1) / tot
+                ok = tot > 0
+                out["centroid"][ix] = np.where(ok, cen * sr, np.nan)
+                out["bandwidth"][ix] = np.where(ok, bw * sr, np.nan)
+                out["rolloff"][ix] = np.where(
+                    ok, roll_bin / float(frame) * sr, np.nan)
+                out["flatness"][ix] = np.where(ok, flat, np.nan)
+                out["hf"][ix] = np.where(ok, hf, np.nan)
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "n_frames": pd.array(
+                    [int(v) if decs[i] is not None else None
+                     for i, v in enumerate(nf)], dtype="Int32"),
+                "centroid_hz": out["centroid"],
+                "bandwidth_hz": out["bandwidth"],
+                "rolloff95_hz": out["rolloff"],
+                "flatness": out["flatness"],
+                "hf_ratio": out["hf"]})
+
+    return src.mapInPandas(run, _SPEC_SCHEMA)
+
+
 # ------------------------------------------------------------ fixtures
 def chirp_pcm(key: int, n_samples: int = 4000,
               sr_hz: int = 8000) -> np.ndarray:

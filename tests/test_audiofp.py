@@ -89,3 +89,46 @@ def test_near_dup_audio_min_overlap_rejects_prefix(spark):
     got = audiofp.near_dup_audio(df, min_overlap=0.3).collect()
     assert [(r.clip_a, r.clip_b, r.ber) for r in got] == \
         [("full", "half", 0.0)]
+
+
+def test_spectral_stats_physics(spark):
+    # analytic sanity on known signals at 8 kHz: a pure 1 kHz tone has
+    # centroid/rolloff at ~1 kHz, tiny flatness and no HF energy; white
+    # hash-noise is flat with centroid near sr/4 and real HF share; a
+    # band-limited clip (2 kHz-sampled content upsampled 4x) keeps its
+    # rolloff near the ORIGINAL 1 kHz Nyquist — the transcode detector
+    import numpy as np
+    from canned_yaml_spark import resample as rs
+    sr = 8000
+    t = np.arange(4096) / sr
+    tone = (20000 * np.sin(2 * np.pi * 1000 * t)).astype("<i2")
+    i = np.arange(4096, dtype=np.float64)
+    h = np.sin((i + 9.0) * 12.9898) * 43758.5453
+    noise = (8000 * (2 * (h - np.floor(h)) - 1)).astype("<i2")
+    lowres = rs._resample_group(noise[None, ::4], sr // 4, sr)[0]
+    rows = [
+        ("tone", sr, "pcm_s16le", bytearray(tone.tobytes())),
+        ("noise", sr, "pcm_s16le", bytearray(noise.tobytes())),
+        ("upsampled", sr, "pcm_s16le", bytearray(lowres.tobytes())),
+        ("bad", sr, "flac", bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, sr_hz int, codec string, bytes binary")
+    out = {r.clip_id: r for r in audiofp.spectral_stats(df).collect()}
+
+    tn = out["tone"]
+    assert abs(tn.centroid_hz - 1000) < 60
+    assert abs(tn.rolloff95_hz - 1000) < 60
+    assert tn.flatness < 0.01 and tn.hf_ratio < 0.01
+    assert tn.bandwidth_hz < 200
+
+    nz = out["noise"]
+    assert nz.flatness > 0.4
+    assert abs(nz.centroid_hz - sr / 4) < sr * 0.05
+    assert nz.rolloff95_hz > 3200 and nz.hf_ratio > 0.05
+
+    up = out["upsampled"]                  # band-limited: rolloff stays
+    assert up.rolloff95_hz < 1300          # near the original 1 kHz
+    assert up.hf_ratio < 0.01
+
+    assert out["bad"].centroid_hz is None and out["bad"].n_frames is None

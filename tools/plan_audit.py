@@ -189,10 +189,20 @@ def main() -> int:
           "scan -> ONE mapInPandas ((n, sr)-grouped matrix gathers, "
           "exact-int interpolation numerators) -> resampled bytes; "
           "embarrassingly parallel")
+    from canned_yaml_spark import audiofp
+    audit("spectral stats",
+          audiofp.spectral_stats(
+              audiofp.chirp_corpus_df(spark, 200)
+              .withColumn("sr_hz", F.lit(8000))),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           ("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1),
+           ("no join", lambda p: "Join" not in p)],
+          "scan -> ONE mapInPandas (batched FFT per length group, "
+          "frame-pooled power) -> feature row; embarrassingly parallel")
     # at-scale shape (auto-broadcast off: on the tiny audit corpus
     # Catalyst rightly broadcasts the b-side, which hides the reuse
     # property that matters when both sides are big)
-    from canned_yaml_spark import audiofp
     _saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:

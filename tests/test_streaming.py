@@ -320,3 +320,34 @@ def test_stream_manifest_survives_checkpoint_wipe(spark, suite, tmp_path):
     got = spark.read.parquet(out)
     want = row_violations(first, suite)
     assert got.count() == want.count()
+
+
+def test_audio_ops_compose_with_streams(spark, tmp_path):
+    # the r5 audio family is stateless mapInPandas — it must compose
+    # with readStream unchanged (same operator object, no batch-only
+    # API). stream==batch for audio_stats AND segmentation.
+    from canned_yaml_spark import payload, segment
+
+    src = str(tmp_path / "asrc")
+    clips = segment.seg_corpus_df(
+        spark, spark.range(60).selectExpr("id AS k"))
+    clips.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+
+    for name, op in (
+            ("stats", lambda df: payload.audio_stats(
+                df.withColumn("part_id", F.lit(0)))),
+            ("segs", lambda df: segment.segments(df))):
+        out = str(tmp_path / f"out_{name}")
+        chk = str(tmp_path / f"chk_{name}")
+        q = (op(stream).writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", chk)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        want = op(spark.read.parquet(src))
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0, name

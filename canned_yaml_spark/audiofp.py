@@ -101,18 +101,25 @@ def _batch_fingerprints(decs: list, frame: int, hop: int,
             continue
         groups.setdefault(d.size, []).append(i)
     for size, idx in groups.items():
-        m = np.empty((len(idx), size), dtype=np.int16)
-        for j, i in enumerate(idx):
-            m[j] = decs[i]
-        frames = np.lib.stride_tricks.sliding_window_view(
-            m, frame, axis=1)[:, ::hop, :]       # (c, t, frame) view
-        spec = np.abs(np.fft.rfft(frames * window, axis=2)) ** 2
-        E = spec @ B                             # (c, t, bands)
-        d_freq = E[:, :, :-1] - E[:, :, 1:]      # (c, t, bands-1)
-        bits = (d_freq[:, 1:, :] - d_freq[:, :-1, :]) > 0
-        subfp = bits @ pow2                      # (c, t-1) int64
-        for j, i in enumerate(idx):
-            out[i] = [int(v) for v in subfp[j]]
+        # chunk so the float64 frame/FFT temporaries stay ~100 MB per
+        # task no matter how large the Arrow batch is (the windowed
+        # frames alone are 2·8 B per input sample; an unchunked 10k-row
+        # batch of 4k-sample clips would materialize >600 MB per core)
+        step = max(1, 2_000_000 // size)
+        for lo in range(0, len(idx), step):
+            idx_c = idx[lo:lo + step]
+            m = np.empty((len(idx_c), size), dtype=np.int16)
+            for j, i in enumerate(idx_c):
+                m[j] = decs[i]
+            frames = np.lib.stride_tricks.sliding_window_view(
+                m, frame, axis=1)[:, ::hop, :]   # (c, t, frame) view
+            spec = np.abs(np.fft.rfft(frames * window, axis=2)) ** 2
+            E = spec @ B                         # (c, t, bands)
+            d_freq = E[:, :, :-1] - E[:, :, 1:]  # (c, t, bands-1)
+            bits = (d_freq[:, 1:, :] - d_freq[:, :-1, :]) > 0
+            subfp = bits @ pow2                  # (c, t-1) int64
+            for j, i in enumerate(idx_c):
+                out[i] = [int(v) for v in subfp[j]]
     return out
 
 
@@ -266,7 +273,12 @@ def spectral_stats(clips: DataFrame,
                     continue
                 decs[i] = d
                 groups.setdefault(d.size, []).append(i)
-            for size, idx in groups.items():
+            for size, idx_all in groups.items():
+              # same chunking rationale as _batch_fingerprints: bound
+              # the frame/FFT temporaries per task
+              step = max(1, 2_000_000 // size)
+              for lo in range(0, len(idx_all), step):
+                idx = idx_all[lo:lo + step]
                 m = np.empty((len(idx), size), dtype=np.int16)
                 for j, i in enumerate(idx):
                     m[j] = decs[i]

@@ -95,7 +95,12 @@ def resample(clips: DataFrame, sr_out: int,
                     out_bytes[i] = d.astype("<i2").tobytes()
                     continue
                 groups.setdefault((d.size, int(srs[i])), []).append(i)
-            for (size, sr_in), idx in groups.items():
+            for (size, sr_in), idx_all in groups.items():
+              # chunk: the int64 interpolation numerators are 8 B per
+              # output sample ×3 temporaries — bound them per task
+              step = max(1, 2_000_000 // max(size, 1))
+              for lo in range(0, len(idx_all), step):
+                idx = idx_all[lo:lo + step]
                 m = np.empty((len(idx), size), dtype=np.int16)
                 for j, i in enumerate(idx):
                     m[j] = decs[i]

@@ -132,3 +132,14 @@ def test_spectral_stats_physics(spark):
     assert up.hf_ratio < 0.01
 
     assert out["bad"].centroid_hz is None and out["bad"].n_frames is None
+
+
+def test_batch_fingerprints_chunking_invariant():
+    # the memory-bounding chunk loop (step = 2M // size) must not
+    # change results across chunk boundaries: 1200 clips of 2000
+    # samples → step 1000 → 2 chunks; compare against per-clip calls
+    pcms = [audiofp.chirp_pcm(k, 2000) for k in range(1200)]
+    batched = audiofp._batch_fingerprints(pcms, 256, 128, 33)
+    for k in (0, 999, 1000, 1199):           # straddle the boundary
+        solo = audiofp._batch_fingerprints([pcms[k]], 256, 128, 33)[0]
+        assert batched[k] == solo

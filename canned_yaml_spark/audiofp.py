@@ -87,8 +87,15 @@ def _batch_fingerprints(decs: list, frame: int, hop: int,
     failed decodes, [] for clips shorter than two frames)."""
     n = len(decs)
     out: list = [None] * n
-    window = 0.5 - 0.5 * np.cos(
-        2.0 * np.pi * np.arange(frame) / (frame - 1))   # Hann
+    # f32 window: halves the traffic of the largest temporary (the
+    # windowed frames, 2·frame/hop floats per input sample) on a
+    # memory-bandwidth-limited host (BENCH/MEMBW.md). numpy's pocketfft
+    # still upcasts to f64 internally (no scipy in this sandbox —
+    # dated probe in ROADMAP.md), so the transform itself is exact
+    # f64 either way; 24-bit mantissas carry the 16-bit samples of a
+    # 256-point frame without meaningful loss in the windowed product.
+    window = (0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(frame) / (frame - 1))).astype(np.float32)
     B = _band_matrix(frame, bands)
     pow2 = (1 << np.arange(bands - 1, dtype=np.int64))
 
@@ -113,13 +120,14 @@ def _batch_fingerprints(decs: list, frame: int, hop: int,
                 m[j] = decs[i]
             frames = np.lib.stride_tricks.sliding_window_view(
                 m, frame, axis=1)[:, ::hop, :]   # (c, t, frame) view
-            spec = np.abs(np.fft.rfft(frames * window, axis=2)) ** 2
+            r = np.fft.rfft(frames * window, axis=2)
+            spec = r.real ** 2 + r.imag ** 2     # no |.| sqrt round-trip
             E = spec @ B                         # (c, t, bands)
             d_freq = E[:, :, :-1] - E[:, :, 1:]  # (c, t, bands-1)
             bits = (d_freq[:, 1:, :] - d_freq[:, :-1, :]) > 0
             subfp = bits @ pow2                  # (c, t-1) int64
             for j, i in enumerate(idx_c):
-                out[i] = [int(v) for v in subfp[j]]
+                out[i] = subfp[j].tolist()
     return out
 
 

@@ -178,7 +178,8 @@ def near_dup_audio(clips: DataFrame,
                    min_overlap: float = 0.8,
                    max_bucket: int = 1024,
                    byte_col: str = "bytes", codec_col: str = "codec",
-                   id_col: str = "clip_id", decoder=None) -> DataFrame:
+                   id_col: str = "clip_id", decoder=None,
+                   frame: int = FP_FRAME, hop: int = FP_HOP) -> DataFrame:
     """Near-duplicate AUDIO pairs (clip_a, clip_b, ber): same recording
     under different encodings. Exact w.r.t. its stated match rule —
     a pair is reported iff (a) at least one frame-aligned 32-bit
@@ -194,7 +195,8 @@ def near_dup_audio(clips: DataFrame,
     """
     from pyspark.sql import Window
     fps = fingerprint(clips, byte_col=byte_col, codec_col=codec_col,
-                      id_col=id_col, decoder=decoder)
+                      id_col=id_col, decoder=decoder,
+                      frame=frame, hop=hop)
     # fp is carried THROUGH the band join (same choice as
     # dedup.near_dup_pairs carrying minhash signatures): the verify
     # stage then needs no joins back to the fingerprint table, so the

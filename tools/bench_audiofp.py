@@ -49,8 +49,17 @@ from canned_yaml_spark import audiofp
 spark = get_spark(f"audiofp_{{cores}}", cores=cores, shuffle_partitions=64,
                   extra_conf={{"spark.local.dir": "/dev/shm/spark-tmp"}})
 corpus = spark.read.parquet({path!r})
-def job():
-    return audiofp.near_dup_audio(corpus).count()
+mode = os.environ.get("SG_MODE", "neardup")
+if mode == "fp_dense":
+    # compute-bound control (the audio analogue of the s64 row-suite
+    # control in bench_scaling.py): fingerprint-only at hop=16 — 8x
+    # the FFT work per byte moved, so the N->4N criterion measures
+    # compute scaling with the host's memory-bus ceiling amortized
+    def job():
+        return audiofp.fingerprint(corpus, hop=16).count()
+else:
+    def job():
+        return audiofp.near_dup_audio(corpus).count()
 n_pairs = job()                                 # warm-up
 ts = []
 for _ in range({runs}):
@@ -83,18 +92,21 @@ def main() -> None:
                                      path=path)],
                        check=True, cwd=REPO)
 
+    mode = os.environ.get("SG_MODE", "neardup")
     # alternate levels so slow host windows hit both equally
     results: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(runs):
         for cores in (8, 32):
             r = run_child(CHILD.format(repo=REPO, path=path, runs=1),
-                          {"SG_CORES": str(cores)})
+                          {"SG_CORES": str(cores), "SG_MODE": mode})
             results[cores].append(r)
             print(r)
     best = {c: min(x["secs"] for x in results[c]) for c in (8, 32)}
     thr = {c: n_clips / best[c] for c in (8, 32)}
     eff = (thr[32] / thr[8]) / 4.0
-    line = {"op": "near_dup_audio", "n_clips": n_clips,
+    line = {"op": ("fingerprint hop=16 (compute-bound control)"
+                   if mode == "fp_dense" else "near_dup_audio"),
+            "n_clips": n_clips,
             "t8": best[8], "t32": best[32],
             "clips_per_sec_8": round(thr[8]),
             "clips_per_sec_32": round(thr[32]),
@@ -104,7 +116,7 @@ def main() -> None:
     print(json.dumps(line))
     stamp = time.strftime("%Y-%m-%d %H:%M")
     with open(os.path.join(REPO, "BENCH", "AUDIOFP.md"), "a") as f:
-        f.write(f"\n## near_dup_audio scaling — {stamp}\n\n"
+        f.write(f"\n## {line['op']} scaling — {stamp}\n\n"
                 f"{n_clips} clips (+20% injected dups), corpus + "
                 f"shuffle on /dev/shm, process tree pinned, fresh JVM "
                 f"per run, levels alternated, min of {runs}.\n\n"

@@ -239,6 +239,7 @@ def spectral_stats(clips: DataFrame,
                    byte_col: str = "bytes", codec_col: str = "codec",
                    sr_col: str = "sr_hz", id_col: str = "clip_id",
                    frame: int = FP_FRAME, hop: int = FP_HOP,
+                   part_col: str | None = None,
                    decoder=None) -> DataFrame:
     """Per-clip spectral quality features, energy-weighted across
     frames: centroid and bandwidth (spectral mass center/spread, Hz),
@@ -255,10 +256,15 @@ def spectral_stats(clips: DataFrame,
     undecodable or too-short clips.
     """
     dec_fn = decoder or decode
-    src = clips.select(F.col(id_col).alias("clip_id"),
-                       F.col(sr_col).cast("int").alias("_sr"),
-                       F.col(byte_col).alias("_bytes"),
-                       F.col(codec_col).alias("_codec"))
+    cols = [F.col(id_col).alias("clip_id"),
+            F.col(sr_col).cast("int").alias("_sr"),
+            F.col(byte_col).alias("_bytes"),
+            F.col(codec_col).alias("_codec")]
+    if part_col:       # carried through the pass — no join to re-attach
+        cols.insert(1, F.col(part_col).alias("part_id"))
+    src = clips.select(*cols)
+    schema = _SPEC_SCHEMA if not part_col else _SPEC_SCHEMA.replace(
+        "clip_id string,", "clip_id string, part_id int,")
     window = 0.5 - 0.5 * np.cos(
         2.0 * np.pi * np.arange(frame) / (frame - 1))
     n_bins = frame // 2 + 1
@@ -324,8 +330,10 @@ def spectral_stats(clips: DataFrame,
                     ok, roll_bin / float(frame) * sr, np.nan)
                 out["flatness"][ix] = np.where(ok, flat, np.nan)
                 out["hf"][ix] = np.where(ok, hf, np.nan)
-            yield pd.DataFrame({
-                "clip_id": pdf["clip_id"],
+            res = {"clip_id": pdf["clip_id"]}
+            if part_col:
+                res["part_id"] = pdf["part_id"].astype("int32")
+            res.update({
                 "n_frames": pd.array(
                     [int(v) if decs[i] is not None else None
                      for i, v in enumerate(nf)], dtype="Int32"),
@@ -334,8 +342,47 @@ def spectral_stats(clips: DataFrame,
                 "rolloff95_hz": out["rolloff"],
                 "flatness": out["flatness"],
                 "hf_ratio": out["hf"]})
+            yield pd.DataFrame(res)
 
-    return src.mapInPandas(run, _SPEC_SCHEMA)
+    return src.mapInPandas(run, schema)
+
+
+def spectral_violations(clips: DataFrame, check,
+                        id_col: str = "clip_id",
+                        part_col: str = "part_id") -> DataFrame:
+    """Violation rows for clips breaching a SpectralCheck (x-spectral):
+    95%-rolloff floor and/or flatness cap. Same contract as
+    x-audio-stats: unknown codecs skip (the enum check owns those),
+    undecodable-or-too-short payloads of KNOWN codecs violate. Plan:
+    scan → one Arrow FFT pass → threshold filter; exchange-free."""
+    from canned_yaml_spark.audio import _MAGIC
+    rule_id = check.rule_id
+    severity = int(check.severity)
+    src = clips.filter(F.col("codec").isin(*sorted(_MAGIC)))
+    s = spectral_stats(src, byte_col=check.column, sr_col=check.sr_col,
+                       id_col=id_col, part_col=part_col)
+    msgs = [F.when(F.col("n_frames").isNull(),
+                   F.lit("payload undecodable or too short for "
+                         "spectral stats"))]
+    if check.min_rolloff95_hz is not None:
+        msgs.append(F.when(
+            F.col("rolloff95_hz") < float(check.min_rolloff95_hz),
+            F.concat(F.lit("rolloff95 "),
+                     F.round("rolloff95_hz", 1).cast("string"),
+                     F.lit(f" Hz < {check.min_rolloff95_hz} "
+                           f"(band-limited/transcoded?)"))))
+    if check.max_flatness is not None:
+        msgs.append(F.when(
+            F.col("flatness") > float(check.max_flatness),
+            F.concat(F.lit("flatness "),
+                     F.round("flatness", 4).cast("string"),
+                     F.lit(f" > {check.max_flatness}"))))
+    return (s.select(
+        "clip_id", "part_id",
+        F.explode(F.array_compact(F.array(*msgs))).alias("message"))
+        .select("clip_id", "part_id",
+                F.lit(rule_id).alias("rule_id"),
+                F.lit(severity).alias("severity"), "message"))
 
 
 # ------------------------------------------------------------ fixtures

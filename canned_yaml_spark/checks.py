@@ -123,6 +123,25 @@ class AudioStatsCheck:
     severity: Severity = Severity.WARN
 
 
+@dataclass(frozen=True)
+class SpectralCheck:
+    """x-spectral: decode audio ``column``, FFT it, and gate spectral
+    quality — a 95%-rolloff floor (catches band-limited audio passed
+    off at a higher sample rate, e.g. upsampled telephony) and a
+    flatness cap (catches tonal hum / test signals where speech or
+    music is expected). Needs the table's sample-rate column
+    (``sr_col``) to express thresholds in Hz. One Arrow pass, no
+    reference table, no join. A threshold left as None is not
+    checked."""
+
+    rule_id: str
+    column: str
+    sr_col: str = "sr_hz"
+    min_rolloff95_hz: float | None = None
+    max_flatness: float | None = None
+    severity: Severity = Severity.WARN
+
+
 @dataclass
 class CheckSuite:
     """Everything compiled from one spec.
@@ -138,6 +157,7 @@ class CheckSuite:
     drift_checks: list[DriftCheck] = field(default_factory=list)
     payload_checks: list[PayloadCheck] = field(default_factory=list)
     audio_checks: list[AudioStatsCheck] = field(default_factory=list)
+    spectral_checks: list[SpectralCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -153,6 +173,7 @@ class CheckSuite:
             ("unique", self.unique_checks), ("ref", self.ref_checks),
             ("drift", self.drift_checks), ("payload", self.payload_checks),
             ("audio", self.audio_checks),
+            ("spectral", self.spectral_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

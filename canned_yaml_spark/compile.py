@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
     AudioStatsCheck, Check, CheckSuite, DriftCheck, PayloadCheck, RefCheck,
-    Severity,
+    Severity, SpectralCheck,
     UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
@@ -559,6 +559,15 @@ class _Compiler:
                 max_silence_frac=opt("max_silence_frac"),
                 min_rms_db=opt("min_rms_db"),
                 severity=Severity[xa.get("severity", "WARN").upper()]))
+        if "x-spectral" in sub:
+            xs = sub["x-spectral"]
+            opt = (lambda k: float(xs[k]) if k in xs else None)
+            self.suite.spectral_checks.append(SpectralCheck(
+                rule_id=f"x-spectral.{column}", column=column,
+                sr_col=xs.get("sr_col", "sr_hz"),
+                min_rolloff95_hz=opt("min_rolloff95_hz"),
+                max_flatness=opt("max_flatness"),
+                severity=Severity[xs.get("severity", "WARN").upper()]))
 
 
 def _literal(v: Any, path: str) -> Column:

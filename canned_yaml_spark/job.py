@@ -108,6 +108,11 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         if ac.column in clips.columns:
             out = out.unionByName(
                 payload.audio_stats_violations(clips, ac, id_col, part_col))
+    for sc in suite.spectral_checks:
+        if sc.column in clips.columns and sc.sr_col in clips.columns:
+            from canned_yaml_spark import audiofp
+            out = out.unionByName(
+                audiofp.spectral_violations(clips, sc, id_col, part_col))
     return out
 
 

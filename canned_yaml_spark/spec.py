@@ -44,7 +44,7 @@ NODE_KEYWORDS = {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "pattern", "minLength", "maxLength",
     "x-unique", "x-ref", "x-drift", "x-payload", "x-audio-stats",
-    "x-severity", "x-closed-world",
+    "x-spectral", "x-severity", "x-closed-world",
     "$schema", "title", "description",
 }
 
@@ -217,6 +217,22 @@ def validate_spec(node: Any, path: str) -> None:
             raise SpecError(f"{path}.x-audio-stats",
                             "needs at least one threshold (max_clip_frac, "
                             "max_silence_frac, min_rms_db)")
+
+    if "x-spectral" in node:
+        xs = node["x-spectral"]
+        if not isinstance(xs, dict):
+            raise SpecError(f"{path}.x-spectral", "must be a map")
+        for key in ("min_rolloff95_hz", "max_flatness"):
+            if key in xs and not isinstance(xs[key], (int, float)):
+                raise SpecError(f"{path}.x-spectral.{key}",
+                                f"must be a number, got {xs[key]!r}")
+        if "max_flatness" in xs and not 0.0 <= float(xs["max_flatness"]) <= 1.0:
+            raise SpecError(f"{path}.x-spectral.max_flatness",
+                            f"must be in [0, 1], got {xs['max_flatness']!r}")
+        if not any(k in xs for k in ("min_rolloff95_hz", "max_flatness")):
+            raise SpecError(f"{path}.x-spectral",
+                            "needs at least one threshold "
+                            "(min_rolloff95_hz, max_flatness)")
 
 
 def resolve_ref(root: dict, ref: str, path: str) -> tuple[str, dict]:

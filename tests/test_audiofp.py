@@ -143,3 +143,61 @@ def test_batch_fingerprints_chunking_invariant():
     for k in (0, 999, 1000, 1199):           # straddle the boundary
         solo = audiofp._batch_fingerprints([pcms[k]], 256, 128, 33)[0]
         assert batched[k] == solo
+
+
+def test_x_spectral_spec_check(spark):
+    # x-spectral as a first-class spec extension through the deep spec
+    # and the job driver: band-limited and tonal clips flagged, clean
+    # broadband clip passes, unknown codec skipped
+    import numpy as np
+    from canned_yaml_spark import compile_spec
+    from canned_yaml_spark import job as jobmod
+    from canned_yaml_spark import resample as rs
+
+    sr = 8000
+    i = np.arange(4096, dtype=np.float64)
+    h = np.sin((i + 5.0) * 12.9898) * 43758.5453
+    noise = (8000 * (2 * (h - np.floor(h)) - 1)).astype("<i2")
+    lowres = rs._resample_group(noise[None, ::16], sr // 16, sr)[0]
+    t = np.arange(4096) / sr
+    tone = (20000 * np.sin(2 * np.pi * 440 * t)).astype("<i2")
+    rows = [
+        ("clean", 0, sr, "pcm_s16le", bytearray(noise.tobytes())),
+        ("narrow", 0, sr, "pcm_s16le", bytearray(lowres.tobytes())),
+        ("hum", 1, sr, "pcm_s16le", bytearray(tone.tobytes())),
+        ("alien", 1, sr, "vorbis", bytearray(b"x")),
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, part_id int, sr_hz int, codec string, "
+              "bytes binary")
+    suite = compile_spec("""
+type: object
+properties:
+  bytes:
+    x-spectral:
+      min_rolloff95_hz: 600.0
+      max_flatness: 0.2
+""")
+    [sc] = suite.spectral_checks
+    assert sc.rule_id == "x-spectral.bytes" and sc.max_flatness == 0.2
+    from canned_yaml_spark import audiofp as afp
+    out = afp.spectral_violations(clips, sc).collect()
+    by_clip = {}
+    for r in out:
+        assert r.rule_id == "x-spectral.bytes" and r.severity == 1
+        by_clip.setdefault(r.clip_id, []).append(r.message)
+    assert "alien" not in by_clip
+    assert any("rolloff95" in m for m in by_clip["narrow"])
+    assert any("flatness" in m for m in by_clip["clean"])  # noise IS flat
+    assert "hum" in by_clip   # tonal: rolloff 440 < 600
+    # clean violates only flatness (its rolloff is high)
+    assert not any("rolloff95" in m for m in by_clip["clean"])
+
+    # wired through the job driver
+    av = (jobmod.all_violations(clips, suite)
+          .filter(F.col("rule_id") == "x-spectral.bytes"))
+    assert av.count() == len(out)
+
+    # deep spec variant compiles with both audio extensions
+    deep = compile_spec(open("specs/clips_deep.spec.yaml").read())
+    assert len(deep.spectral_checks) == 1 and len(deep.audio_checks) == 1

@@ -93,3 +93,25 @@ def test_audio_stats_spec_validation():
         check("{type: object, properties: {b: {x-audio-stats: true}}}")
     check("{type: object, properties: "
           "{b: {x-audio-stats: {max_silence_frac: 0.5}}}}")
+
+
+def test_spectral_spec_validation():
+    import pytest
+    from canned_yaml_spark.errors import SpecError
+    from canned_yaml_spark.spec import load_spec, validate_spec
+
+    def check(frag):
+        validate_spec(load_spec(frag), "$")
+
+    with pytest.raises(SpecError, match="at least one threshold"):
+        check("{type: object, properties: {b: {x-spectral: {}}}}")
+    with pytest.raises(SpecError, match="must be a number"):
+        check("{type: object, properties: "
+              "{b: {x-spectral: {min_rolloff95_hz: low}}}}")
+    with pytest.raises(SpecError, match="in \\[0, 1\\]"):
+        check("{type: object, properties: "
+              "{b: {x-spectral: {max_flatness: 3}}}}")
+    with pytest.raises(SpecError, match="must be a map"):
+        check("{type: object, properties: {b: {x-spectral: 4}}}")
+    check("{type: object, properties: "
+          "{b: {x-spectral: {min_rolloff95_hz: 300}}}}")

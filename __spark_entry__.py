@@ -331,6 +331,38 @@ def _q_resample(spark, sf_dir):
         F.round("rms_db", 4).alias("rms_db"))
 
 
+def _q_downmix(spark, sf_dir):
+    # stereo→mono downmix of REAL two-channel RIFF/WAVE files (the
+    # chunk walker supplies the channel count), value-checked through
+    # peak/dc/rms of the DOWNMIXED samples: mono[f] =
+    # floor((s(2f)+s(2f+1))/2) with s the analytic wav_sample formula,
+    # restated exactly by the oracle (oracle.sql_downmix).
+    from canned_yaml_spark import multimodal, resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ks = [int(x) for x in pdf["k"]]
+            yield pd.DataFrame({
+                "clip_id": [f"clip_{x:010d}" for x in ks],
+                "bytes": [multimodal.encode_wav(x, 200, 16000, 2)
+                          for x in ks]})
+
+    wavs = keys.mapInPandas(gen, "clip_id string, bytes binary")
+    dm = rs.downmix_mono(wavs)
+    stats = payload.audio_stats(
+        dm.withColumn("codec", F.lit("pcm_s16le"))
+          .withColumn("part_id", F.lit(0)),
+        byte_col="bytes")
+    return stats.select(
+        "clip_id", "n_samples", "peak",
+        F.round("dc_offset", 4).alias("dc_offset"),
+        F.round("rms_db", 4).alias("rms_db"))
+
+
 def _q_spectral_stats(spark, sf_dir):
     # FFT-derived spectral quality features (band-limit/transcode
     # detection) over the chirp corpus — rows-only (DuckDB has no FFT);
@@ -585,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _q_audio_segments,
         "resample": _q_resample,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT)
+        "downmix": _q_downmix,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
@@ -634,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": oracle.sql_audio_near_dups(),
         "audio_segments": oracle.sql_audio_segments(),
         "resample": oracle.sql_resample(),
+        "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),

@@ -732,6 +732,30 @@ FROM s
 """.strip()
 
 
+def sql_downmix() -> str:
+    # the gate corpus is REAL stereo RIFF/WAVE whose interleaved flat
+    # sample i is wav_sample(k, i) = (i*31 + k*7) % 2048 - 1024; the
+    # downmix contract is mono[f] = floor((s(2f) + s(2f+1)) / 2).
+    # floor() (toward -inf) matches numpy's int // — NOT SQL integer
+    # division, which truncates toward zero on negatives.
+    s2f = "((2*j)*31 + k*7) % 2048 - 1024"
+    s2f1 = "((2*j+1)*31 + k*7) % 2048 - 1024"
+    mono = (f"CAST(floor((({s2f}) + ({s2f1})) / 2.0) AS BIGINT)")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 37 = 0),
+s AS (SELECT printf('clip_%010d', k) AS clip_id,
+             list_transform(range(0, 200), j -> {mono}) AS smp
+      FROM ks)
+SELECT clip_id,
+       CAST(200 AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+       round(list_avg(smp), 4) AS dc_offset,
+       round(20 * log10(sqrt(list_avg(list_transform(smp,
+             v -> CAST(v AS DOUBLE) * v))) / 32768.0), 4) AS rms_db
+FROM s
+""".strip()
+
+
 def sql_embedding_near_dups(threshold: float = 0.95) -> str:
     # brute force over the injected corpus — a valid oracle for the
     # engine's LSH+exact-verify path because LSH only prunes (recall

@@ -120,6 +120,81 @@ def resample(clips: DataFrame, sr_out: int,
     return src.mapInPandas(run, _RS_SCHEMA)
 
 
+#: downmix output schema
+_DM_SCHEMA = ("clip_id string, channels int, n_frames bigint, "
+              "bytes binary")
+
+
+def downmix_mono(clips: DataFrame,
+                 byte_col: str = "bytes", id_col: str = "clip_id",
+                 decoder=None) -> DataFrame:
+    """Stereo/multichannel → mono, the standard prep before ASR or
+    fingerprinting: mono[f] = floor(mean of the frame's channel
+    samples) over interleaved PCM. Exact integer arithmetic (int32
+    channel sum, floor division), so the driver gate value-checks it
+    against a DuckDB restatement (oracle.sql_downmix).
+
+    decoder: (bytes) → (interleaved PCM16 ndarray, channels) or None;
+    defaults to the RIFF/WAVE chunk walker (multimodal.wav_pcm), the
+    container that actually carries channel counts. Mono passes
+    through bit-exact; undecodable rows keep NULLs. Same distributed
+    shape as resample: one mapInPandas, (n, ch)-grouped matrix math,
+    no join, no shuffle.
+    """
+    if decoder is None:
+        from canned_yaml_spark.multimodal import wav_pcm
+
+        def decoder(buf):
+            return wav_pcm(bytes(buf))
+    src = clips.select(F.col(id_col).alias("clip_id"),
+                       F.col(byte_col).alias("_bytes"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf["_bytes"].to_numpy()
+            chs: list = [None] * n
+            out_bytes: list = [None] * n
+            decs: list = [None] * n
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i in range(n):
+                if payloads[i] is None:
+                    continue
+                try:
+                    pcm, ch = decoder(payloads[i])
+                except ValueError:
+                    continue
+                if pcm is None or ch <= 0 or pcm.size % ch:
+                    continue
+                chs[i] = ch
+                if ch == 1:                    # passthrough: bit-exact
+                    out_bytes[i] = np.asarray(pcm, "<i2").tobytes()
+                    continue
+                decs[i] = pcm
+                groups.setdefault((pcm.size, ch), []).append(i)
+            for (size, ch), idx_all in groups.items():
+              step = max(1, 2_000_000 // max(size, 1))
+              for lo in range(0, len(idx_all), step):
+                idx = idx_all[lo:lo + step]
+                m = np.empty((len(idx), size), dtype=np.int16)
+                for j, i in enumerate(idx):
+                    m[j] = decs[i]
+                fr = m.reshape(len(idx), size // ch, ch)
+                mono = (fr.astype(np.int32).sum(axis=2)
+                        // ch).astype("<i2")
+                for j, i in enumerate(idx):
+                    out_bytes[i] = mono[j].tobytes()
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "channels": pd.array(chs, dtype="Int32"),
+                "n_frames": pd.array(
+                    [len(b) // 2 if b is not None else None
+                     for b in out_bytes], dtype="Int64"),
+                "bytes": out_bytes})
+
+    return src.mapInPandas(run, _DM_SCHEMA)
+
+
 # ------------------------------------------------------------ fixtures
 def mod_pcm(key: int, n_samples: int = 4000) -> np.ndarray:
     """Closed-form PCM the SQL oracle can restate exactly: sample i of

@@ -62,3 +62,53 @@ def test_resample_round_trip_spectrum_preserved():
     n = min(up.size, pcm.size)
     err = np.abs(up[:n].astype(np.int64) - pcm[:n].astype(np.int64))
     assert err.max() < 200                     # < 2% of amplitude
+
+
+def test_downmix_mono_semantics(spark):
+    import numpy as np
+    from canned_yaml_spark import multimodal
+
+    stereo = multimodal.encode_wav(3, 50, 16000, 2)
+    mono_wav = multimodal.encode_wav(4, 50, 16000, 1)
+    rows = [
+        ("st", bytearray(stereo)),
+        ("mo", bytearray(mono_wav)),
+        ("bad", bytearray(b"RIFFxxxx")),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r.clip_id: r for r in rs.downmix_mono(df).collect()}
+
+    st = out["st"]
+    assert (st.channels, st.n_frames) == (2, 50)
+    got = np.frombuffer(bytes(st.bytes), dtype="<i2")
+    s = lambda i: (i * 31 + 3 * 7) % 2048 - 1024
+    want = np.array([(s(2 * f) + s(2 * f + 1)) // 2 for f in range(50)],
+                    dtype="<i2")   # // floors toward -inf, as the op does
+    assert np.array_equal(got, want)
+
+    mo = out["mo"]                 # mono: bit-exact passthrough
+    pcm, ch = multimodal.wav_pcm(mono_wav)
+    assert ch == 1 and bytes(mo.bytes) == pcm.tobytes()
+
+    assert out["bad"].channels is None and out["bad"].bytes is None
+    assert out["nul"].n_frames is None
+
+
+def test_downmix_floor_division_on_negative_sums():
+    # (-3 + -4) // 2 = -4 (floor), not -3 (truncation): pin the exact
+    # rounding contract the oracle restates with floor()
+    import numpy as np
+    from canned_yaml_spark import resample as rsm
+    pcm = np.array([-3, -4, 5, 4], dtype="<i2")   # 2 frames, 2 ch
+
+    def dec(buf):
+        return pcm, 2
+
+    # exercise through the public op with a stub decoder
+    from canned_yaml_spark.session import get_spark
+    spark = get_spark(cores=2)
+    df = spark.createDataFrame([("x", bytearray(b"ignored"))],
+                               "clip_id string, bytes binary")
+    r = rsm.downmix_mono(df, decoder=dec).collect()[0]
+    assert np.frombuffer(bytes(r.bytes), dtype="<i2").tolist() == [-4, 4]

@@ -189,6 +189,18 @@ def main() -> int:
           "scan -> ONE mapInPandas ((n, sr)-grouped matrix gathers, "
           "exact-int interpolation numerators) -> resampled bytes; "
           "embarrassingly parallel")
+    from canned_yaml_spark import multimodal as _mm
+    _wavs = spark.createDataFrame(
+        [(f"c{k}", bytearray(_mm.encode_wav(k, 64, 16000, 2)))
+         for k in range(64)], "clip_id string, bytes binary")
+    audit("channel downmix",
+          _rsmod.downmix_mono(_wavs),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           ("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1),
+           ("no join", lambda p: "Join" not in p)],
+          "scan -> ONE mapInPandas ((n, ch)-grouped exact floor-mean) "
+          "-> mono bytes; embarrassingly parallel")
     from canned_yaml_spark import audiofp
     audit("spectral stats",
           audiofp.spectral_stats(

@@ -299,6 +299,45 @@ def _q_audio_near_dups(spark, sf_dir):
     return audiofp.near_dup_audio(corpus).select("clip_a", "clip_b")
 
 
+def _q_audio_near_dup_delta(spark, sf_dir):
+    # incremental audio dedup: a delta of lossy re-encodes checked
+    # against the corpus FINGERPRINT STORE only (no corpus bytes
+    # re-read, no corpus FFT). Ground-truth oracle: every delta clip
+    # '<id>_d' is a re-encode of corpus key k ≡ 0 (mod 185), so the
+    # output is exactly those pairs (same structural margins as
+    # audio_near_dups; equivalence to a from-scratch run is pinned in
+    # tests/test_audiofp.py).
+    from canned_yaml_spark import audiofp
+    from canned_yaml_spark.audio import encode
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    corpus = audiofp.chirp_corpus_df(spark, keys=keys,
+                                     dup_every=None)  # no injected dups
+    fp_store = audiofp.fingerprint(corpus)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, parts, codecs, blobs = [], [], [], []
+            for k in pdf["k"]:
+                k = int(k)
+                if k % 185:
+                    continue
+                ids.append(f"clip_{k:010d}_d")
+                parts.append(0)
+                codecs.append("opus")
+                blobs.append(encode(audiofp.chirp_pcm(k, 4000), "opus"))
+            yield pd.DataFrame({"clip_id": ids,
+                                "part_id": pd.array(parts, dtype="int32"),
+                                "codec": codecs, "bytes": blobs})
+
+    delta = keys.mapInPandas(
+        gen, "clip_id string, part_id int, codec string, bytes binary")
+    return (audiofp.near_dup_audio_incremental(delta, fp_store)
+            .select("clip_a", "clip_b"))
+
+
 def _q_audio_segments(spark, sf_dir):
     # VAD-style silence-split segmentation over a gap-laid-out corpus
     # whose every boundary is closed-form in the clip key — the oracle
@@ -614,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "audio_near_dups": _q_audio_near_dups,
+        "audio_near_dup_delta": _q_audio_near_dup_delta,
         "audio_segments": _q_audio_segments,
         "resample": _q_resample,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT)
@@ -665,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "audio_near_dups": oracle.sql_audio_near_dups(),
+        "audio_near_dup_delta": oracle.sql_audio_near_dup_delta(),
         "audio_segments": oracle.sql_audio_segments(),
         "resample": oracle.sql_resample(),
         "downmix": oracle.sql_downmix(),

@@ -347,6 +347,82 @@ def spectral_stats(clips: DataFrame,
     return src.mapInPandas(run, schema)
 
 
+def near_dup_audio_incremental(delta_clips: DataFrame,
+                               fp_store: DataFrame,
+                               ber_threshold: float = 0.15,
+                               min_overlap: float = 0.8,
+                               max_bucket: int = 1024,
+                               byte_col: str = "bytes",
+                               codec_col: str = "codec",
+                               id_col: str = "clip_id",
+                               decoder=None) -> DataFrame:
+    """Audio near-dup pairs INVOLVING a corpus delta, against a stored
+    fingerprint table — the audio analogue of
+    dedup.near_dup_pairs_incremental: no corpus payload is re-read and
+    no corpus FFT re-runs when new clips arrive.
+
+    fp_store: (clip_id, fp array<bigint>) as produced by
+    fingerprint() — materialize it once (parquet, bucketed by clip_id
+    if appends are frequent) and append fingerprint(delta) after each
+    batch; at 10^12 clips it is ~0.03% the bytes of the audio itself.
+
+    Shape, in corpus-scan terms:
+    1. only the delta pays decode + FFT (delta-sized Arrow pass);
+    2. the stored side's (frame_idx, subfp) probes are a PROJECTION of
+       the fingerprint table (posexplode — no audio bytes, no FFT),
+       semi-joined against the broadcast set of probe keys the delta
+       touches, so the band shuffle carries touched-bucket members,
+       not the corpus;
+    3. bucket caps are computed over the touched buckets' FULL
+       membership (stored ∪ delta), so kept/cut decisions agree with a
+       from-scratch run over corpus+delta (the equivalence the test
+       asserts);
+    4. candidate pairs keep only those with ≥1 delta side
+       (stored×stored pairs were already emitted by the original run);
+       BER verify runs on the carried fp arrays, pure codegen.
+
+    Delta ids must not collide with stored ids.
+    """
+    from pyspark.sql import Window
+    delta_fps = fingerprint(delta_clips, byte_col=byte_col,
+                            codec_col=codec_col, id_col=id_col,
+                            decoder=decoder)
+
+    def probes_of(fps, is_delta):
+        return (fps.filter(F.col("fp").isNotNull())
+                   .select("clip_id", "fp",
+                           F.posexplode("fp").alias("frame_idx",
+                                                    "subfp"))
+                   .withColumn("is_delta", F.lit(is_delta)))
+
+    p_delta = probes_of(delta_fps, True)
+    keys = p_delta.select("frame_idx", "subfp").distinct()
+    p_stored = (probes_of(fp_store, False)
+                .join(F.broadcast(keys), ["frame_idx", "subfp"]))
+    members = p_stored.unionByName(p_delta)
+    w = Window.partitionBy("frame_idx", "subfp")
+    kept = (members.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                   .filter(F.col("_bsz") <= max_bucket))
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (a.join(b, (F.col("a.frame_idx") == F.col("b.frame_idx"))
+                   & (F.col("a.subfp") == F.col("b.subfp"))
+                   & (F.col("a.clip_id") < F.col("b.clip_id")))
+             .filter(F.col("a.is_delta") | F.col("b.is_delta"))
+             .select(F.col("a.clip_id").alias("clip_a"),
+                     F.col("b.clip_id").alias("clip_b"),
+                     F.col("a.fp").alias("fp_a"),
+                     F.col("b.fp").alias("fp_b"))
+             .dropDuplicates(["clip_a", "clip_b"]))
+    scored = (cand
+              .withColumn("_ov", F.least(F.size("fp_a"), F.size("fp_b"))
+                          / F.greatest(F.size("fp_a"), F.size("fp_b")))
+              .withColumn("ber", _ber(F.col("fp_a"), F.col("fp_b"))))
+    return (scored.filter((F.col("_ov") >= min_overlap)
+                          & (F.col("ber") <= ber_threshold))
+                  .select("clip_a", "clip_b",
+                          F.round("ber", 4).alias("ber")))
+
+
 def spectral_violations(clips: DataFrame, check,
                         id_col: str = "clip_id",
                         part_col: str = "part_id") -> DataFrame:
@@ -414,14 +490,16 @@ def chirp_pcm(key: int, n_samples: int = 4000,
 
 
 def chirp_corpus_df(spark, n_clips: int | None = None,
-                    dup_every: int = 5, n_samples: int = 4000,
+                    dup_every: int | None = 5, n_samples: int = 4000,
                     keys: DataFrame | None = None) -> DataFrame:
     """(clip_id, part_id, codec, bytes) chirp corpus with known audio
     near-dups: every key ≡ 0 (mod dup_every) is re-encoded under the
     next lossy codec in the registry (quantized — different bytes,
     same recording) as '<id>_dup'. Ground truth: exactly those pairs.
     keys: optional one-column ('k') DataFrame of clip keys (e.g. drawn
-    from a driver table); defaults to range(n_clips)."""
+    from a driver table); defaults to range(n_clips). dup_every=None
+    injects no dups at all (note k=0 satisfies k ≡ 0 mod ANYTHING, so
+    "a huge dup_every" is not a no-dups spelling when 0 is a key)."""
     from canned_yaml_spark.audio import _MAGIC, encode
     lossy = sorted(c for c in _MAGIC if c != "pcm_s16le")
 
@@ -435,7 +513,7 @@ def chirp_corpus_df(spark, n_clips: int | None = None,
                 parts.append(k % 32)
                 codecs.append("pcm_s16le")
                 blobs.append(pcm.tobytes())
-                if k % dup_every == 0:
+                if dup_every is not None and k % dup_every == 0:
                     c = lossy[(k // dup_every) % len(lossy)]
                     ids.append(f"clip_{k:010d}_dup")
                     parts.append(k % 32)

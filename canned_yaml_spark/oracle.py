@@ -732,6 +732,18 @@ FROM s
 """.strip()
 
 
+def sql_audio_near_dup_delta() -> str:
+    # ground truth by construction: the delta holds one opus re-encode
+    # '<id>_d' per corpus key ≡ 0 (mod 185); incremental dedup against
+    # the fingerprint store must report exactly those pairs.
+    return """
+SELECT printf('clip_%010d', o_orderkey) AS clip_a,
+       printf('clip_%010d_d', o_orderkey) AS clip_b
+FROM orders
+WHERE o_orderkey % 185 = 0
+""".strip()
+
+
 def sql_downmix() -> str:
     # the gate corpus is REAL stereo RIFF/WAVE whose interleaved flat
     # sample i is wav_sample(k, i) = (i*31 + k*7) % 2048 - 1024; the

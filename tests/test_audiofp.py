@@ -201,3 +201,44 @@ properties:
     # deep spec variant compiles with both audio extensions
     deep = compile_spec(open("specs/clips_deep.spec.yaml").read())
     assert len(deep.spectral_checks) == 1 and len(deep.audio_checks) == 1
+
+
+def test_near_dup_audio_incremental_matches_full(spark, tmp_path):
+    # corpus of 150 clips with injected dups; the DELTA is 30 more
+    # clips, every 5th a lossy re-encode of a CORPUS clip (cross
+    # delta-vs-stored dups). incremental(delta, store) must equal the
+    # delta-involving subset of a from-scratch run over corpus+delta,
+    # with the corpus side never re-FFT'd (fp store only).
+    from canned_yaml_spark.audio import encode
+    import pandas as pd
+
+    corpus = audiofp.chirp_corpus_df(spark, 150, dup_every=5)
+    store_path = str(tmp_path / "fp_store")
+    audiofp.fingerprint(corpus).write.parquet(store_path)
+    fp_store = spark.read.parquet(store_path)
+
+    rows = []
+    for k in range(150, 180):
+        pcm = audiofp.chirp_pcm(k, 4000)
+        rows.append((f"clip_{k:010d}", 0, "pcm_s16le",
+                     bytearray(pcm.tobytes())))
+        if k % 5 == 0:     # re-encode of an EXISTING corpus clip
+            src = audiofp.chirp_pcm(k - 150, 4000)
+            rows.append((f"clip_{k:010d}_x", 0, "opus",
+                         bytearray(encode(src, "opus"))))
+    delta = spark.createDataFrame(
+        rows, "clip_id string, part_id int, codec string, bytes binary")
+
+    inc = {(r.clip_a, r.clip_b, r.ber) for r in
+           audiofp.near_dup_audio_incremental(delta, fp_store).collect()}
+
+    full = audiofp.near_dup_audio(corpus.unionByName(delta)).collect()
+    delta_ids = {r[0] for r in rows}
+    full_delta = {(r.clip_a, r.clip_b, r.ber) for r in full
+                  if r.clip_a in delta_ids or r.clip_b in delta_ids}
+    assert inc == full_delta
+    # and the cross dups were actually found (delta re-encodes of
+    # corpus clips k-150)
+    expect_cross = {(f"clip_{k-150:010d}", f"clip_{k:010d}_x")
+                    for k in range(150, 180) if k % 5 == 0}
+    assert expect_cross <= {(a, b) for a, b, _ in inc}

@@ -557,10 +557,12 @@ def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("silence_frac", 4).alias("silence_frac"))
 
 
-# --- non-SQL-expressible (rows-only checks by the driver) -------------
 def _q_payload_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Arrow-vectorized payload decode + SNR vs reference (input_hint);
-    # binary audio isn't derivable in SQL → fixture corpus, rows-only.
+    # Arrow-vectorized payload decode + SNR vs reference (input_hint)
+    # over the 2000-row deterministic fixture corpus. The oracle states
+    # the injected ground truth (oracle.sql_payload_snr): which rows
+    # fail, and with what multiplicity, is closed-form in the row index
+    # — margins pinned in tests/test_payload.py.
     clips = fixtures.clips_df(spark, 2000)
     ref = fixtures.clips_ref_df(spark, 2000)
     suite = compile_spec(SPEC, clips.schema)
@@ -575,8 +577,9 @@ def _q_payload_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compressed pcm_z, so unchanged payloads of ANY codec fast-pass by
     # digest and only the damaged residual is decoded. Must emit the
     # IDENTICAL violation set as the eager plan (_q_payload_snr) over
-    # the same 2000-row fixture corpus — binary audio isn't derivable
-    # in SQL → rows-only gate, cross-checked by pytest equality tests.
+    # the same 2000-row fixture corpus — the oracle states that set
+    # closed-form (oracle.sql_payload_snr), so the certified plan's
+    # digest fast-path + residual decode is value-checked end to end.
     clips = fixtures.clips_df(spark, 2000)
     ref = fixtures.clips_ref_df(spark, 2000, certified=True)
     suite = compile_spec(SPEC, clips.schema)
@@ -662,8 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
         "transcript_distance": _q_transcript_distance,
-        "payload_snr": _q_payload_snr,       # rows-only (binary payloads)
-        "payload_certified": _q_payload_certified,  # rows-only (binary)
+        "payload_snr": _q_payload_snr,       # oracle: injected ground truth
+        "payload_certified": _q_payload_certified,  # oracle: same set
         "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
@@ -714,4 +717,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_stats": oracle.sql_audio_stats(),
         "transcript_distance": oracle.sql_transcript_distance(),
         "ks_drift": oracle.sql_ks_drift(),
+        # ground truth by construction over the deterministic fixture
+        # corpus (oracle.sql_payload_snr); both payload plans must emit
+        # the identical violation set
+        "payload_snr": oracle.sql_payload_snr(),
+        "payload_certified": oracle.sql_payload_snr(),
     }

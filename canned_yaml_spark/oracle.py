@@ -744,6 +744,45 @@ WHERE o_orderkey % 185 = 0
 """.strip()
 
 
+def sql_payload_snr() -> str:
+    # Ground truth by construction over the 2000-row fixture corpus
+    # (fixtures.make_row — one row is a pure function of its index k;
+    # every 10th index carries exactly one defect, rule (k//10) % 9).
+    # The payload check (decode + SNR≥30dB + transcript equality,
+    # specs/clips.spec.yaml x-payload) fails EXACTLY these rows:
+    #   ridx 6 transcript_null  → 1 transcript-mismatch row on clip_k
+    #   ridx 7 transcript_len   → 1 transcript-mismatch row on clip_k
+    #   ridx 8 bytes_corrupt    → 1 decode/SNR row on clip_k
+    #     (truncated payload: raw PCM halves its sample count → size
+    #      mismatch → SNR -inf; framed codecs fail to decode)
+    #   ridx 5 id_dup (k>0)     → 2 rows on clip_{k-1} at part k%64:
+    #     the injected row carries k's audio+transcript under k-1's id,
+    #     so it joins k-1's reference and fails BOTH branches (SNR of
+    #     pcm_k vs pcm_{k-1} is far below 30 dB — margin pinned in
+    #     tests/test_payload.py::test_payload_gate_closed_form)
+    # Codec-label defects (ridx 2/3) are NOT payload violations: the
+    # decode branch only runs codecs the engine knows (payload.py
+    # _MAGIC filter); "wav"/"vorbis" rows are owned by the enum / x-ref
+    # checks. The same set must come out of the eager (payload_snr) and
+    # certified (payload_certified) plans — plan equivalence is also
+    # pinned in pytest.
+    return """
+WITH inj AS (
+  SELECT k, (k // 10) % 9 AS ridx
+  FROM (SELECT unnest(range(0, 2000)) AS k)
+  WHERE k % 10 = 0
+)
+SELECT printf('clip_%010d', CASE WHEN ridx = 5 THEN k - 1 ELSE k END)
+         AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-payload.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM inj, (SELECT unnest(range(0, 2)) AS copy) dup
+WHERE (ridx IN (6, 7, 8) AND copy = 0)
+   OR (ridx = 5 AND k > 0)
+""".strip()
+
+
 def sql_downmix() -> str:
     # the gate corpus is REAL stereo RIFF/WAVE whose interleaved flat
     # sample i is wav_sample(k, i) = (i*31 + k*7) % 2048 - 1024; the

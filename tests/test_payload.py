@@ -418,3 +418,58 @@ def test_malformed_reference_pcm_violates_not_crashes(spark, suite):
     s = {r.part_id: r for r in
          payload.payload_snr_stats(clips, ref, pc).collect()}
     assert s[0].n_payloads == 2 and s[0].n_decode_fail == 0
+
+
+def test_payload_gate_closed_form(spark, clips, clips_ref, suite):
+    """Pin the exact violation multiset the driver gate's oracle states
+    (oracle.sql_payload_snr — ground truth by construction) AND the
+    structural margins that make the statement safe."""
+    from canned_yaml_spark import audio
+    from canned_yaml_spark.fixtures import make_row
+
+    pc = suite.payload_checks[0]
+    got = sorted(
+        tuple(r) for r in
+        payload.payload_violations(clips, clips_ref, pc)
+               .select("clip_id", "part_id", "rule_id", "severity")
+               .collect())
+
+    expected = []
+    for k in range(0, N_SMALL, 10):
+        rule = injected_rule(k)
+        if rule in ("transcript_null", "transcript_len", "bytes_corrupt"):
+            expected.append((f"clip_{k:010d}", k % 64,
+                             pc.rule_id, int(pc.severity)))
+        elif rule == "id_dup" and k > 0:
+            # the injected row carries k's audio+transcript under k-1's
+            # id → joins k-1's reference, fails BOTH branches (2 rows)
+            row = (f"clip_{k - 1:010d}", k % 64,
+                   pc.rule_id, int(pc.severity))
+            expected += [row, row]
+    assert got == sorted(expected)
+
+    # margin 1: codec-label defects never reach the decode branch —
+    # the engine only decodes codecs it knows (_MAGIC); "wav"/"vorbis"
+    # rows are owned by the enum / x-ref checks
+    assert "wav" not in audio._MAGIC and "vorbis" not in audio._MAGIC
+
+    # margin 2: every id_dup row's SNR against the mis-joined reference
+    # is far below the 30 dB threshold (size mismatch → -inf, or two
+    # uncorrelated chirp signatures → ≪ 30 dB)
+    dup_ks = [k for k in range(10, N_SMALL, 10)
+              if injected_rule(k) == "id_dup"]
+    assert dup_ks, "fixture must inject id_dup rows"
+    import numpy as np
+    for k in dup_ks:
+        clips_row, _ = make_row(k, 2048, True)
+        _, ref_row = make_row(k - 1, 2048, False)
+        dec = audio.decode(bytes(clips_row[1]), clips_row[4])
+        ref = np.frombuffer(bytes(ref_row[1]), dtype="<i2")
+        assert audio.snr_db(ref, dec) < 10.0
+
+    # margin 3: transcript defects always mismatch — the reference
+    # transcript is never null/empty/5000-long
+    for k in range(0, N_SMALL, 10):
+        if injected_rule(k) in ("transcript_null", "transcript_len"):
+            _, ref_row = make_row(k, 64, False)
+            assert ref_row[2] and 1 <= len(ref_row[2]) <= 4096

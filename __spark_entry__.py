@@ -588,14 +588,21 @@ def _q_payload_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SURVEY §2 #25 — checkpoint/resume end to end: phase 1 validates
-    # half the partitions and commits them to the manifest; phase 2 sees
-    # the full corpus and validates ONLY the pending partitions. The
-    # verdicts table accumulates both runs (64 partitions total).
-    # Non-SQL-expressible (filesystem manifest) → rows-only gate.
+    # SURVEY §2 #25 — checkpoint/resume end to end, simulating a real
+    # mid-run crash: run the FULL corpus once, then truncate the
+    # manifest to the even partitions (the job died after committing
+    # half; the other partitions' verdict rows remain on disk
+    # uncommitted — checkpoint.write_partitioned's dynamic partition
+    # overwrite makes their rewrite idempotent), then resume. Exact
+    # resume must reproduce the from-scratch verdicts — including
+    # cross-partition uniqueness rows for pending partitions (job.run
+    # rescans the full table for x-unique and filters to pending) —
+    # and the oracle states that from-scratch result independently,
+    # restating every check family (oracle.sql_resume_verdicts).
     import shutil
     import tempfile
 
+    from canned_yaml_spark import checkpoint as ckpt
     from canned_yaml_spark import job as jobmod
     clips = fixtures.clips_df(spark, 2000)
     ref = fixtures.clips_ref_df(spark, 2000)
@@ -605,8 +612,13 @@ def _q_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
               ks_reference=fixtures.reference_dur_sample())
     out = tempfile.mkdtemp(prefix="resume_gate_")
     try:
-        jobmod.run(spark, SPEC, clips.filter(F.col("part_id") % 2 == 0),
-                   out_dir=out, **kw)
+        jobmod.run(spark, SPEC, clips, out_dir=out, **kw)
+        # the crash: only even partitions' manifest commits survive
+        kept = (spark.read.parquet(f"{out}/manifest")
+                     .filter(F.col("part_id") % 2 == 0).collect())
+        shutil.rmtree(f"{out}/manifest")
+        (spark.createDataFrame(kept, ckpt.MANIFEST_SCHEMA)
+              .write.parquet(f"{out}/manifest"))
         jobmod.run(spark, SPEC, clips, out_dir=out, **kw)
         verd = (spark.read.parquet(f"{out}/verdicts")
                      .select("part_id", "n_rows", "n_violations", "pass"))
@@ -667,7 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_distance": _q_transcript_distance,
         "payload_snr": _q_payload_snr,       # oracle: injected ground truth
         "payload_certified": _q_payload_certified,  # oracle: same set
-        "resume_verdicts": _q_resume_verdicts,  # rows-only (fs manifest)
+        "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
@@ -722,4 +734,7 @@ def oracle_sql() -> dict[str, str]:
         # the identical violation set
         "payload_snr": oracle.sql_payload_snr(),
         "payload_certified": oracle.sql_payload_snr(),
+        # crash+resume must reproduce the from-scratch verdicts, which
+        # this SQL restates family by family over the fixture corpus
+        "resume_verdicts": oracle.sql_resume_verdicts(),
     }

@@ -744,6 +744,177 @@ WHERE o_orderkey % 185 = 0
 """.strip()
 
 
+def fixture_clips_cte(n_rows: int = 2000) -> str:
+    """DuckDB reconstruction of the FIXTURE corpus metadata columns
+    (fixtures.make_row, fixtures.py:40-104): one row is a pure function
+    of its index k, so the whole corpus — every injected defect
+    included — restates as SQL arithmetic. The audio bytes are NOT
+    reconstructed; byte-dependent families are stated as injected
+    ground truth (sql_payload_snr, sql_resume_verdicts) with margins
+    pinned in pytest. Ends with a CTE named `clips` that also carries
+    (k, inject, ridx, r_codec) for those ground-truth subqueries."""
+    from canned_yaml_spark.derive import (
+        CODEC_CASE, DRIFT_PART, DUR_MULT, INJECT_EVERY, N_PARTS,
+        SAMPLE_RATES, WORDS, _sr_case, _word_case,
+    )
+    assert SAMPLE_RATES and WORDS  # imported for the CASE expansions
+    return f"""
+fx AS (
+  SELECT k,
+         (k % {INJECT_EVERY} = 0) AS inject,
+         (k // {INJECT_EVERY}) % 9 AS ridx,
+         (k * 2654435761) % 1000 AS r_codec,
+         (k * 40503 + 17) % 5    AS r_sr,
+         (k * {DUR_MULT} + 1) % 9801 AS r_dur,
+         (k * 7919) % {len(WORDS)} AS r_word,
+         (k * 104729) % 40 + 1   AS r_nw
+  FROM (SELECT unnest(range(0, {n_rows})) AS k)),
+fbase AS (
+  SELECT k, inject, ridx, r_codec,
+         printf('clip_%010d', k) AS clip_id0,
+         {_sr_case('r_sr')} AS sr_hz0,
+         CASE WHEN k % {N_PARTS} = {DRIFT_PART}
+              THEN 200 + r_dur + 5000 ELSE 200 + r_dur END AS dur_ms0,
+         {CODEC_CASE} AS codec0,
+         rtrim(repeat(concat({_word_case('r_word')}, ' '),
+                      CAST(r_nw AS INT))) AS transcript0,
+         CAST(k % {N_PARTS} AS INT) AS part_id
+  FROM fx),
+clips AS (
+  SELECT k, inject, ridx, r_codec, part_id,
+    CASE WHEN inject AND ridx = 4 THEN printf('CLIP-%d', k)
+         WHEN inject AND ridx = 5 AND k > 0
+              THEN printf('clip_%010d', k - 1)
+         ELSE clip_id0 END AS clip_id,
+    CAST(CASE WHEN inject AND ridx = 0
+              THEN (CASE WHEN k % 20 = 0 THEN 3000 ELSE 96000 END)
+              ELSE sr_hz0 END AS INT) AS sr_hz,
+    CAST(CASE WHEN inject AND ridx = 1
+              THEN (CASE WHEN k % 20 = 0 THEN 0 ELSE 86400000 END)
+              ELSE dur_ms0 END AS INT) AS dur_ms,
+    CASE WHEN inject AND ridx = 2 THEN 'wav'
+         WHEN inject AND ridx = 3 THEN 'vorbis'
+         ELSE codec0 END AS codec,
+    CASE WHEN inject AND ridx = 6 THEN NULL
+         WHEN inject AND ridx = 7
+              THEN (CASE WHEN k % 20 = 0 THEN '' ELSE repeat('x', 5000) END)
+         ELSE transcript0 END AS transcript
+  FROM fbase)
+""".strip()
+
+
+def sql_resume_verdicts() -> str:
+    """Full-suite per-partition verdicts over the fixture corpus,
+    restated end to end in DuckDB — the oracle for the checkpoint/
+    resume gate: after a simulated mid-run crash + resume, the
+    verdicts table must equal what a from-scratch run produces, and
+    THIS query states that from-scratch result independently.
+
+    Families: the 13 row rules (predicates over the reconstructed
+    columns — violations_union, same restatement the row_violations
+    gate uses), x-unique (window count over reconstructed clip_ids),
+    x-ref (codec ∉ codec_dim's literal rows, derive.CODEC_DIM_ROWS),
+    x-payload + x-audio-stats (injected ground truth — byte-derived;
+    margins pinned in tests/test_payload.py + test_checkpoint.py),
+    x-drift PSI (full clamped-bucket/eps-log formula vs the analytic
+    expected histogram) and KS (exact two-sample ECDF stat + the same
+    Kolmogorov p approximation the engine evaluates, drift.py:265-277;
+    decision margins are ~0.16 vs 0.42 around psi_max=0.25 and
+    8e-9 vs 0.93 around alpha=0.01, so cross-engine float drift
+    cannot flip a verdict). pass == no ERROR(2)-severity violation
+    (canner.cc:1101 lifted to partitions)."""
+    row_union = violations_union("duckdb")
+    theta_w = "exp(-pi()*pi()/8.0/(t*t))"
+    return f"""
+WITH {fixture_clips_cte()}, {_hist_values_cte()},
+hist AS (
+  SELECT part_id,
+         CAST(LEAST(GREATEST(FLOOR(dur_ms / 600.0), 0), 19) AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part_id FROM hist),
+buckets AS (SELECT DISTINCT bucket FROM expected),
+tot AS (SELECT part_id, SUM(cnt) AS part_n FROM hist GROUP BY part_id),
+grid AS (SELECT p.part_id, b.bucket FROM parts p CROSS JOIN buckets b),
+psi AS (
+  SELECT g.part_id,
+         SUM((COALESCE(h.cnt, 0) * 1.0 / t.part_n - e.expected_frac)
+             * LN((COALESCE(h.cnt, 0) * 1.0 / t.part_n + 0.000001)
+                  / (e.expected_frac + 0.000001))) AS psi
+  FROM grid g
+  LEFT JOIN hist h ON g.part_id = h.part_id AND g.bucket = h.bucket
+  JOIN expected e ON g.bucket = e.bucket
+  JOIN tot t ON g.part_id = t.part_id
+  GROUP BY g.part_id),
+ka AS (
+  SELECT part_id, CAST(dur_ms AS DOUBLE) AS v, COUNT(*) AS c
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+kan AS (SELECT part_id, SUM(c) AS n FROM ka GROUP BY 1),
+kb AS (SELECT 200.0 + range AS v FROM range(0, 9801)),
+ku AS (
+  SELECT part_id, v, SUM(c) AS c FROM (
+    SELECT part_id, v, c FROM ka
+    UNION ALL
+    SELECT kan.part_id, kb.v, 0 AS c FROM kan CROSS JOIN kb
+  ) GROUP BY 1, 2),
+ke AS (
+  SELECT part_id, v,
+         SUM(c) OVER (PARTITION BY part_id ORDER BY v) AS cum_a
+  FROM ku),
+kstat AS (
+  SELECT ke.part_id,
+         MAX(ABS(cum_a * 1.0 / kan.n
+                 - LEAST(GREATEST(v - 199.0, 0), 9801) / 9801.0)) AS d,
+         MAX(kan.n) AS n
+  FROM ke JOIN kan USING (part_id) GROUP BY ke.part_id),
+kt AS (
+  SELECT part_id,
+         (sqrt(n * 9801.0 / (n + 9801.0)) + 0.12
+          + 0.11 / sqrt(n * 9801.0 / (n + 9801.0))) * d AS t
+  FROM kstat),
+kp AS (
+  SELECT part_id,
+         CASE WHEN t < 1e-9 THEN 1.0
+              WHEN t < 1.18 THEN
+                1.0 - sqrt(2 * pi()) / t
+                * ({theta_w} + pow({theta_w}, 9) + pow({theta_w}, 25))
+              ELSE 2.0 * list_sum(list_transform(range(1, 101),
+                j -> pow(-1.0, j - 1) * exp(-2.0 * (j * t) * (j * t))))
+         END AS p
+  FROM kt),
+viol AS (
+  SELECT part_id, severity FROM ({row_union}) row_rules
+  UNION ALL
+  SELECT part_id, CAST(2 AS INT) FROM (
+    SELECT part_id, COUNT(*) OVER (PARTITION BY clip_id) AS n_dup
+    FROM clips) u WHERE n_dup > 1
+  UNION ALL
+  SELECT part_id, CAST(2 AS INT) FROM clips
+  WHERE codec NOT IN ('pcm_s16le', 'flac', 'opus', 'mp3')
+  UNION ALL
+  SELECT part_id, CAST(2 AS INT)
+  FROM clips, (SELECT unnest(range(0, 2)) AS copy) dup
+  WHERE inject AND ((ridx IN (6, 7, 8) AND copy = 0)
+                    OR (ridx = 5 AND k > 0))
+  UNION ALL
+  SELECT part_id, CAST(1 AS INT) FROM clips
+  WHERE inject AND ridx = 8 AND r_codec >= 700
+  UNION ALL
+  SELECT part_id, CAST(1 AS INT) FROM psi WHERE psi > 0.25
+  UNION ALL
+  SELECT part_id, CAST(1 AS INT) FROM kp WHERE p < 0.01
+),
+nr AS (SELECT part_id, COUNT(*) AS n_rows FROM clips GROUP BY 1),
+va AS (SELECT part_id, COUNT(*) AS n_violations, MAX(severity) AS mx
+       FROM viol GROUP BY 1)
+SELECT nr.part_id,
+       CAST(nr.n_rows AS BIGINT) AS n_rows,
+       CAST(COALESCE(va.n_violations, 0) AS BIGINT) AS n_violations,
+       COALESCE(va.mx, -1) < 2 AS pass
+FROM nr LEFT JOIN va USING (part_id)
+""".strip()
+
+
 def sql_payload_snr() -> str:
     # Ground truth by construction over the 2000-row fixture corpus
     # (fixtures.make_row — one row is a pure function of its index k;

@@ -424,7 +424,10 @@ def _q_spectral_stats(spark, sf_dir):
 
 
 def _q_simhash_groups(spark, sf_dir):
-    # engine-hash-dependent (xxhash64) → rows-only
+    # full value oracle despite the engine hash: oracle.sql_simhash_groups
+    # restates XXH64(seed 42) itself in DuckDB SQL (32-bit-limb HUGEINT
+    # arithmetic), then the tokenize→vote→sign pipeline — the comparison
+    # covers the 64-bit simhash values, not just the grouping
     d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
     return (dedup.simhash_dup_groups(d2)
             .select("simhash", "n_docs",
@@ -681,7 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_certified": _q_payload_certified,  # oracle: same set
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
-        "simhash_groups": _q_simhash_groups,  # rows-only (engine hash)
+        "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
         "ivf_recall": _q_ivf_recall,          # rows-only (approx path)
     }
@@ -737,4 +740,7 @@ def oracle_sql() -> dict[str, str]:
         # crash+resume must reproduce the from-scratch verdicts, which
         # this SQL restates family by family over the fixture corpus
         "resume_verdicts": oracle.sql_resume_verdicts(),
+        # XXH64(seed 42) restated in DuckDB SQL → the simhash values
+        # themselves are value-checked, not just the group structure
+        "simhash_groups": oracle.sql_simhash_groups(),
     }

@@ -576,6 +576,142 @@ def sql_fingerprint() -> str:
             f"FROM documents")
 
 
+# --------------------------------------------------- XXH64 in DuckDB
+# Spark's F.xxhash64(string) is canonical XXH64 (seed 42) over the
+# UTF-8 bytes (verified value-for-value in
+# tests/test_dedup.py::test_duckdb_xxh64_matches_spark). Restating the
+# hash itself in SQL lets engine-hash-dependent operators (simhash)
+# have a full value oracle instead of a rows-only check. Scope: inputs
+# under 32 bytes (no 32-byte stripe loop — tail words/bytes only),
+# which covers whitespace tokens of the documents corpus; the domain
+# bound is pinned in pytest. 64-bit wraparound arithmetic runs on
+# HUGEINT with 32-bit limb splits (a*b mod 2^64 stays < 2^65 < 2^127);
+# each hash-state step is its own MATERIALIZED CTE stage because
+# DuckDB expands lateral aliases textually (nesting them would blow up
+# exponentially).
+_M64 = "18446744073709551616"
+_XXP = (11400714785074694791, 14029467366897019727,
+        1609587929392839161, 9650029242287828579, 2870177450012600261)
+
+
+def _mulmod64(a: str, b) -> str:
+    return (f"((({a}) % 4294967296) * (({b}) % 4294967296) + "
+            f"(((({a}) % 4294967296) * (({b}) // 4294967296) + "
+            f"(({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296) "
+            f"* 4294967296) % {_M64}")
+
+
+def _rotl64(x: str, r: int) -> str:
+    return (f"(({x}) * {1 << r} % {_M64} + ({x}) // {1 << (64 - r)}) "
+            f"% {_M64}")
+
+
+def xxh64_stages(src: str, prefix: str = "xh") -> tuple[str, str]:
+    """CTE chain computing XXH64(seed=42) as `h_final` (HUGEINT in
+    [0, 2^64)) from `src` rows carrying (bs HUGEINT[] — the UTF-8
+    bytes, n BIGINT — octet length < 32). Returns (ctes, final_name)."""
+    p1, p2, p3, p4, p5 = _XXP
+    stages: list[str] = []
+    prev = src
+
+    def stage(cols: str) -> None:
+        nonlocal prev
+        name = f"{prefix}{len(stages)}"
+        stages.append(
+            f"{name} AS MATERIALIZED (SELECT *, {cols} FROM {prev})")
+        prev = name
+
+    stage(f"({p5 + 42} + n) % {_M64} AS h0")
+    h = "h0"
+    for w in range(3):                      # 8-byte tail words
+        g = f"n >= {8 * (w + 1)}"
+        word = " + ".join(
+            f"coalesce(bs[{8 * w + j + 1}], 0) * {1 << (8 * j)}::HUGEINT"
+            for j in range(8))
+        stage(f"CASE WHEN {g} THEN {word} ELSE 0 END AS wv{w}")
+        stage(f"{_mulmod64(_rotl64(_mulmod64(f'wv{w}', p2), 31), p1)} "
+              f"AS rr{w}")
+        stage(f"xor({h}::HUGEINT, rr{w}::HUGEINT) AS xx{w}")
+        stage(f"CASE WHEN {g} THEN "
+              f"({_mulmod64(_rotl64(f'xx{w}', 27), p1)} + {p4}) % {_M64} "
+              f"ELSE {h} END AS h{w + 1}")
+        h = f"h{w + 1}"
+    word4 = " + ".join(
+        f"coalesce(bs[8 * (n // 8) + {j + 1}], 0) * {1 << (8 * j)}::HUGEINT"
+        for j in range(4))
+    stage(f"CASE WHEN n % 8 >= 4 THEN {word4} ELSE 0 END AS u4")
+    stage(f"xor({h}::HUGEINT, ({_mulmod64('u4', p1)})::HUGEINT) AS x4")
+    stage(f"CASE WHEN n % 8 >= 4 THEN "
+          f"({_mulmod64(_rotl64('x4', 23), p2)} + {p3}) % {_M64} "
+          f"ELSE {h} END AS h4")
+    h = "h4"
+    stage("8 * (n // 8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END AS ob")
+    for j in range(3):                      # tail bytes
+        g = f"n % 4 > {j}"
+        stage(f"CASE WHEN {g} THEN coalesce(bs[ob + {j + 1}], 0) "
+              f"ELSE 0 END AS bv{j}")
+        stage(f"xor({h}::HUGEINT, ({_mulmod64(f'bv{j}', p5)})::HUGEINT) "
+              f"AS bx{j}")
+        stage(f"CASE WHEN {g} THEN {_mulmod64(_rotl64(f'bx{j}', 11), p1)} "
+              f"ELSE {h} END AS hb{j}")
+        h = f"hb{j}"
+    stage(f"xor({h}::HUGEINT, ({h} // {1 << 33})::HUGEINT) AS av1")
+    stage(f"{_mulmod64('av1', p2)} AS av2")
+    stage("xor(av2::HUGEINT, (av2 // 536870912)::HUGEINT) AS av3")
+    stage(f"{_mulmod64('av3', p3)} AS av4")
+    stage("xor(av4::HUGEINT, (av4 // 4294967296)::HUGEINT) AS h_final")
+    return ",\n".join(stages), prev
+
+
+def sql_simhash_groups() -> str:
+    """Full semantic restatement of dedup.simhash over the injected
+    corpus: tokenize, XXH64(seed 42) each DISTINCT token (the SQL
+    restatement above — hash the distinct-token dictionary once, join
+    back), 64 sign-of-vote bits, group on the signature. Matches the
+    engine's output INCLUDING the 64-bit simhash value itself."""
+    ctes, final = xxh64_stages("tbytes")
+    pow2 = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return f"""
+WITH {_DOCS2},
+tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+  FROM docs2),
+dict AS (SELECT DISTINCT w FROM tok),
+tb AS (SELECT w, hex(encode(w)) AS hx,
+              CAST(octet_length(encode(w)) AS BIGINT) AS n FROM dict),
+tbytes AS (
+  SELECT w, n,
+         list_transform(range(0, n), i ->
+           ((strpos('0123456789ABCDEF',
+                    substring(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substring(hx, CAST(2*i+2 AS INT), 1)) - 1
+           )::HUGEINT) AS bs
+  FROM tb),
+{ctes},
+bits AS (SELECT * FROM (VALUES {pow2}) t(b, p)),
+votes AS (
+  SELECT tok.doc_id, bits.b, bits.p,
+         SUM(CASE WHEN (h.h_final // bits.p) % 2 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM tok JOIN {final} h USING (w) CROSS JOIN bits
+  GROUP BY 1, 2, 3),
+sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN p ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id),
+signed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN s >= 9223372036854775808 THEN s - {_M64}
+                   ELSE s END AS BIGINT) AS simhash
+  FROM sig)
+SELECT simhash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+FROM signed GROUP BY simhash HAVING COUNT(*) > 1
+""".strip()
+
+
 def sql_exact_dup_groups() -> str:
     return f"""
 WITH {_DOCS2},

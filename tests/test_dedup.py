@@ -310,3 +310,61 @@ def test_sig_store_lifecycle_compaction(spark, docs, docs2, tmp_path):
     assert got_pairs == want_pairs and want_pairs
     assert got_inc == want_inc and want_inc
     delta.unpersist()
+
+
+def test_duckdb_xxh64_matches_spark(spark):
+    """The oracle's XXH64-in-SQL restatement (oracle.xxh64_stages) must
+    equal Spark's F.xxhash64 value-for-value over the documented domain
+    (UTF-8 length < 32): every tail-path shape — 0..3 words, the
+    4-byte step on/off, 0..3 tail bytes — plus multi-byte UTF-8."""
+    import duckdb
+
+    from canned_yaml_spark import oracle
+
+    cases = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+             "abcdefgh", "abcdefghi", "abcdefghijkl", "abcdefghijklmnop",
+             "abcdefghijklmnopqrstuvwx", "x" * 25, "y" * 28, "z" * 31,
+             "hello world", "tail", "naïve", "übermäßig", "日本語テスト"]
+    cases = [c for c in cases if len(c.encode("utf-8")) < 32]
+
+    got = {r.s: r.h for r in spark.createDataFrame(
+        [(c,) for c in cases], "s string")
+        .select("s", F.xxhash64("s").alias("h")).collect()}
+
+    ctes, final = oracle.xxh64_stages("tbytes")
+    lits = ", ".join("(" + repr(c) + ")" for c in cases)
+    sql = f"""
+WITH tok AS (SELECT * FROM (VALUES {lits}) t(w)),
+tb AS (SELECT w, hex(encode(w)) AS hx,
+              CAST(octet_length(encode(w)) AS BIGINT) AS n FROM tok),
+tbytes AS (
+  SELECT w, n,
+         list_transform(range(0, n), i ->
+           ((strpos('0123456789ABCDEF',
+                    substring(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substring(hx, CAST(2*i+2 AS INT), 1)) - 1
+           )::HUGEINT) AS bs
+  FROM tb),
+{ctes}
+SELECT w, h_final FROM {final}
+"""
+    for w, h in duckdb.sql(sql).fetchall():
+        h = int(h)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == got[w], w
+
+
+def test_simhash_oracle_domain_holds(spark, docs2):
+    """The XXH64 SQL restatement skips the 32-byte stripe loop, so the
+    simhash oracle is only valid while every corpus token is < 32 UTF-8
+    bytes — pin that bound on the gate corpus."""
+    from canned_yaml_spark.dedup import _norm
+
+    max_len = (docs2
+               .select(F.explode(F.array_distinct(
+                   F.split(_norm(F.col("text")), " "))).alias("w"))
+               .select(F.max(F.length(F.encode(F.col("w"), "utf-8")))
+                       .alias("m"))
+               .collect()[0].m)
+    assert max_len < 32

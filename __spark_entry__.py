@@ -423,6 +423,31 @@ def _q_spectral_stats(spark, sf_dir):
         F.round("hf_ratio", 4).alias("hf_ratio"))
 
 
+def _q_spectral_verdicts(spark, sf_dir):
+    # the band-limit DETECTOR's verdict, value-checked: every 3rd gate
+    # key's clip is FFT-brickwalled at 1 kHz (telephony passed off as
+    # 8 kHz), the rest carry a strong broadband floor. The x-spectral
+    # rolloff-95 floor at 2000 Hz must flag EXACTLY the band-limited
+    # clips — measured margins clean ≥ 3156 Hz vs limited ≤ 1000 Hz
+    # (audiofp.bandlimit_probe_pcm; pinned in tests/test_audiofp.py).
+    # Complements `spectral_stats`, which emits the raw FFT features
+    # (rows-only — DuckDB has no FFT); here the DECISION has a
+    # closed-form oracle from the injection arithmetic.
+    from canned_yaml_spark import audiofp
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    corpus = audiofp.bandlimit_corpus_df(spark, keys=keys, every=3)
+    suite = compile_spec(
+        {"type": "object",
+         "properties": {"bytes": {"x-spectral":
+                                  {"min_rolloff95_hz": 2000.0}}}},
+        corpus.schema)
+    [sc] = suite.spectral_checks
+    return (audiofp.spectral_violations(corpus, sc)
+            .select("clip_id", "rule_id", "severity"))
+
+
 def _q_simhash_groups(spark, sf_dir):
     # full value oracle despite the engine hash: oracle.sql_simhash_groups
     # restates XXH64(seed 42) itself in DuckDB SQL (32-bit-limb HUGEINT
@@ -674,7 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup_delta": _q_audio_near_dup_delta,
         "audio_segments": _q_audio_segments,
         "resample": _q_resample,
-        "spectral_stats": _q_spectral_stats,   # rows-only (FFT)
+        "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
+        "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
         "media_meta": _q_media_meta,
         "frame_sample": _q_frame_sample,
@@ -743,4 +769,6 @@ def oracle_sql() -> dict[str, str]:
         # XXH64(seed 42) restated in DuckDB SQL → the simhash values
         # themselves are value-checked, not just the group structure
         "simhash_groups": oracle.sql_simhash_groups(),
+        # band-limit detector verdict vs injected ground truth
+        "spectral_verdicts": oracle.sql_spectral_verdicts(),
     }

@@ -528,3 +528,59 @@ def chirp_corpus_df(spark, n_clips: int | None = None,
         keys = spark.range(n_clips).select(F.col("id").alias("k"))
     return keys.mapInPandas(
         gen, "clip_id string, part_id int, codec string, bytes binary")
+
+
+def bandlimit_probe_pcm(key: int, band_limited: bool,
+                        n_samples: int = 4000, sr_hz: int = 8000,
+                        cutoff_hz: float = 1000.0) -> np.ndarray:
+    """Probe clip for the band-limit detector gate: the per-key chirp
+    plus a STRONG deterministic broadband noise floor (25% of full
+    scale — guarantees a clean clip's 95% rolloff sits near Nyquist),
+    and, when band_limited, an exact FFT brickwall at cutoff_hz — the
+    "telephony upsampled and passed off at a higher rate" pathology
+    with zero interpolation images. Measured separation over the gate
+    key range (k % 37 == 0, k < 20000): clean rolloff95 ≥ 3156 Hz,
+    band-limited ≤ 1000 Hz (tests/test_audiofp.py pins the margins),
+    so an x-spectral floor at 2000 Hz classifies with > 1.1 kHz margin
+    on both sides."""
+    x = chirp_pcm(key, n_samples, sr_hz).astype(np.float64)
+    i = np.arange(n_samples, dtype=np.float64)
+    h = np.sin((i + key * 977.0) * 78.233) * 12345.6789
+    noise = (2.0 * (h - np.floor(h)) - 1.0) * (0.25 * 32767.0)
+    y = x * 0.7 + noise
+    if band_limited:
+        spec = np.fft.rfft(y)
+        f = np.fft.rfftfreq(n_samples, 1.0 / sr_hz)
+        spec[f > cutoff_hz] = 0.0
+        y = np.fft.irfft(spec, n_samples)
+    return np.clip(y, -32768, 32767).astype("<i2")
+
+
+def bandlimit_corpus_df(spark, keys: DataFrame, every: int = 3,
+                        n_samples: int = 4000,
+                        sr_hz: int = 8000) -> DataFrame:
+    """(clip_id, part_id, sr_hz, codec, bytes) corpus for the band-limit
+    detector: every key ≡ 0 (mod every) is band-limited, the rest are
+    broadband — ground truth is pure key arithmetic, so the detector's
+    verdict set has a closed-form oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, parts, blobs = [], [], []
+            for k in pdf["k"]:
+                k = int(k)
+                pcm = bandlimit_probe_pcm(k, k % every == 0,
+                                          n_samples, sr_hz)
+                ids.append(f"clip_{k:010d}")
+                parts.append(k % 32)
+                blobs.append(pcm.tobytes())
+            yield pd.DataFrame({
+                "clip_id": ids,
+                "part_id": pd.array(parts, dtype="int32"),
+                "sr_hz": pd.array([sr_hz] * len(ids), dtype="int32"),
+                "codec": ["pcm_s16le"] * len(ids),
+                "bytes": blobs})
+
+    return keys.mapInPandas(
+        gen, "clip_id string, part_id int, sr_hz int, codec string, "
+             "bytes binary")

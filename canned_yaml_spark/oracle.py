@@ -1090,6 +1090,24 @@ WHERE (ridx IN (6, 7, 8) AND copy = 0)
 """.strip()
 
 
+def sql_spectral_verdicts() -> str:
+    # ground truth by construction: every gate key ≡ 0 (mod 3) is
+    # FFT-brickwalled at 1 kHz before encoding; the x-spectral
+    # rolloff-95 floor at 2000 Hz flags exactly those clips. Valid
+    # because the separation is structural, not marginal — measured
+    # clean rolloff ≥ 3156 Hz vs band-limited ≤ 1000 Hz over a
+    # superset of the gate key range (audiofp.bandlimit_probe_pcm,
+    # margins pinned in tests/test_audiofp.py). The raw FFT features
+    # stay pytest-pinned (spectral_stats is the rows-only gate).
+    return """
+SELECT printf('clip_%010d', o_orderkey) AS clip_id,
+       'x-spectral.bytes' AS rule_id,
+       CAST(1 AS INT) AS severity
+FROM orders
+WHERE o_orderkey % 37 = 0 AND o_orderkey % 3 = 0
+""".strip()
+
+
 def sql_downmix() -> str:
     # the gate corpus is REAL stereo RIFF/WAVE whose interleaved flat
     # sample i is wav_sample(k, i) = (i*31 + k*7) % 2048 - 1024; the

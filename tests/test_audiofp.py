@@ -242,3 +242,34 @@ def test_near_dup_audio_incremental_matches_full(spark, tmp_path):
     expect_cross = {(f"clip_{k-150:010d}", f"clip_{k:010d}_x")
                     for k in range(150, 180) if k % 5 == 0}
     assert expect_cross <= {(a, b) for a, b, _ in inc}
+
+
+def test_bandlimit_detector_margins(spark):
+    """Margins behind the spectral_verdicts oracle: over a key sample,
+    the REAL spectral_stats operator measures clean probe clips'
+    rolloff95 far above the 2000 Hz floor and band-limited ones far
+    below — and the detector flags exactly the injected set."""
+    from canned_yaml_spark import audiofp as afp
+    from canned_yaml_spark import compile_spec
+
+    keys = spark.range(0, 600, 37).select(F.col("id").alias("k"))
+    corpus = afp.bandlimit_corpus_df(spark, keys=keys, every=3)
+    stats = afp.spectral_stats(corpus).collect()
+    assert stats
+    for r in stats:
+        k = int(r.clip_id.split("_")[1])
+        if k % 3 == 0:
+            assert r.rolloff95_hz <= 1100.0, (r.clip_id, r.rolloff95_hz)
+        else:
+            assert r.rolloff95_hz >= 3000.0, (r.clip_id, r.rolloff95_hz)
+
+    suite = compile_spec(
+        {"type": "object",
+         "properties": {"bytes": {"x-spectral":
+                                  {"min_rolloff95_hz": 2000.0}}}},
+        corpus.schema)
+    [sc] = suite.spectral_checks
+    flagged = {r.clip_id
+               for r in afp.spectral_violations(corpus, sc).collect()}
+    expected = {f"clip_{k:010d}" for k in range(0, 600, 37) if k % 3 == 0}
+    assert flagged == expected

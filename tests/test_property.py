@@ -99,3 +99,52 @@ def test_engine_matches_reference(spark, spec, rows):
         want = ref_violations(spec, i, s)
         assert got.get(f"r{k}", set()) == want, \
             f"row {k} (i={i!r}, s={s!r}) spec={spec}"
+
+
+# ----------------------------------------------- XXH64-in-SQL property
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.text(min_size=0, max_size=10).filter(
+        lambda s: 0 < len(s.encode("utf-8")) < 32 or s == ""),
+    min_size=1, max_size=20, unique=True))
+def test_xxh64_sql_matches_spark_property(spark, strings):
+    """Property: the oracle's XXH64 restatement (oracle.xxh64_stages)
+    equals Spark's F.xxhash64 for ARBITRARY strings in the documented
+    domain (UTF-8 length < 32) — hypothesis explores code points,
+    lengths, and multi-byte boundaries the fixed-case test can't."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from canned_yaml_spark import oracle
+
+    strings = [s for s in strings if len(s.encode("utf-8")) < 32]
+    if not strings:
+        return
+    got = {r.s: r.h for r in spark.createDataFrame(
+        [(s,) for s in strings], "s string")
+        .select("s", F.xxhash64("s").alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tok (w VARCHAR)")
+    con.executemany("INSERT INTO tok VALUES (?)", [(s,) for s in strings])
+    ctes, final = oracle.xxh64_stages("tbytes")
+    rows = con.execute(f"""
+WITH tb AS (SELECT w, hex(encode(w)) AS hx,
+                   CAST(octet_length(encode(w)) AS BIGINT) AS n FROM tok),
+tbytes AS (
+  SELECT w, n,
+         list_transform(range(0, n), i ->
+           ((strpos('0123456789ABCDEF',
+                    substring(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substring(hx, CAST(2*i+2 AS INT), 1)) - 1
+           )::HUGEINT) AS bs
+  FROM tb),
+{ctes}
+SELECT w, h_final FROM {final}
+""").fetchall()
+    for w, h in rows:
+        h = int(h)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == got[w], repr(w)

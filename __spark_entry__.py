@@ -402,6 +402,55 @@ def _q_downmix(spark, sf_dir):
         F.round("rms_db", 4).alias("rms_db"))
 
 
+def _q_normalize_peak(spark, sf_dir):
+    # peak (loudness) normalization — the prep step between decode and
+    # featurization. Gate corpus: closed-form modular clips TRUNCATED
+    # per key to n(k) = 700 + k % 997 samples (< one 2048 cycle, so
+    # the per-clip peak VARIES and the gain is clip-specific). The
+    # oracle restates the exact round-half-up rational arithmetic
+    # out[i] = (2·s·T + P) // (2·P) and the same stats math the
+    # resample/downmix gates proved cross-engine.
+    from canned_yaml_spark import resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 37 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ks = [int(x) for x in pdf["k"]]
+            yield pd.DataFrame({
+                "clip_id": [f"clip_{x:010d}" for x in ks],
+                "codec": ["pcm_s16le"] * len(ks),
+                "bytes": [rs.mod_pcm(x, 700 + x % 997).tobytes()
+                          for x in ks]})
+
+    corpus = keys.mapInPandas(gen, "clip_id string, codec string, "
+                                   "bytes binary")
+    out = rs.normalize_peak(corpus, target_peak=30000)
+    stats = payload.audio_stats(
+        out.withColumn("codec", F.lit("pcm_s16le"))
+           .withColumn("part_id", F.lit(0)),
+        byte_col="bytes")
+    return (out.select("clip_id", "peak_in")
+               .join(stats, "clip_id")
+               .select("clip_id", "n_samples", "peak_in", "peak",
+                       F.round("dc_offset", 4).alias("dc_offset"),
+                       F.round("rms_db", 4).alias("rms_db")))
+
+
+def _q_codec_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-surviving EXACT p50/p95/p99 per codec (SLA-check shape):
+    # redistribute-by-value histogram, percentile_cont interpolation —
+    # independent oracle = DuckDB's built-in quantile_cont
+    clips = derive.clips_df(spark, sf_dir)
+    q = dataset.grouped_exact_quantiles(clips, "codec", "dur_ms")
+    return q.select("codec",
+                    F.round("q50", 4).alias("q50"),
+                    F.round("q95", 4).alias("q95"),
+                    F.round("q99", 4).alias("q99"))
+
+
 def _q_spectral_stats(spark, sf_dir):
     # FFT-derived spectral quality features (band-limit/transcode
     # detection) over the chirp corpus — rows-only (DuckDB has no FFT);
@@ -699,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dup_delta": _q_audio_near_dup_delta,
         "audio_segments": _q_audio_segments,
         "resample": _q_resample,
+        "normalize_peak": _q_normalize_peak,
+        "codec_quantiles": _q_codec_quantiles,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -752,6 +803,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dup_delta": oracle.sql_audio_near_dup_delta(),
         "audio_segments": oracle.sql_audio_segments(),
         "resample": oracle.sql_resample(),
+        "normalize_peak": oracle.sql_normalize_peak(),
+        "codec_quantiles": oracle.sql_codec_quantiles(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

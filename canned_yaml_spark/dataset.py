@@ -234,3 +234,47 @@ def grouped_exact_median(df: DataFrame, key: str, value: str) -> DataFrame:
     hi = F.min(F.when(F.col("_cum") >= k2, F.col(value)))
     return (cum.groupBy(key)
                .agg(((lo + hi) / 2.0).alias("median")))
+
+
+def grouped_exact_quantiles(df: DataFrame, key: str, value: str,
+                            qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+                            ) -> DataFrame:
+    """(key, q50, q95, ...) — EXACT interpolated quantiles per group
+    (percentile_cont semantics: 0-based rank q·(n−1), linear
+    interpolation between the neighbors), built to survive key skew
+    exactly like grouped_exact_median: redistribute by (key, value)
+    first — count-by-value is algebraic, so a 0.70-hot key's rows
+    combine map-side instead of funnelling through one reducer — then
+    read every quantile off the same tiny weighted histogram in one
+    pass of window cumsums. This is the SLA-check shape (p95/p99
+    duration per codec) at 10^12 rows: the shuffle carries
+    (key, distinct value) pairs, never rows.
+
+    Matches DuckDB's quantile_cont (the driver gate's oracle).
+    """
+    from pyspark.sql import Window
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    hist = (df.filter(F.col(value).isNotNull())
+              .groupBy(key, value)
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    wk = Window.partitionBy(key)
+    cum = (hist.withColumn("_n", F.sum("cnt").over(wk))
+               .withColumn("_cum", F.sum("cnt").over(
+                   wk.orderBy(value)
+                     .rowsBetween(Window.unboundedPreceding, 0))))
+    aggs = []
+    for q in qs:
+        # 0-based continuous rank q·(n−1); 1-based neighbor ranks.
+        # Row-level forms gate the min-when scans; the interpolation
+        # fraction is rebuilt from the aggregated n (constant per key).
+        pos = F.lit(float(q)) * (F.col("_n") - 1)
+        k_lo = F.floor(pos) + 1
+        k_hi = F.ceil(pos) + 1
+        lo = F.min(F.when(F.col("_cum") >= k_lo, F.col(value)))
+        hi = F.min(F.when(F.col("_cum") >= k_hi, F.col(value)))
+        pos_a = F.lit(float(q)) * (F.max("_n") - 1)
+        frac_a = pos_a - F.floor(pos_a)
+        name = f"q{int(round(q * 100)):02d}"
+        aggs.append((lo + frac_a * (hi - lo)).alias(name))
+    return cum.groupBy(key).agg(*aggs)

@@ -1090,6 +1090,50 @@ WHERE (ridx IN (6, 7, 8) AND copy = 0)
 """.strip()
 
 
+def sql_normalize_peak() -> str:
+    # exact restatement of resample.normalize_peak over the gate
+    # corpus: clip k holds n(k) = 700 + k % 997 samples of
+    # s(i) = (i*31 + k*7) % 2048 - 1024; P = max|s|; the normalized
+    # sample is the round-half-up rational (2·s·T + P) // (2·P),
+    # written floor((2sT + P) / (2.0P)) because SQL's integer `/`
+    # truncates toward zero on negatives while the engine's numpy //
+    # floors (same trap sql_downmix documents). Stats tail = the
+    # cross-engine-exact peak/dc/rms math of sql_resample.
+    s = "((j*31 + k*7) % 2048 - 1024)"
+    t = 30000
+    out = f"CAST(floor((2*{s}*{t} + p) / (2.0*p)) AS BIGINT)"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k, 700 + o_orderkey % 997 AS n
+            FROM orders WHERE o_orderkey % 37 = 0),
+pk AS (SELECT k, n,
+              list_max(list_transform(range(0, n),
+                                      j -> abs({s}))) AS p
+       FROM ks),
+sm AS (SELECT k, n, p,
+              list_transform(range(0, n), j -> {out}) AS smp
+       FROM pk)
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(p AS INT) AS peak_in,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+       round(list_avg(smp), 4) AS dc_offset,
+       round(20 * log10(sqrt(list_avg(list_transform(smp,
+             v -> CAST(v AS DOUBLE) * v))) / 32768.0), 4) AS rms_db
+FROM sm
+""".strip()
+
+
+def sql_codec_quantiles() -> str:
+    # the engine's redistribute-by-value percentile_cont plan must
+    # reproduce DuckDB's built-in interpolated quantiles
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT codec, "
+            f"round(quantile_cont(dur_ms, 0.50), 4) AS q50, "
+            f"round(quantile_cont(dur_ms, 0.95), 4) AS q95, "
+            f"round(quantile_cont(dur_ms, 0.99), 4) AS q99 "
+            f"FROM clips WHERE dur_ms IS NOT NULL GROUP BY codec")
+
+
 def sql_spectral_verdicts() -> str:
     # ground truth by construction: every gate key ≡ 0 (mod 3) is
     # FFT-brickwalled at 1 kHz before encoding; the x-spectral

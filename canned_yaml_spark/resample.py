@@ -219,3 +219,83 @@ def mod_corpus_df(spark, keys: DataFrame,
 
     return keys.mapInPandas(gen, "clip_id string, sr_hz int, "
                                  "codec string, bytes binary")
+
+
+#: peak-normalization output schema
+_NP_SCHEMA = ("clip_id string, n_samples bigint, peak_in int, "
+              "bytes binary")
+
+
+def normalize_peak(clips: DataFrame, target_peak: int = 30000,
+                   byte_col: str = "bytes", codec_col: str = "codec",
+                   id_col: str = "clip_id", decoder=None) -> DataFrame:
+    """Loudness (peak) normalization — the prep step between decode and
+    featurization that puts every clip on one amplitude scale: gain =
+    target_peak / max|x|, out[i] = round_half_up(x[i]·T / P) computed
+    as the EXACT integer floor division (2·x·T + P) // (2·P). Exact
+    rational arithmetic (numerators ≤ 2³² in int64, no float rounding
+    ties — half-up by construction), so the driver gate value-checks
+    the normalized samples against a DuckDB restatement
+    (oracle.sql_normalize_peak). Output peak is exactly ±target_peak
+    for any non-silent clip; no clipping while target_peak ≤ 32767.
+
+    Silence (P == 0) passes through bit-exact (gain undefined);
+    undecodable payloads keep NULLs (not dropped — callers count
+    them). Same distributed shape as resample: one mapInPandas, no
+    join, no shuffle; per batch the math is size-grouped matrix
+    arithmetic with per-row peak vectors.
+    """
+    if not 0 < target_peak <= 32767:
+        raise ValueError(f"target_peak must be in (0, 32767], "
+                         f"got {target_peak}")
+    dec_fn = decoder or decode
+    t = int(target_peak)
+    src = clips.select(F.col(id_col).alias("clip_id"),
+                       F.col(byte_col).alias("_bytes"),
+                       F.col(codec_col).alias("_codec"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf["_bytes"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
+            out_bytes: list = [None] * n
+            peaks: list = [None] * n
+            decs: list = [None] * n
+            groups: dict[int, list[int]] = {}
+            for i in range(n):
+                if payloads[i] is None:
+                    continue
+                d = dec_fn(payloads[i], codecs[i])
+                if d is None:
+                    continue
+                p = int(np.abs(d.astype(np.int64)).max()) if d.size else 0
+                peaks[i] = p
+                if p == 0:                     # silence: gain undefined
+                    out_bytes[i] = d.astype("<i2").tobytes()
+                    continue
+                decs[i] = d
+                groups.setdefault(d.size, []).append(i)
+            for size, idx_all in groups.items():
+              # int64 numerators: 8 B × n_out per clip — bound per task
+              step = max(1, 2_000_000 // max(size, 1))
+              for lo in range(0, len(idx_all), step):
+                idx = idx_all[lo:lo + step]
+                m = np.empty((len(idx), size), dtype=np.int16)
+                pv = np.empty((len(idx), 1), dtype=np.int64)
+                for j, i in enumerate(idx):
+                    m[j] = decs[i]
+                    pv[j, 0] = peaks[i]
+                out = ((2 * m.astype(np.int64) * t + pv)
+                       // (2 * pv)).astype("<i2")
+                for j, i in enumerate(idx):
+                    out_bytes[i] = out[j].tobytes()
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "n_samples": pd.array(
+                    [len(b) // 2 if b is not None else None
+                     for b in out_bytes], dtype="Int64"),
+                "peak_in": pd.array(peaks, dtype="Int32"),
+                "bytes": out_bytes})
+
+    return src.mapInPandas(run, _NP_SCHEMA)

@@ -90,3 +90,30 @@ def test_unique_copartitioned_matches_broadcast(spark, clips, suite):
     a = dataset.unique_violations(clips, uc).collect()
     b = dataset.unique_violations(clips, uc, broadcast_back=False).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+
+
+def test_grouped_exact_quantiles(spark, clips):
+    """percentile_cont semantics vs a sorted-list reference computed
+    per group in Python; q=0.5 agrees with grouped_exact_median."""
+    from canned_yaml_spark import dataset
+
+    got = {r.codec: r for r in dataset.grouped_exact_quantiles(
+        clips, "codec", "dur_ms", qs=(0.5, 0.95, 0.99)).collect()}
+    med = {r.codec: r.median for r in dataset.grouped_exact_median(
+        clips, "codec", "dur_ms").collect()}
+
+    rows = clips.select("codec", "dur_ms").collect()
+    groups: dict = {}
+    for r in rows:
+        if r.dur_ms is not None:
+            groups.setdefault(r.codec, []).append(r.dur_ms)
+    assert set(got) == set(groups)
+    for codec, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for q, col in ((0.5, "q50"), (0.95, "q95"), (0.99, "q99")):
+            pos = q * (n - 1)
+            lo, hi = vals[int(pos)], vals[min(int(pos) + 1, n - 1)]
+            want = lo + (pos - int(pos)) * (hi - lo)
+            assert abs(got[codec][col] - want) < 1e-9, (codec, col)
+        assert abs(got[codec].q50 - med[codec]) < 1e-9

@@ -112,3 +112,51 @@ def test_downmix_floor_division_on_negative_sums():
                                "clip_id string, bytes binary")
     r = rsm.downmix_mono(df, decoder=dec).collect()[0]
     assert np.frombuffer(bytes(r.bytes), dtype="<i2").tolist() == [-4, 4]
+
+
+def test_normalize_peak_exact_and_edges(spark):
+    """Peak normalization: exact round-half-up rational values vs a
+    straight numpy reference; output peak is exactly the target for
+    any non-silent clip; silence passes through bit-exact; undecodable
+    rows keep NULLs; target validation raises."""
+    import numpy as np
+    import pytest
+
+    from canned_yaml_spark import resample as rs
+
+    t = 30000
+    pcm_a = rs.mod_pcm(5, 777)
+    pcm_b = np.full(64, -3, dtype="<i2")     # constant negative
+    silent = np.zeros(32, dtype="<i2")
+    rows = [
+        ("a", "pcm_s16le", bytearray(pcm_a.tobytes())),
+        ("b", "pcm_s16le", bytearray(pcm_b.tobytes())),
+        ("s", "pcm_s16le", bytearray(silent.tobytes())),
+        ("bad", "flac", bytearray(b"notflac")),
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, codec string, bytes binary")
+    out = {r.clip_id: r for r in
+           rs.normalize_peak(clips, target_peak=t).collect()}
+
+    def ref(x):
+        p = int(np.abs(x.astype(np.int64)).max())
+        return ((2 * x.astype(np.int64) * t + p) // (2 * p)).astype("<i2")
+
+    got_a = np.frombuffer(bytes(out["a"].bytes), dtype="<i2")
+    assert np.array_equal(got_a, ref(pcm_a))
+    assert int(np.abs(got_a.astype(np.int64)).max()) == t
+    assert out["a"].peak_in == int(np.abs(pcm_a.astype(np.int64)).max())
+
+    got_b = np.frombuffer(bytes(out["b"].bytes), dtype="<i2")
+    assert np.array_equal(got_b, np.full(64, -t, dtype="<i2"))
+
+    assert bytes(out["s"].bytes) == silent.tobytes()   # silence: as-is
+    assert out["s"].peak_in == 0
+
+    assert out["bad"].bytes is None and out["bad"].peak_in is None
+
+    with pytest.raises(ValueError):
+        rs.normalize_peak(clips, target_peak=0)
+    with pytest.raises(ValueError):
+        rs.normalize_peak(clips, target_peak=40000)

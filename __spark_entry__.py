@@ -439,6 +439,25 @@ def _q_normalize_peak(spark, sf_dir):
                        F.round("rms_db", 4).alias("rms_db")))
 
 
+def _q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-quantile (SLA bound) as a spec rule: per-partition EXACT p99 of
+    # dur_ms with `maximum: 12000` — the drift partition's +5000 ms
+    # shift puts its p99 at ~14.9 s while every clean partition sits
+    # ≤ ~9.9 s (measured margins ≈ 2.1/2.9 s around the bound). The
+    # gate emits the full per-part report (qval + breach verdict), a
+    # strictly stronger check than the filtered violation rows; the
+    # spec→violation wiring is pinned in tests/test_dataset.py.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object",
+                 "x-quantile": {"column": "dur_ms", "q": 0.99,
+                                "maximum": 12000}}, clips.schema)
+    [qc] = suite.quantile_checks
+    rep = dataset.partition_quantile(clips, qc)
+    return rep.select("part_id", F.round("qval", 4).alias("qval"),
+                      "breach")
+
+
 def _q_codec_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-surviving EXACT p50/p95/p99 per codec (SLA-check shape):
     # redistribute-by-value histogram, percentile_cont interpolation —
@@ -750,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": _q_resample,
         "normalize_peak": _q_normalize_peak,
         "codec_quantiles": _q_codec_quantiles,
+        "quantile_report": _q_quantile_report,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -805,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "resample": oracle.sql_resample(),
         "normalize_peak": oracle.sql_normalize_peak(),
         "codec_quantiles": oracle.sql_codec_quantiles(),
+        "quantile_report": oracle.sql_quantile_report(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

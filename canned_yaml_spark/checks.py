@@ -142,6 +142,24 @@ class SpectralCheck:
     severity: Severity = Severity.WARN
 
 
+@dataclass(frozen=True)
+class QuantileCheck:
+    """x-quantile: the EXACT interpolated q-quantile of ``column`` per
+    partition must stay within [minimum, maximum] — the SLA-bound
+    check (e.g. "p99 duration per partition ≤ 11 s"). percentile_cont
+    semantics; computed skew-proof off the redistribute-by-value
+    histogram (dataset.grouped_exact_quantiles), so a hot partition
+    never funnels raw rows through one reducer. A bound left as None
+    is not checked."""
+
+    rule_id: str
+    column: str
+    q: float
+    minimum: float | None = None
+    maximum: float | None = None
+    severity: Severity = Severity.WARN
+
+
 @dataclass
 class CheckSuite:
     """Everything compiled from one spec.
@@ -158,6 +176,7 @@ class CheckSuite:
     payload_checks: list[PayloadCheck] = field(default_factory=list)
     audio_checks: list[AudioStatsCheck] = field(default_factory=list)
     spectral_checks: list[SpectralCheck] = field(default_factory=list)
+    quantile_checks: list[QuantileCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -174,6 +193,7 @@ class CheckSuite:
             ("drift", self.drift_checks), ("payload", self.payload_checks),
             ("audio", self.audio_checks),
             ("spectral", self.spectral_checks),
+            ("quantile", self.quantile_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
-    AudioStatsCheck, Check, CheckSuite, DriftCheck, PayloadCheck, RefCheck,
-    Severity, SpectralCheck,
+    AudioStatsCheck, Check, CheckSuite, DriftCheck, PayloadCheck,
+    QuantileCheck, RefCheck, Severity, SpectralCheck,
     UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
@@ -530,6 +530,32 @@ class _Compiler:
                 psi_max=float(xd.get("psi_max", 0.25)),
                 ks_alpha=float(xd.get("ks_alpha", 0.01)),
                 severity=Severity[xd.get("severity", "WARN").upper()]))
+        if "x-quantile" in node:
+            xqs = node["x-quantile"]
+            if isinstance(xqs, dict):
+                xqs = [xqs]
+            for i, xq in enumerate(xqs):
+                path = f"$.x-quantile[{i}]"
+                if "column" not in xq or "q" not in xq:
+                    raise SpecError(path, "x-quantile needs 'column' "
+                                          "and 'q'")
+                q = float(xq["q"])
+                if not 0.0 <= q <= 1.0:
+                    raise SpecError(path, f"q must be in [0, 1], got {q}")
+                lo = xq.get("minimum")
+                hi = xq.get("maximum")
+                if lo is None and hi is None:
+                    raise SpecError(path, "x-quantile needs at least one "
+                                          "of minimum/maximum")
+                if lo is not None and hi is not None and float(lo) > float(hi):
+                    raise SpecError(path, f"minimum {lo} > maximum {hi}")
+                self.suite.quantile_checks.append(QuantileCheck(
+                    rule_id=f"x-quantile.{xq['column']}"
+                            f".p{int(round(q * 100)):02d}",
+                    column=xq["column"], q=q,
+                    minimum=None if lo is None else float(lo),
+                    maximum=None if hi is None else float(hi),
+                    severity=Severity[xq.get("severity", "WARN").upper()]))
         return self.suite
 
     def _extensions(self, column: str, sub: dict) -> None:

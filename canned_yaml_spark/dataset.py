@@ -278,3 +278,45 @@ def grouped_exact_quantiles(df: DataFrame, key: str, value: str,
         name = f"q{int(round(q * 100)):02d}"
         aggs.append((lo + frac_a * (hi - lo)).alias(name))
     return cum.groupBy(key).agg(*aggs)
+
+
+def partition_quantile(df: DataFrame, check,
+                       part_col: str = "part_id") -> DataFrame:
+    """(part_id, qval, breach) — the x-quantile check's per-partition
+    report: EXACT interpolated q-quantile of check.column via the same
+    skew-proof redistribute-by-value histogram as
+    grouped_exact_quantiles, plus the bound verdict."""
+    q = grouped_exact_quantiles(df, part_col, check.column,
+                                qs=(check.q,))
+    qcol = F.col(q.columns[-1])
+    breach = F.lit(False)
+    if check.minimum is not None:
+        breach = breach | (qcol < float(check.minimum))
+    if check.maximum is not None:
+        breach = breach | (qcol > float(check.maximum))
+    return q.select(F.col(part_col).alias("part_id"),
+                    qcol.alias("qval"), breach.alias("breach"))
+
+
+def quantile_violations(df: DataFrame, check,
+                        part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped, like
+    drift) for partitions whose exact q-quantile of check.column
+    breaches the spec bound (x-quantile)."""
+    bounds = []
+    if check.minimum is not None:
+        bounds.append(f">= {check.minimum}")
+    if check.maximum is not None:
+        bounds.append(f"<= {check.maximum}")
+    want = " and ".join(bounds)
+    return (partition_quantile(df, check, part_col)
+            .filter(F.col("breach"))
+            .select(F.lit(None).cast("string").alias("clip_id"),
+                    "part_id",
+                    F.lit(check.rule_id).alias("rule_id"),
+                    F.lit(int(check.severity)).alias("severity"),
+                    F.concat(
+                        F.lit(f"p{int(round(check.q * 100)):02d}"
+                              f"({check.column}) "),
+                        F.round(F.col("qval"), 4).cast("string"),
+                        F.lit(f" not {want}")).alias("message")))

@@ -113,6 +113,10 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
             from canned_yaml_spark import audiofp
             out = out.unionByName(
                 audiofp.spectral_violations(clips, sc, id_col, part_col))
+    for qc in suite.quantile_checks:
+        if qc.column in clips.columns:
+            out = out.unionByName(
+                dataset.quantile_violations(clips, qc, part_col))
     return out
 
 

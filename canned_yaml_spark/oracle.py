@@ -1123,6 +1123,16 @@ FROM sm
 """.strip()
 
 
+def sql_quantile_report() -> str:
+    # x-quantile SLA rule: per-partition exact p99 + bound verdict;
+    # independent quantile via DuckDB's built-in quantile_cont
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT part_id, "
+            f"round(quantile_cont(dur_ms, 0.99), 4) AS qval, "
+            f"quantile_cont(dur_ms, 0.99) > 12000 AS breach "
+            f"FROM clips WHERE dur_ms IS NOT NULL GROUP BY part_id")
+
+
 def sql_codec_quantiles() -> str:
     # the engine's redistribute-by-value percentile_cont plan must
     # reproduce DuckDB's built-in interpolated quantiles

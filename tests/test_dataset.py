@@ -117,3 +117,68 @@ def test_grouped_exact_quantiles(spark, clips):
             want = lo + (pos - int(pos)) * (hi - lo)
             assert abs(got[codec][col] - want) < 1e-9, (codec, col)
         assert abs(got[codec].q50 - med[codec]) < 1e-9
+
+
+def test_x_quantile_spec_rule(spark, clips):
+    """x-quantile end to end: compile → per-partition exact quantile →
+    violation rows → job wiring; located SpecErrors on bad specs."""
+    import pytest
+
+    from canned_yaml_spark import compile_spec, dataset, job
+    from canned_yaml_spark.errors import SpecError
+
+    # fixture corpus: DRIFT_PART (7) carries +5000 ms; its p99 breaches
+    # a 12 s cap while clean partitions stay near 10 s — wait, the
+    # fixture ALSO injects dur_range outliers (0 / 86_400_000), which
+    # blow the p99 of their partitions; the rule flags every partition
+    # whose p99 exceeds the cap, outlier-driven or drift-driven.
+    suite = compile_spec(
+        {"type": "object",
+         "x-quantile": [{"column": "dur_ms", "q": 0.99,
+                         "maximum": 12000, "severity": "ERROR"}]},
+        clips.schema)
+    [qc] = suite.quantile_checks
+    assert qc.rule_id == "x-quantile.dur_ms.p99" and int(qc.severity) == 2
+
+    rep = {r.part_id: r for r in
+           dataset.partition_quantile(clips, qc).collect()}
+    assert len(rep) == 64
+    assert rep[7].breach                       # drift partition
+    viol = dataset.quantile_violations(clips, qc).collect()
+    assert {r.part_id for r in viol} == {p for p, r in rep.items()
+                                         if r.breach}
+    assert all(r.clip_id is None and r.severity == 2 for r in viol)
+    assert all("p99(dur_ms)" in r.message and "<= 12000" in r.message
+               for r in viol)
+
+    # wired through the job driver
+    av = (job.all_violations(clips, suite)
+          .filter(F.col("rule_id") == "x-quantile.dur_ms.p99"))
+    assert av.count() == len(viol) and len(viol) > 0
+
+    # a minimum bound flags the other tail: p01 of the dur=0 outlier
+    # partitions sinks below a 150 ms floor
+    suite_lo = compile_spec(
+        {"type": "object",
+         "x-quantile": {"column": "dur_ms", "q": 0.01, "minimum": 150}},
+        clips.schema)
+    [qlo] = suite_lo.quantile_checks
+    lo_viol = dataset.quantile_violations(clips, qlo).collect()
+    assert lo_viol and all(">= 150" in r.message for r in lo_viol)
+
+    # located SpecErrors
+    for bad in (
+        {"x-quantile": {"column": "dur_ms"}},                   # no q
+        {"x-quantile": {"column": "dur_ms", "q": 1.5,
+                        "maximum": 1}},                         # q range
+        {"x-quantile": {"column": "dur_ms", "q": 0.5}},         # no bound
+        {"x-quantile": {"column": "dur_ms", "q": 0.5,
+                        "minimum": 9, "maximum": 1}},           # min>max
+    ):
+        with pytest.raises(SpecError, match="x-quantile"):
+            compile_spec({"type": "object", **bad}, clips.schema)
+
+    # deep spec carries the rule
+    deep = compile_spec(open("specs/clips_deep.spec.yaml").read(),
+                        clips.schema)
+    assert len(deep.quantile_checks) == 1

@@ -458,6 +458,27 @@ def _q_quantile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "breach")
 
 
+def _q_quantile_report_bucketed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    # the unbounded-column posture of x-quantile: values quantized to
+    # 500 bucket midpoints over [0, 16000] before the histogram, so
+    # the shuffle carries ≤ parts × buckets rows at ANY scale. The
+    # oracle restates the same quantization, then DuckDB's
+    # quantile_cont over the midpoints. Error vs exact ≤ width/2 = 16
+    # ms (pinned in tests/test_dataset.py); margins around the 12 s
+    # bound are ~2 s, so the breach verdicts match the exact mode's.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object",
+                 "x-quantile": {"column": "dur_ms", "q": 0.99,
+                                "maximum": 12000, "buckets": 500,
+                                "lo": 0, "hi": 16000}}, clips.schema)
+    [qc] = suite.quantile_checks
+    rep = dataset.partition_quantile(clips, qc)
+    return rep.select("part_id", F.round("qval", 4).alias("qval"),
+                      "breach")
+
+
 def _q_codec_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-surviving EXACT p50/p95/p99 per codec (SLA-check shape):
     # redistribute-by-value histogram, percentile_cont interpolation —
@@ -770,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_peak": _q_normalize_peak,
         "codec_quantiles": _q_codec_quantiles,
         "quantile_report": _q_quantile_report,
+        "quantile_report_bucketed": _q_quantile_report_bucketed,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -826,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_peak": oracle.sql_normalize_peak(),
         "codec_quantiles": oracle.sql_codec_quantiles(),
         "quantile_report": oracle.sql_quantile_report(),
+        "quantile_report_bucketed": oracle.sql_quantile_report_bucketed(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

@@ -158,6 +158,15 @@ class QuantileCheck:
     minimum: float | None = None
     maximum: float | None = None
     severity: Severity = Severity.WARN
+    #: exact mode (buckets=None) redistributes by DISTINCT VALUE —
+    #: right for measure columns of bounded cardinality (ints, codes).
+    #: For unbounded/float columns set buckets: values are quantized to
+    #: bucket midpoints over [lo, hi] first (clamped), so the shuffle
+    #: carries ≤ parts × buckets rows at ANY scale and the quantile is
+    #: exact-over-quantized (error ≤ half a bucket width + clamping).
+    buckets: int | None = None
+    lo: float = 0.0
+    hi: float = 12000.0
 
 
 @dataclass

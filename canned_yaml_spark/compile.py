@@ -549,13 +549,26 @@ class _Compiler:
                                           "of minimum/maximum")
                 if lo is not None and hi is not None and float(lo) > float(hi):
                     raise SpecError(path, f"minimum {lo} > maximum {hi}")
+                buckets = xq.get("buckets")
+                if buckets is not None:
+                    buckets = int(buckets)
+                    if buckets <= 0:
+                        raise SpecError(path, f"buckets must be positive, "
+                                              f"got {buckets}")
+                    if float(xq.get("lo", 0.0)) >= float(
+                            xq.get("hi", 12000.0)):
+                        raise SpecError(path, "bucketed x-quantile needs "
+                                              "lo < hi")
                 self.suite.quantile_checks.append(QuantileCheck(
                     rule_id=f"x-quantile.{xq['column']}"
                             f".p{int(round(q * 100)):02d}",
                     column=xq["column"], q=q,
                     minimum=None if lo is None else float(lo),
                     maximum=None if hi is None else float(hi),
-                    severity=Severity[xq.get("severity", "WARN").upper()]))
+                    severity=Severity[xq.get("severity", "WARN").upper()],
+                    buckets=buckets,
+                    lo=float(xq.get("lo", 0.0)),
+                    hi=float(xq.get("hi", 12000.0))))
         return self.suite
 
     def _extensions(self, column: str, sub: dict) -> None:

@@ -283,10 +283,29 @@ def grouped_exact_quantiles(df: DataFrame, key: str, value: str,
 def partition_quantile(df: DataFrame, check,
                        part_col: str = "part_id") -> DataFrame:
     """(part_id, qval, breach) — the x-quantile check's per-partition
-    report: EXACT interpolated q-quantile of check.column via the same
+    report: interpolated q-quantile of check.column via the same
     skew-proof redistribute-by-value histogram as
-    grouped_exact_quantiles, plus the bound verdict."""
-    q = grouped_exact_quantiles(df, part_col, check.column,
+    grouped_exact_quantiles, plus the bound verdict.
+
+    EXACT when check.buckets is None (bounded-cardinality measure
+    columns — the histogram is (part, distinct value)). With
+    check.buckets set, values are first clamped to [lo, hi] and
+    quantized to bucket MIDPOINTS, so the shuffle carries at most
+    parts × buckets rows for ANY input — the unbounded/float-column
+    posture; the result is the exact quantile of the quantized
+    distribution (error ≤ width/2 inside the range)."""
+    src = df
+    vcol = check.column
+    if check.buckets:
+        width = (check.hi - check.lo) / check.buckets
+        b = F.floor((F.col(check.column) - F.lit(check.lo))
+                    / F.lit(width))
+        b = F.least(F.greatest(b, F.lit(0)),
+                    F.lit(check.buckets - 1))
+        src = df.withColumn(
+            "_qv", F.lit(check.lo) + (b + F.lit(0.5)) * F.lit(width))
+        vcol = "_qv"
+    q = grouped_exact_quantiles(src, part_col, vcol,
                                 qs=(check.q,))
     qcol = F.col(q.columns[-1])
     breach = F.lit(False)

@@ -1133,6 +1133,22 @@ def sql_quantile_report() -> str:
             f"FROM clips WHERE dur_ms IS NOT NULL GROUP BY part_id")
 
 
+def sql_quantile_report_bucketed() -> str:
+    # the bucketed x-quantile mode: clamp to [0, 16000], quantize to
+    # 500 bucket midpoints (width 32), then the interpolated quantile
+    # of the quantized distribution — restated with the same
+    # quantization expression + DuckDB's built-in quantile_cont
+    return (f"WITH {clips_duckdb_cte()}, "
+            f"qz AS (SELECT part_id, "
+            f"0 + (LEAST(GREATEST(FLOOR((dur_ms - 0) / 32.0), 0), 499) "
+            f"+ 0.5) * 32.0 AS v "
+            f"FROM clips WHERE dur_ms IS NOT NULL) "
+            f"SELECT part_id, "
+            f"round(quantile_cont(v, 0.99), 4) AS qval, "
+            f"quantile_cont(v, 0.99) > 12000 AS breach "
+            f"FROM qz GROUP BY part_id")
+
+
 def sql_codec_quantiles() -> str:
     # the engine's redistribute-by-value percentile_cont plan must
     # reproduce DuckDB's built-in interpolated quantiles

@@ -182,3 +182,38 @@ def test_x_quantile_spec_rule(spark, clips):
     deep = compile_spec(open("specs/clips_deep.spec.yaml").read(),
                         clips.schema)
     assert len(deep.quantile_checks) == 1
+
+
+def test_x_quantile_bucketed_mode(spark, clips):
+    """Bucketed x-quantile (unbounded-column posture): the quantized
+    quantile stays within width/2 of the exact one inside the range,
+    clamping is applied at the edges, and bad bucket specs raise."""
+    import pytest
+
+    from canned_yaml_spark import compile_spec, dataset
+    from canned_yaml_spark.errors import SpecError
+
+    mk = lambda extra: compile_spec(
+        {"type": "object",
+         "x-quantile": {"column": "dur_ms", "q": 0.5, "maximum": 12000,
+                        **extra}}, clips.schema)
+    [exact] = mk({}).quantile_checks
+    [approx] = mk({"buckets": 1000, "lo": 0,
+                   "hi": 16000}).quantile_checks
+    width = (approx.hi - approx.lo) / approx.buckets
+
+    ex = {r.part_id: r.qval for r in
+          dataset.partition_quantile(clips, exact).collect()}
+    ap = {r.part_id: r.qval for r in
+          dataset.partition_quantile(clips, approx).collect()}
+    assert set(ex) == set(ap)
+    for p in ex:
+        # the fixture's dur outliers (86.4e6) clamp to the top bucket;
+        # they sit above p50 in every partition, so the MEDIAN is
+        # in-range and the bound applies
+        assert abs(ex[p] - ap[p]) <= width / 2 + 1e-9, p
+
+    with pytest.raises(SpecError, match="buckets"):
+        mk({"buckets": 0})
+    with pytest.raises(SpecError, match="lo < hi"):
+        mk({"buckets": 10, "lo": 5, "hi": 5})

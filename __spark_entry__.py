@@ -479,6 +479,65 @@ def _q_quantile_report_bucketed(spark: SparkSession,
                       "breach")
 
 
+def _q_assert_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-assert: arbitrary cross-field SQL boolean rules as row checks —
+    # the vocabulary escape hatch. Two rules over the clips corpus:
+    # speech-rate sanity (a transcript can't exceed 1 char/ms of
+    # audio — trips the injected dur_ms=0 and 5000-'x' transcripts)
+    # and an archival policy (flac must be >= 16 kHz). NULL transcript
+    # rows (injected rule 6) evaluate NULL → pass, pinning the
+    # engine-wide "absent values only violate required" convention.
+    # Oracle: the SAME predicates restated in DuckDB over the same
+    # derived corpus. Plan: both asserts join the single-scan
+    # violation array — zero exchanges added.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object", "x-assert": [
+        {"id": "speech_rate", "expr": "length(transcript) <= dur_ms",
+         "message": "transcript longer than 1 char per ms of audio"},
+        {"id": "flac_sr", "severity": "WARN",
+         "expr": "NOT (codec = 'flac' AND sr_hz < 16000)",
+         "message": "flac clips must be archived at >= 16 kHz"},
+    ]}, clips.schema)
+    return row_violations(clips, suite).select(*_VCOLS)
+
+
+def _q_completeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-completeness: per-partition null-budget gate (the reference's
+    # `required` generalized to a fractional budget). Both gated
+    # columns fold into ONE hash agg — the shuffle carries exactly one
+    # row per partition at any table size. transcript has injected
+    # NULLs (rule 6: 1 in 80 rows) so a 1% budget breaches on the
+    # partitions where those cluster; codec has none → never breaches.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object", "x-completeness": [
+        {"column": "transcript", "max_null_frac": 0.01},
+        {"column": "codec", "max_null_frac": 0.0},
+    ]}, clips.schema)
+    rep = dataset.partition_completeness(clips, suite.completeness_checks)
+    return rep.select("part_id", F.col("column").alias("col"),
+                      "null_frac", "breach")
+
+
+def _q_frequency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-frequency: per-partition dominant-value share cap + distinct
+    # floor on the codec column (weights 0.70/0.15/0.10/0.05 —
+    # FIXTURES.md). The 0.68 cap splits the partitions around the hot
+    # codec's expected 0.70 share, so breach carries real signal both
+    # ways. Two algebraic aggs; stage-2 input ≤ parts × 4 codec rows
+    # regardless of table size. Oracle: DuckDB window-free restatement
+    # with the same (count, value) tie-break.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object", "x-frequency": [
+        {"column": "codec", "max_share": 0.68, "min_distinct": 4},
+    ]}, clips.schema)
+    rep = dataset.partition_frequency(clips, suite.frequency_checks[0])
+    return rep.select("part_id", "top_value", "top_share",
+                      "n_distinct", "breach")
+
+
 def _q_codec_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-surviving EXACT p50/p95/p99 per codec (SLA-check shape):
     # redistribute-by-value histogram, percentile_cont interpolation —
@@ -792,6 +851,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_quantiles": _q_codec_quantiles,
         "quantile_report": _q_quantile_report,
         "quantile_report_bucketed": _q_quantile_report_bucketed,
+        "assert_rule": _q_assert_rule,
+        "completeness_report": _q_completeness_report,
+        "frequency_report": _q_frequency_report,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -849,6 +911,9 @@ def oracle_sql() -> dict[str, str]:
         "codec_quantiles": oracle.sql_codec_quantiles(),
         "quantile_report": oracle.sql_quantile_report(),
         "quantile_report_bucketed": oracle.sql_quantile_report_bucketed(),
+        "assert_rule": oracle.sql_assert_rule(),
+        "completeness_report": oracle.sql_completeness_report(),
+        "frequency_report": oracle.sql_frequency_report(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

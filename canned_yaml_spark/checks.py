@@ -169,6 +169,42 @@ class QuantileCheck:
     hi: float = 12000.0
 
 
+@dataclass(frozen=True)
+class CompletenessCheck:
+    """x-completeness: the NULL fraction of ``column`` per partition
+    must not exceed ``max_null_frac`` (a Deequ-style completeness
+    gate; the reference's `required` keyword is the row-level special
+    case max_null_frac=0 at ERROR). All completeness checks of a
+    suite fold into ONE hash aggregate — the shuffle carries exactly
+    one row per partition regardless of table size."""
+
+    rule_id: str
+    column: str
+    max_null_frac: float = 0.0
+    severity: Severity = Severity.WARN
+
+
+@dataclass(frozen=True)
+class FrequencyCheck:
+    """x-frequency: per-partition frequency-shape gates on a
+    categorical ``column`` — a dominant-value share cap
+    (``max_share``: no single value may account for more than this
+    fraction of the partition's non-null rows; catches a collapsed
+    upstream that started writing one constant) and a distinctness
+    floor (``min_distinct``). NULLs are excluded from both (null rate
+    is x-completeness's job). The shuffle carries one row per
+    (partition, distinct value) after map-side partial aggregation —
+    bounded by parts × cardinality at any table size, which is why
+    this rule targets enum-like columns. A threshold left as None is
+    not checked."""
+
+    rule_id: str
+    column: str
+    max_share: float | None = None
+    min_distinct: int | None = None
+    severity: Severity = Severity.WARN
+
+
 @dataclass
 class CheckSuite:
     """Everything compiled from one spec.
@@ -186,6 +222,8 @@ class CheckSuite:
     audio_checks: list[AudioStatsCheck] = field(default_factory=list)
     spectral_checks: list[SpectralCheck] = field(default_factory=list)
     quantile_checks: list[QuantileCheck] = field(default_factory=list)
+    completeness_checks: list[CompletenessCheck] = field(default_factory=list)
+    frequency_checks: list[FrequencyCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -203,6 +241,8 @@ class CheckSuite:
             ("audio", self.audio_checks),
             ("spectral", self.spectral_checks),
             ("quantile", self.quantile_checks),
+            ("completeness", self.completeness_checks),
+            ("frequency", self.frequency_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
-    AudioStatsCheck, Check, CheckSuite, DriftCheck, PayloadCheck,
-    QuantileCheck, RefCheck, Severity, SpectralCheck,
-    UniqueCheck,
+    AudioStatsCheck, Check, CheckSuite, CompletenessCheck, DriftCheck,
+    FrequencyCheck, PayloadCheck, QuantileCheck, RefCheck, Severity,
+    SpectralCheck, UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
 from canned_yaml_spark.spec import load_spec, resolve_ref
@@ -58,6 +58,12 @@ _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _INT_RE = r"^\s*[+-]?[0-9]+\s*$"
 
 StaticOrCol = Union[bool, Column]
+
+
+def _first_line(exc: Exception) -> str:
+    """First line of a JVM exception message (the human part; the rest
+    is a stack trace that would bury the located SpecError)."""
+    return str(exc).strip().splitlines()[0] if str(exc).strip() else repr(exc)
 
 
 def _dt(dtype: T.DataType | None, *classes) -> bool:
@@ -569,7 +575,93 @@ class _Compiler:
                     buckets=buckets,
                     lo=float(xq.get("lo", 0.0)),
                     hi=float(xq.get("hi", 12000.0))))
+        if "x-assert" in node:
+            xas = node["x-assert"]
+            if isinstance(xas, dict):
+                xas = [xas]
+            for i, xa in enumerate(xas):
+                self._compile_assert(xa, i)
+        if "x-completeness" in node:
+            xcs = node["x-completeness"]
+            if isinstance(xcs, dict):
+                xcs = [xcs]
+            for xc in xcs:
+                col = xc["column"]
+                if self.schema is not None and col not in {
+                        f.name for f in self.schema.fields}:
+                    raise SpecError(f"$.x-completeness.{col}",
+                                    f"column '{col}' absent from table "
+                                    f"schema")
+                self.suite.completeness_checks.append(CompletenessCheck(
+                    rule_id=f"x-completeness.{col}", column=col,
+                    max_null_frac=float(xc.get("max_null_frac", 0.0)),
+                    severity=Severity[xc.get("severity", "WARN").upper()]))
+        if "x-frequency" in node:
+            xfs = node["x-frequency"]
+            if isinstance(xfs, dict):
+                xfs = [xfs]
+            for xf in xfs:
+                col = xf["column"]
+                if self.schema is not None and col not in {
+                        f.name for f in self.schema.fields}:
+                    raise SpecError(f"$.x-frequency.{col}",
+                                    f"column '{col}' absent from table "
+                                    f"schema")
+                ms = xf.get("max_share")
+                md = xf.get("min_distinct")
+                self.suite.frequency_checks.append(FrequencyCheck(
+                    rule_id=f"x-frequency.{col}", column=col,
+                    max_share=None if ms is None else float(ms),
+                    min_distinct=None if md is None else int(md),
+                    severity=Severity[xf.get("severity", "WARN").upper()]))
         return self.suite
+
+    def _compile_assert(self, xa: dict, i: int) -> None:
+        """x-assert: an arbitrary cross-field SQL boolean expression as
+        a row rule — the escape hatch for constraints the keyword
+        vocabulary can't express (e.g. 'transcript length must be
+        consistent with dur_ms'). The expression compiles into the
+        same single-scan violation array as every keyword check, so an
+        x-assert adds ZERO plan cost beyond its own arithmetic.
+
+        NULL convention: an assert that evaluates to NULL (some operand
+        was missing) does NOT violate — only a definite FALSE does,
+        matching the engine-wide rule that absent values only trip
+        `required`-style checks. Parse AND analysis errors surface at
+        compile time as located SpecErrors (the reference's generators
+        fail at build time, not canning time — same posture)."""
+        rid = xa.get("id", str(i))
+        path = f"$.x-assert[{i}]"
+        try:
+            expr = F.expr(xa["expr"])
+        except Exception as exc:  # eager ParseException (Spark < 4)
+            raise SpecError(f"{path}.expr",
+                            f"does not parse: {_first_line(exc)}") from exc
+        if self.schema is not None:
+            # Spark 4 parses F.expr lazily, so BOTH syntax and
+            # resolution errors surface here, at the empty-frame
+            # analysis probe — located like every other spec defect
+            from pyspark.sql import SparkSession
+            spark = (SparkSession.getActiveSession()
+                     or SparkSession._instantiatedSession)
+            try:
+                dt = spark.createDataFrame([], self.schema) \
+                          .select(expr).schema.fields[0].dataType
+            except Exception as exc:
+                raise SpecError(f"{path}.expr",
+                                f"does not parse/resolve against the "
+                                f"table schema: {_first_line(exc)}") from exc
+            if not isinstance(dt, T.BooleanType):
+                raise SpecError(f"{path}.expr",
+                                f"must be a boolean expression, got "
+                                f"{dt.simpleString()}")
+        self.suite.row_checks.append(Check(
+            rule_id=f"x-assert.{rid}",
+            severity=Severity[xa.get("severity", "ERROR").upper()],
+            violation=~F.coalesce(expr, F.lit(True)),
+            message=F.lit(xa.get("message",
+                                 f"assertion failed: {xa['expr']}")),
+            order=self._next_order(), column=""))
 
     def _extensions(self, column: str, sub: dict) -> None:
         if sub.get("x-unique"):

@@ -339,3 +339,127 @@ def quantile_violations(df: DataFrame, check,
                               f"({check.column}) "),
                         F.round(F.col("qval"), 4).cast("string"),
                         F.lit(f" not {want}")).alias("message")))
+
+
+def partition_completeness(df: DataFrame, checks: list,
+                           part_col: str = "part_id") -> DataFrame:
+    """(part_id, column, null_frac, breach) — the x-completeness
+    report for EVERY completeness check of a suite in ONE hash
+    aggregate: per-column null fractions are algebraic (avg of a 0/1
+    indicator), so they all partial-combine map-side and the shuffle
+    carries exactly one row per partition however many columns are
+    gated and however big the table is. The wide agg row is unpivoted
+    to long form with `stack` — a per-row expression, no extra
+    exchange. At 10^12 rows this is the cheapest whole-table check in
+    the engine: one scan, parts rows shuffled.
+
+    The reference's `required` keyword is the row-level special case
+    (max_null_frac=0 at ERROR, canner.cc:378-398); x-completeness is
+    its partition-budget generalization (a Deequ-style completeness
+    gate for columns where SOME nulls are expected)."""
+    if not checks:
+        raise ValueError("partition_completeness needs >=1 check")
+    # exact integer null-counts, divided once — never a float sum, so
+    # the fraction is bit-identical for ANY aggregation order (an avg
+    # of doubles can wobble in the last ulp with partial-agg order,
+    # which would flake the oracle's value hash)
+    aggs = [F.sum(F.col(c.column).isNull().cast("long"))
+             .alias(f"_nn_{i}") for i, c in enumerate(checks)]
+    aggs.append(F.count(F.lit(1)).alias("_n"))
+    wide = df.groupBy(F.col(part_col).alias("part_id")).agg(*aggs)
+    pairs = ", ".join(f"'{c.column}', _nn_{i} / _n"
+                      for i, c in enumerate(checks))
+    long = wide.select(
+        "part_id",
+        F.expr(f"stack({len(checks)}, {pairs}) AS (column, null_frac)"))
+    bound = F.create_map(*[x for c in checks
+                           for x in (F.lit(c.column),
+                                     F.lit(float(c.max_null_frac)))])
+    return long.select(
+        "part_id", "column",
+        F.round("null_frac", 6).alias("null_frac"),
+        (F.col("null_frac") > bound[F.col("column")]).alias("breach"))
+
+
+def completeness_violations(df: DataFrame, check,
+                            part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped) for
+    partitions whose null fraction of check.column exceeds the
+    x-completeness budget."""
+    rep = partition_completeness(df, [check], part_col)
+    return (rep.filter(F.col("breach"))
+               .select(F.lit(None).cast("string").alias("clip_id"),
+                       "part_id",
+                       F.lit(check.rule_id).alias("rule_id"),
+                       F.lit(int(check.severity)).alias("severity"),
+                       F.concat(
+                           F.lit(f"null fraction of {check.column} "),
+                           F.col("null_frac").cast("string"),
+                           F.lit(f" > {check.max_null_frac}"))
+                        .alias("message")))
+
+
+def partition_frequency(df: DataFrame, check,
+                        part_col: str = "part_id") -> DataFrame:
+    """(part_id, top_value, top_share, n_distinct, breach) — the
+    x-frequency report: per-partition dominant-value share and
+    distinct count of a categorical column. Two aggregates, both
+    skew-proof: the first groups by (partition, value) — count is
+    algebraic, a hot value partial-combines map-side — the second
+    reduces the per-value rows (≤ parts × cardinality of the column,
+    NOT table rows) to one row per partition. No windows, no row
+    funnel: a 10^12-row table with 8 codecs shuffles ≤ parts × 8 rows
+    into stage 2.
+
+    NULLs are excluded from share and distinctness (the null rate is
+    x-completeness's job); a partition whose column is entirely NULL
+    therefore has no report row and cannot breach."""
+    per_val = (df.filter(F.col(check.column).isNotNull())
+                 .groupBy(F.col(part_col).alias("part_id"),
+                          F.col(check.column).alias("_v"))
+                 .agg(F.count(F.lit(1)).alias("_c")))
+    # tie-break deterministically (max count, then max value): struct
+    # ordering is lexicographic, so max_by over (count, value) cannot
+    # flip between runs the way a bare max_by(value, count) can when
+    # two values share the top count
+    rep = per_val.groupBy("part_id").agg(
+        F.max_by("_v", F.struct(F.col("_c"), F.col("_v")))
+         .alias("top_value"),
+        (F.max("_c") / F.sum("_c")).alias("top_share"),
+        F.count(F.lit(1)).alias("n_distinct"))
+    breach = F.lit(False)
+    if check.max_share is not None:
+        breach = breach | (F.col("top_share") > float(check.max_share))
+    if check.min_distinct is not None:
+        breach = breach | (F.col("n_distinct") < int(check.min_distinct))
+    return rep.select("part_id", "top_value",
+                      F.round("top_share", 6).alias("top_share"),
+                      "n_distinct", breach.alias("breach"))
+
+
+def frequency_violations(df: DataFrame, check,
+                         part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped) for
+    partitions breaching the x-frequency share cap / distinctness
+    floor on check.column."""
+    caps = []
+    if check.max_share is not None:
+        caps.append(f"share <= {check.max_share}")
+    if check.min_distinct is not None:
+        caps.append(f"distinct >= {check.min_distinct}")
+    want = " and ".join(caps)
+    rep = partition_frequency(df, check, part_col)
+    return (rep.filter(F.col("breach"))
+               .select(F.lit(None).cast("string").alias("clip_id"),
+                       "part_id",
+                       F.lit(check.rule_id).alias("rule_id"),
+                       F.lit(int(check.severity)).alias("severity"),
+                       F.concat(
+                           F.lit(f"{check.column} top value "),
+                           F.col("top_value").cast("string"),
+                           F.lit(" share "),
+                           F.col("top_share").cast("string"),
+                           F.lit(", "),
+                           F.col("n_distinct").cast("string"),
+                           F.lit(f" distinct; want {want}"))
+                        .alias("message")))

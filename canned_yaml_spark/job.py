@@ -117,6 +117,14 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         if qc.column in clips.columns:
             out = out.unionByName(
                 dataset.quantile_violations(clips, qc, part_col))
+    for cc in suite.completeness_checks:
+        if cc.column in clips.columns:
+            out = out.unionByName(
+                dataset.completeness_violations(clips, cc, part_col))
+    for fc in suite.frequency_checks:
+        if fc.column in clips.columns:
+            out = out.unionByName(
+                dataset.frequency_violations(clips, fc, part_col))
     return out
 
 

@@ -1149,6 +1149,61 @@ def sql_quantile_report_bucketed() -> str:
             f"FROM qz GROUP BY part_id")
 
 
+def sql_assert_rule() -> str:
+    # x-assert cross-field rules restated as plain WHERE predicates.
+    # NULL-pass convention falls out of SQL three-valued logic: a NULL
+    # transcript makes `length(transcript) > dur_ms` NULL → row not
+    # selected, exactly matching the engine's ~coalesce(expr, TRUE).
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT clip_id, part_id, "
+            f"'x-assert.speech_rate' AS rule_id, "
+            f"CAST(2 AS INT) AS severity "
+            f"FROM clips WHERE length(transcript) > dur_ms "
+            f"UNION ALL "
+            f"SELECT clip_id, part_id, "
+            f"'x-assert.flac_sr' AS rule_id, "
+            f"CAST(1 AS INT) AS severity "
+            f"FROM clips WHERE codec = 'flac' AND sr_hz < 16000")
+
+
+def sql_completeness_report() -> str:
+    # x-completeness: exact integer null-counts divided once (same
+    # bit-deterministic formulation as the engine); breach compares
+    # the RAW fraction against the budget, rounding is display-only
+    return (f"WITH {clips_duckdb_cte()}, "
+            f"r AS (SELECT part_id, "
+            f"SUM(CASE WHEN transcript IS NULL THEN 1 ELSE 0 END) AS nt, "
+            f"SUM(CASE WHEN codec IS NULL THEN 1 ELSE 0 END) AS nc, "
+            f"COUNT(*) AS n FROM clips GROUP BY part_id) "
+            f"SELECT part_id, col, round(null_frac, 6) AS null_frac, "
+            f"breach FROM ("
+            f"SELECT part_id, 'transcript' AS col, nt * 1.0 / n AS "
+            f"null_frac, nt * 1.0 / n > 0.01 AS breach FROM r "
+            f"UNION ALL "
+            f"SELECT part_id, 'codec', nc * 1.0 / n, "
+            f"nc * 1.0 / n > 0.0 FROM r)")
+
+
+def sql_frequency_report() -> str:
+    # x-frequency: per-partition dominant-codec share + distinct count,
+    # with the engine's deterministic tie-break (max count, then max
+    # value) restated as MAX(v) over the rows holding the top count
+    return (f"WITH {clips_duckdb_cte()}, "
+            f"pv AS (SELECT part_id, codec AS v, COUNT(*) AS c "
+            f"FROM clips WHERE codec IS NOT NULL "
+            f"GROUP BY part_id, codec), "
+            f"agg AS (SELECT part_id, MAX(c) AS mc, SUM(c) AS tc, "
+            f"COUNT(*) AS nd FROM pv GROUP BY part_id), "
+            f"t AS (SELECT a.part_id, MAX(pv.v) AS top_value "
+            f"FROM agg a JOIN pv ON pv.part_id = a.part_id "
+            f"AND pv.c = a.mc GROUP BY a.part_id) "
+            f"SELECT a.part_id, t.top_value, "
+            f"round(a.mc * 1.0 / a.tc, 6) AS top_share, "
+            f"a.nd AS n_distinct, "
+            f"(a.mc * 1.0 / a.tc > 0.68 OR a.nd < 4) AS breach "
+            f"FROM agg a JOIN t ON t.part_id = a.part_id")
+
+
 def sql_codec_quantiles() -> str:
     # the engine's redistribute-by-value percentile_cont plan must
     # reproduce DuckDB's built-in interpolated quantiles

@@ -44,7 +44,8 @@ NODE_KEYWORDS = {
     "minimum", "maximum", "exclusiveMinimum", "exclusiveMaximum",
     "pattern", "minLength", "maxLength",
     "x-unique", "x-ref", "x-drift", "x-payload", "x-audio-stats",
-    "x-spectral", "x-severity", "x-closed-world",
+    "x-spectral", "x-severity", "x-closed-world", "x-quantile",
+    "x-assert", "x-completeness", "x-frequency",
     "$schema", "title", "description",
 }
 
@@ -197,6 +198,69 @@ def validate_spec(node: Any, path: str) -> None:
         xd = node["x-drift"]
         if not isinstance(xd, dict) or "column" not in xd:
             raise SpecError(f"{path}.x-drift", "must be a map with at least 'column'")
+
+    if "x-assert" in node:
+        entries = node["x-assert"]
+        if isinstance(entries, dict):
+            entries = [entries]
+        if not isinstance(entries, list) or not entries:
+            raise SpecError(f"{path}.x-assert",
+                            "must be a map or a non-empty list of maps")
+        for i, xa in enumerate(entries):
+            p = f"{path}.x-assert[{i}]"
+            if not isinstance(xa, dict) or "expr" not in xa:
+                raise SpecError(p, "must be a map with at least 'expr'")
+            if not isinstance(xa["expr"], str) or not xa["expr"].strip():
+                raise SpecError(f"{p}.expr",
+                                "must be a non-empty SQL boolean expression")
+            if "id" in xa and not isinstance(xa["id"], str):
+                raise SpecError(f"{p}.id", "must be a string")
+
+    if "x-completeness" in node:
+        entries = node["x-completeness"]
+        if isinstance(entries, dict):
+            entries = [entries]
+        if not isinstance(entries, list) or not entries:
+            raise SpecError(f"{path}.x-completeness",
+                            "must be a map or a non-empty list of maps")
+        for i, xc in enumerate(entries):
+            p = f"{path}.x-completeness[{i}]"
+            if not isinstance(xc, dict) or "column" not in xc:
+                raise SpecError(p, "must be a map with at least 'column'")
+            mnf = xc.get("max_null_frac", 0.0)
+            if not (isinstance(mnf, (int, float)) and not isinstance(mnf, bool)
+                    and 0.0 <= float(mnf) <= 1.0):
+                raise SpecError(f"{p}.max_null_frac",
+                                f"must be a fraction in [0, 1], got {mnf!r}")
+
+    if "x-frequency" in node:
+        entries = node["x-frequency"]
+        if isinstance(entries, dict):
+            entries = [entries]
+        if not isinstance(entries, list) or not entries:
+            raise SpecError(f"{path}.x-frequency",
+                            "must be a map or a non-empty list of maps")
+        for i, xf in enumerate(entries):
+            p = f"{path}.x-frequency[{i}]"
+            if not isinstance(xf, dict) or "column" not in xf:
+                raise SpecError(p, "must be a map with at least 'column'")
+            if "max_share" in xf:
+                ms = xf["max_share"]
+                if not (isinstance(ms, (int, float))
+                        and not isinstance(ms, bool)
+                        and 0.0 < float(ms) <= 1.0):
+                    raise SpecError(f"{p}.max_share",
+                                    f"must be a fraction in (0, 1], got "
+                                    f"{ms!r}")
+            if "min_distinct" in xf:
+                md = xf["min_distinct"]
+                if not (isinstance(md, int) and not isinstance(md, bool)
+                        and md >= 1):
+                    raise SpecError(f"{p}.min_distinct",
+                                    f"must be a positive integer, got {md!r}")
+            if not any(k in xf for k in ("max_share", "min_distinct")):
+                raise SpecError(p, "needs at least one threshold "
+                                   "(max_share, min_distinct)")
 
     if "x-audio-stats" in node:
         xa = node["x-audio-stats"]

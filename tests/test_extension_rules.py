@@ -1,0 +1,176 @@
+"""x-assert / x-completeness / x-frequency — the round-5 rule-vocabulary
+extensions (cross-field SQL asserts, null-budget completeness, and
+frequency-shape gates). Spec-error location, NULL conventions,
+deterministic tie-breaks, and all_violations wiring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from canned_yaml_spark import dataset, job
+from canned_yaml_spark.checks import Severity
+from canned_yaml_spark.compile import compile_spec
+from canned_yaml_spark.errors import SpecError
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    rows = [
+        # (clip_id, dur_ms, codec, transcript, part_id)
+        ("c0", 100, "flac", "short", 0),
+        ("c1", 3, "opus", "too long for 3ms", 0),   # speech-rate viol
+        ("c2", 100, "flac", None, 0),                # NULL → assert passes
+        ("c3", 100, "mp3", "x", 1),
+        ("c4", 100, "mp3", None, 1),
+        ("c5", 100, None, "y", 1),
+        ("c6", 0, "mp3", "", 1),                     # len 0 <= 0 → ok
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, dur_ms int, codec string, "
+              "transcript string, part_id int")
+    df = df.cache()
+    df.count()
+    return df
+
+
+# ----------------------------------------------------------- x-assert
+def test_assert_violations_and_null_pass(tiny):
+    suite = compile_spec(
+        {"type": "object",
+         "x-assert": [{"id": "rate",
+                       "expr": "length(transcript) <= dur_ms"}]},
+        tiny.schema)
+    [chk] = suite.row_checks
+    assert chk.rule_id == "x-assert.rate"
+    assert chk.severity == Severity.ERROR
+    bad = (tiny.filter(chk.violation)
+               .select("clip_id").toPandas()["clip_id"].tolist())
+    # c1 violates; c2/c4 have NULL transcript → expr NULL → pass
+    assert bad == ["c1"]
+
+
+def test_assert_defaults_and_severity(tiny):
+    suite = compile_spec(
+        {"type": "object",
+         "x-assert": {"expr": "dur_ms >= 0", "severity": "WARN"}},
+        tiny.schema)
+    [chk] = suite.row_checks
+    assert chk.rule_id == "x-assert.0"       # id defaults to the index
+    assert chk.severity == Severity.WARN
+    assert tiny.filter(chk.violation).count() == 0
+
+
+@pytest.mark.parametrize("spec_frag, loc_frag", [
+    ({"x-assert": {"expr": "length(transcript"}}, "x-assert[0].expr"),
+    ({"x-assert": {"expr": "no_such_col > 1"}}, "x-assert[0].expr"),
+    ({"x-assert": {"expr": "dur_ms + 1"}}, "boolean"),
+    ({"x-assert": {}}, "x-assert[0]"),
+    ({"x-assert": []}, "x-assert"),
+    ({"x-assert": {"expr": "  "}}, "expr"),
+])
+def test_assert_spec_errors(tiny, spec_frag, loc_frag):
+    with pytest.raises(SpecError) as ei:
+        compile_spec({"type": "object", **spec_frag}, tiny.schema)
+    assert loc_frag in str(ei.value)
+
+
+# ----------------------------------------------------- x-completeness
+def test_completeness_exact_fractions(tiny):
+    suite = compile_spec(
+        {"type": "object",
+         "x-completeness": [
+             {"column": "transcript", "max_null_frac": 0.3},
+             {"column": "codec"},
+         ]}, tiny.schema)
+    rep = dataset.partition_completeness(
+        tiny, suite.completeness_checks).toPandas()
+    rep = rep.set_index(["part_id", "column"]).sort_index()
+    # part 0: 1 of 3 transcripts NULL; part 1: 1 of 4
+    assert rep.loc[(0, "transcript"), "null_frac"] == pytest.approx(1 / 3)
+    assert rep.loc[(1, "transcript"), "null_frac"] == pytest.approx(0.25)
+    assert bool(rep.loc[(0, "transcript"), "breach"]) is True   # > 0.3
+    assert bool(rep.loc[(1, "transcript"), "breach"]) is False
+    # codec budget 0: part 1 has one NULL codec → breach
+    assert bool(rep.loc[(0, "codec"), "breach"]) is False
+    assert bool(rep.loc[(1, "codec"), "breach"]) is True
+
+
+def test_completeness_spec_errors(tiny):
+    with pytest.raises(SpecError, match="max_null_frac"):
+        compile_spec({"type": "object",
+                      "x-completeness": {"column": "codec",
+                                         "max_null_frac": 1.5}},
+                     tiny.schema)
+    with pytest.raises(SpecError, match="absent"):
+        compile_spec({"type": "object",
+                      "x-completeness": {"column": "nope"}}, tiny.schema)
+
+
+# -------------------------------------------------------- x-frequency
+def test_frequency_report_and_tiebreak(spark):
+    rows = [("a", 0), ("a", 0), ("b", 0), ("c", 0),
+            # part 1: 'x' and 'y' tie at 2 — max value 'y' must win
+            ("x", 1), ("x", 1), ("y", 1), ("y", 1),
+            (None, 1)]
+    df = spark.createDataFrame(rows, "codec string, part_id int")
+    suite = compile_spec(
+        {"type": "object",
+         "x-frequency": {"column": "codec", "max_share": 0.45,
+                         "min_distinct": 3}},
+        df.schema)
+    [fc] = suite.frequency_checks
+    rep = (dataset.partition_frequency(df, fc)
+                  .toPandas().set_index("part_id").sort_index())
+    assert rep.loc[0, "top_value"] == "a"
+    assert rep.loc[0, "top_share"] == pytest.approx(0.5)
+    assert rep.loc[0, "n_distinct"] == 3
+    assert bool(rep.loc[0, "breach"]) is True          # share 0.5 > 0.45
+    assert rep.loc[1, "top_value"] == "y"              # deterministic tie
+    assert rep.loc[1, "top_share"] == pytest.approx(0.5)  # NULL excluded
+    assert rep.loc[1, "n_distinct"] == 2
+    assert bool(rep.loc[1, "breach"]) is True          # distinct 2 < 3
+
+
+def test_frequency_all_null_partition_absent(spark):
+    df = spark.createDataFrame([(None, 0), (None, 0), ("a", 1)],
+                               "codec string, part_id int")
+    suite = compile_spec(
+        {"type": "object",
+         "x-frequency": {"column": "codec", "max_share": 0.9}},
+        df.schema)
+    rep = dataset.partition_frequency(df, suite.frequency_checks[0])
+    assert [r.part_id for r in rep.collect()] == [1]
+
+
+def test_frequency_spec_errors(tiny):
+    with pytest.raises(SpecError, match="threshold"):
+        compile_spec({"type": "object",
+                      "x-frequency": {"column": "codec"}}, tiny.schema)
+    with pytest.raises(SpecError, match="max_share"):
+        compile_spec({"type": "object",
+                      "x-frequency": {"column": "codec", "max_share": 0}},
+                     tiny.schema)
+    with pytest.raises(SpecError, match="min_distinct"):
+        compile_spec({"type": "object",
+                      "x-frequency": {"column": "codec",
+                                      "min_distinct": 0}}, tiny.schema)
+
+
+# ------------------------------------------------------------- wiring
+def test_all_violations_carries_new_families(tiny):
+    suite = compile_spec(
+        {"type": "object",
+         "x-assert": {"id": "rate", "expr": "length(transcript) <= dur_ms"},
+         "x-completeness": {"column": "codec"},
+         "x-frequency": {"column": "codec", "min_distinct": 4}},
+        tiny.schema)
+    v = job.all_violations(tiny, suite)
+    got = {r.rule_id for r in v.select("rule_id").distinct().collect()}
+    assert {"x-assert.rate", "x-completeness.codec",
+            "x-frequency.codec"} <= got
+    # partition-scoped rows carry NULL clip_id, row-scoped carry the id
+    part_scoped = v.filter(F.col("rule_id") != "x-assert.rate")
+    assert part_scoped.filter(F.col("clip_id").isNotNull()).count() == 0
+    assert (v.filter(F.col("rule_id") == "x-assert.rate")
+             .filter(F.col("clip_id").isNull()).count() == 0)

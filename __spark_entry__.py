@@ -538,6 +538,25 @@ def _q_frequency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_distinct", "breach")
 
 
+def _q_inferred_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spec inference (the reverse of the reference's spec→validator
+    # generation): profile the corpus in two aggregate passes (pass 1
+    # all-algebraic one-row scan; pass 2 exact confirmation only for
+    # nominated candidates) and emit every suggested rule as a
+    # (col, keyword, value) row. All values are exact post-
+    # confirmation stats, so the DuckDB oracle restates each decision
+    # as a HAVING-gated aggregate — a wrongly-emitted OR wrongly-
+    # dropped rule hash-mismatches. The round-trip guarantee (inferred
+    # spec ⇒ zero ERROR violations on the profiled table itself) is
+    # pinned in tests/test_infer.py. Driver materialization: one stats
+    # row + enum sets (≤ 8 values each) + ≤ ~40 rule rows — bounded.
+    from canned_yaml_spark import infer
+    clips = derive.clips_df(spark, sf_dir)
+    rows = infer.suggested_rules(clips)
+    return spark.createDataFrame(
+        rows, "col string, keyword string, value string")
+
+
 def _q_codec_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-surviving EXACT p50/p95/p99 per codec (SLA-check shape):
     # redistribute-by-value histogram, percentile_cont interpolation —
@@ -854,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assert_rule": _q_assert_rule,
         "completeness_report": _q_completeness_report,
         "frequency_report": _q_frequency_report,
+        "inferred_rules": _q_inferred_rules,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -914,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
         "assert_rule": oracle.sql_assert_rule(),
         "completeness_report": oracle.sql_completeness_report(),
         "frequency_report": oracle.sql_frequency_report(),
+        "inferred_rules": oracle.sql_inferred_rules(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

@@ -1204,6 +1204,67 @@ def sql_frequency_report() -> str:
             f"FROM agg a JOIN t ON t.part_id = a.part_id")
 
 
+#: clips columns with their inference type branch (numeric/string) —
+#: the inferred_rules oracle walks exactly the derived corpus's schema
+_INFER_COLS = (("clip_id", "s"), ("sr_hz", "n"), ("dur_ms", "n"),
+               ("codec", "s"), ("transcript", "s"), ("part_id", "n"))
+
+
+def sql_inferred_rules() -> str:
+    # Independent DuckDB restatement of EVERY spec-inference decision
+    # (infer.py's decision table): required / x-completeness budget
+    # (integer ceil-division, bit-identical), exact min/max bounds,
+    # length bounds, enum sets (distinct ≤ 8, sorted + comma-joined),
+    # x-unique. Each decision is a HAVING-gated aggregate select, so a
+    # rule row the engine wrongly emits OR drops hash-mismatches.
+    # `pattern` rows are the one exception: the digit-run template
+    # generation isn't SQL-restatable; for this corpus the correct
+    # decision is NO pattern on every column (mixed-case injected ids
+    # break clip_id's template; codec is an enum; transcript's
+    # template is trivial), which this oracle pins by emitting none —
+    # template mechanics are pytest-pinned on fixture corpora.
+    pieces = []
+    for c, kind in _INFER_COLS:
+        pieces.append(
+            f"SELECT '{c}' AS col, 'required' AS keyword, "
+            f"'true' AS value FROM clips "
+            f"HAVING COUNT(*) = COUNT({c}) AND COUNT(*) > 0")
+        pieces.append(
+            f"SELECT '{c}', 'x-completeness', printf('%.4f', "
+            f"LEAST(10000, (2 * (COUNT(*) - COUNT({c})) * 10000 "
+            f"+ COUNT(*) - 1) // COUNT(*)) / 10000.0) FROM clips "
+            f"HAVING COUNT(*) - COUNT({c}) > 0")
+        if kind == "n":
+            pieces.append(
+                f"SELECT '{c}', 'minimum', CAST(MIN({c}) AS VARCHAR) "
+                f"FROM clips HAVING COUNT({c}) > 0")
+            pieces.append(
+                f"SELECT '{c}', 'maximum', CAST(MAX({c}) AS VARCHAR) "
+                f"FROM clips HAVING COUNT({c}) > 0")
+        else:
+            pieces.append(
+                f"SELECT '{c}', 'minLength', "
+                f"CAST(MIN(length({c})) AS VARCHAR) FROM clips "
+                f"HAVING COUNT({c}) > 0")
+            pieces.append(
+                f"SELECT '{c}', 'maxLength', "
+                f"CAST(MAX(length({c})) AS VARCHAR) FROM clips "
+                f"HAVING COUNT({c}) > 0")
+        pieces.append(
+            f"SELECT '{c}', 'enum', (SELECT string_agg("
+            f"CAST(v AS VARCHAR), ',' ORDER BY v) FROM "
+            f"(SELECT DISTINCT {c} AS v FROM clips "
+            f"WHERE {c} IS NOT NULL) t) FROM clips "
+            f"HAVING COUNT(DISTINCT {c}) BETWEEN 1 AND 8")
+        pieces.append(
+            f"SELECT '{c}', 'x-unique', 'true' FROM clips "
+            f"HAVING COUNT(DISTINCT {c}) = COUNT({c}) "
+            f"AND COUNT({c}) > 0")
+    union = " UNION ALL ".join(pieces)
+    return (f"WITH {clips_duckdb_cte()} "
+            f"SELECT * FROM ({union}) ORDER BY col, keyword")
+
+
 def sql_codec_quantiles() -> str:
     # the engine's redistribute-by-value percentile_cont plan must
     # reproduce DuckDB's built-in interpolated quantiles

@@ -538,6 +538,22 @@ def _q_frequency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_distinct", "breach")
 
 
+def _q_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-anomaly: reference-free drift — modified z-score (Iglewicz-
+    # Hoaglin 0.6745·(x−median)/MAD) of each partition's mean dur_ms
+    # against all partitions. The injected +5000 ms drift partition is
+    # the anomaly this flags WITHOUT an expected histogram (PSI/KS
+    # need one). Table-scale work = one algebraic agg; median/MAD run
+    # over one row per partition. Oracle: DuckDB quantile_cont
+    # restatement of the same exact-integer-ratio means.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object",
+                 "x-anomaly": {"column": "dur_ms", "z_max": 3.5}},
+                clips.schema)
+    return dataset.partition_anomaly(clips, suite.anomaly_checks[0])
+
+
 def _q_inferred_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spec inference (the reverse of the reference's spec→validator
     # generation): profile the corpus in two aggregate passes (pass 1
@@ -874,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "completeness_report": _q_completeness_report,
         "frequency_report": _q_frequency_report,
         "inferred_rules": _q_inferred_rules,
+        "anomaly_report": _q_anomaly_report,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -935,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "completeness_report": oracle.sql_completeness_report(),
         "frequency_report": oracle.sql_frequency_report(),
         "inferred_rules": oracle.sql_inferred_rules(),
+        "anomaly_report": oracle.sql_anomaly_report(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

@@ -170,6 +170,25 @@ class QuantileCheck:
 
 
 @dataclass(frozen=True)
+class AnomalyCheck:
+    """x-anomaly: flag partitions whose mean of ``column`` is a robust
+    outlier AGAINST THE OTHER PARTITIONS — reference-free drift (PSI/KS
+    need an expected distribution; this rule needs nothing but the
+    table itself). Modified z-score per Iglewicz-Hoaglin:
+    z = 0.6745·(x − median)/MAD over the per-partition means, breach at
+    |z| > z_max (their recommended 3.5). Partition means are exact
+    integer-sum ratios (bit-deterministic), the median/MAD stages run
+    over ONE ROW PER PARTITION — table-scale work is a single algebraic
+    aggregate. Degenerate MAD = 0 (all partitions identical): any
+    deviating partition breaches."""
+
+    rule_id: str
+    column: str
+    z_max: float = 3.5
+    severity: Severity = Severity.WARN
+
+
+@dataclass(frozen=True)
 class CompletenessCheck:
     """x-completeness: the NULL fraction of ``column`` per partition
     must not exceed ``max_null_frac`` (a Deequ-style completeness
@@ -224,6 +243,7 @@ class CheckSuite:
     quantile_checks: list[QuantileCheck] = field(default_factory=list)
     completeness_checks: list[CompletenessCheck] = field(default_factory=list)
     frequency_checks: list[FrequencyCheck] = field(default_factory=list)
+    anomaly_checks: list[AnomalyCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -243,6 +263,7 @@ class CheckSuite:
             ("quantile", self.quantile_checks),
             ("completeness", self.completeness_checks),
             ("frequency", self.frequency_checks),
+            ("anomaly", self.anomaly_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

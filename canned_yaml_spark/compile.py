@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
-    AudioStatsCheck, Check, CheckSuite, CompletenessCheck, DriftCheck,
-    FrequencyCheck, PayloadCheck, QuantileCheck, RefCheck, Severity,
-    SpectralCheck, UniqueCheck,
+    AnomalyCheck, AudioStatsCheck, Check, CheckSuite, CompletenessCheck,
+    DriftCheck, FrequencyCheck, PayloadCheck, QuantileCheck, RefCheck,
+    Severity, SpectralCheck, UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
 from canned_yaml_spark.spec import load_spec, resolve_ref
@@ -575,6 +575,21 @@ class _Compiler:
                     buckets=buckets,
                     lo=float(xq.get("lo", 0.0)),
                     hi=float(xq.get("hi", 12000.0))))
+        if "x-anomaly" in node:
+            xns = node["x-anomaly"]
+            if isinstance(xns, dict):
+                xns = [xns]
+            for xn in xns:
+                col = xn["column"]
+                if self.schema is not None and col not in {
+                        f.name for f in self.schema.fields}:
+                    raise SpecError(f"$.x-anomaly.{col}",
+                                    f"column '{col}' absent from table "
+                                    f"schema")
+                self.suite.anomaly_checks.append(AnomalyCheck(
+                    rule_id=f"x-anomaly.{col}", column=col,
+                    z_max=float(xn.get("z_max", 3.5)),
+                    severity=Severity[xn.get("severity", "WARN").upper()]))
         if "x-assert" in node:
             xas = node["x-assert"]
             if isinstance(xas, dict):

@@ -463,3 +463,57 @@ def frequency_violations(df: DataFrame, check,
                            F.col("n_distinct").cast("string"),
                            F.lit(f" distinct; want {want}"))
                         .alias("message")))
+
+
+def partition_anomaly(df: DataFrame, check,
+                      part_col: str = "part_id") -> DataFrame:
+    """(part_id, mean, z, breach) — the x-anomaly report: modified
+    z-score (Iglewicz-Hoaglin, 0.6745·(x−median)/MAD) of each
+    partition's mean of check.column against all partitions' means.
+
+    Reference-free drift: PSI/KS (drift.py) compare against an
+    EXPECTED distribution; this rule self-references the table, which
+    is what a validation run has on day one. Table-scale work is ONE
+    algebraic aggregate (sum+count per partition — exact integer sums
+    for integral columns, so means are bit-deterministic ratios); the
+    median and MAD stages see one row per partition and broadcast two
+    scalar rows back — no second table scan, no row funnel.
+
+    Degenerate spread (MAD = 0): z is NULL and any partition deviating
+    from the median breaches."""
+    c = F.col(check.column)
+    pm = (df.filter(c.isNotNull())
+            .groupBy(F.col(part_col).alias("part_id"))
+            .agg((F.sum(c) / F.count(F.lit(1))).alias("m")))
+    med = pm.agg(F.expr("percentile(m, 0.5)").alias("_med"))
+    j = pm.crossJoin(F.broadcast(med))
+    mad = j.agg(F.expr("percentile(abs(m - _med), 0.5)").alias("_mad"))
+    k = j.crossJoin(F.broadcast(mad))
+    z = F.lit(0.6745) * (F.col("m") - F.col("_med")) / F.col("_mad")
+    breach = F.when(F.col("_mad") == 0, F.col("m") != F.col("_med")) \
+              .otherwise(F.abs(z) > float(check.z_max))
+    return k.select("part_id",
+                    F.round("m", 6).alias("mean"),
+                    F.when(F.col("_mad") == 0, F.lit(None).cast("double"))
+                     .otherwise(F.round(z, 6)).alias("z"),
+                    breach.alias("breach"))
+
+
+def anomaly_violations(df: DataFrame, check,
+                       part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped) for
+    partitions whose mean of check.column is a robust outlier."""
+    rep = partition_anomaly(df, check, part_col)
+    return (rep.filter(F.col("breach"))
+               .select(F.lit(None).cast("string").alias("clip_id"),
+                       "part_id",
+                       F.lit(check.rule_id).alias("rule_id"),
+                       F.lit(int(check.severity)).alias("severity"),
+                       F.concat(
+                           F.lit(f"mean({check.column}) "),
+                           F.col("mean").cast("string"),
+                           F.lit(" modified-z "),
+                           F.coalesce(F.col("z").cast("string"),
+                                      F.lit("inf")),
+                           F.lit(f" exceeds z_max {check.z_max}"))
+                        .alias("message")))

@@ -125,6 +125,10 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         if fc.column in clips.columns:
             out = out.unionByName(
                 dataset.frequency_violations(clips, fc, part_col))
+    for nc in suite.anomaly_checks:
+        if nc.column in clips.columns:
+            out = out.unionByName(
+                dataset.anomaly_violations(clips, nc, part_col))
     return out
 
 

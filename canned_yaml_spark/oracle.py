@@ -1265,6 +1265,26 @@ def sql_inferred_rules() -> str:
             f"SELECT * FROM ({union}) ORDER BY col, keyword")
 
 
+def sql_anomaly_report() -> str:
+    # x-anomaly: per-partition mean (exact bigint sum / count — the
+    # same bit-deterministic ratio as the engine), then interpolated
+    # median + MAD over the 64 means via quantile_cont, then the
+    # Iglewicz-Hoaglin modified z. Breach on the RAW z; rounding is
+    # display-only. MAD = 0 degenerates to "any deviation breaches".
+    return ("WITH " + clips_duckdb_cte() + ", "
+            "pm AS (SELECT part_id, SUM(dur_ms) * 1.0 / COUNT(*) AS m "
+            "FROM clips WHERE dur_ms IS NOT NULL GROUP BY part_id), "
+            "md AS (SELECT quantile_cont(m, 0.5) AS med FROM pm), "
+            "ma AS (SELECT quantile_cont(abs(m - med), 0.5) AS mad "
+            "FROM pm, md) "
+            "SELECT pm.part_id, round(pm.m, 6) AS mean, "
+            "CASE WHEN mad = 0 THEN NULL "
+            "ELSE round(0.6745 * (pm.m - med) / mad, 6) END AS z, "
+            "CASE WHEN mad = 0 THEN pm.m != med "
+            "ELSE abs(0.6745 * (pm.m - med) / mad) > 3.5 END AS breach "
+            "FROM pm, md, ma")
+
+
 def sql_codec_quantiles() -> str:
     # the engine's redistribute-by-value percentile_cont plan must
     # reproduce DuckDB's built-in interpolated quantiles

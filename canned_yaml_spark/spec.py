@@ -45,7 +45,7 @@ NODE_KEYWORDS = {
     "pattern", "minLength", "maxLength",
     "x-unique", "x-ref", "x-drift", "x-payload", "x-audio-stats",
     "x-spectral", "x-severity", "x-closed-world", "x-quantile",
-    "x-assert", "x-completeness", "x-frequency",
+    "x-assert", "x-completeness", "x-frequency", "x-anomaly",
     "$schema", "title", "description",
 }
 
@@ -261,6 +261,25 @@ def validate_spec(node: Any, path: str) -> None:
             if not any(k in xf for k in ("max_share", "min_distinct")):
                 raise SpecError(p, "needs at least one threshold "
                                    "(max_share, min_distinct)")
+
+    if "x-anomaly" in node:
+        entries = node["x-anomaly"]
+        if isinstance(entries, dict):
+            entries = [entries]
+        if not isinstance(entries, list) or not entries:
+            raise SpecError(f"{path}.x-anomaly",
+                            "must be a map or a non-empty list of maps")
+        for i, xn in enumerate(entries):
+            p = f"{path}.x-anomaly[{i}]"
+            if not isinstance(xn, dict) or "column" not in xn:
+                raise SpecError(p, "must be a map with at least 'column'")
+            if "z_max" in xn:
+                z = xn["z_max"]
+                if not (isinstance(z, (int, float))
+                        and not isinstance(z, bool) and float(z) > 0):
+                    raise SpecError(f"{p}.z_max",
+                                    f"must be a positive number, got "
+                                    f"{z!r}")
 
     if "x-audio-stats" in node:
         xa = node["x-audio-stats"]

@@ -1,7 +1,8 @@
-"""x-assert / x-completeness / x-frequency — the round-5 rule-vocabulary
-extensions (cross-field SQL asserts, null-budget completeness, and
-frequency-shape gates). Spec-error location, NULL conventions,
-deterministic tie-breaks, and all_violations wiring."""
+"""x-assert / x-completeness / x-frequency / x-anomaly — the round-5
+rule-vocabulary extensions (cross-field SQL asserts, null-budget
+completeness, frequency-shape gates, reference-free drift). Spec-error
+location, NULL conventions, deterministic tie-breaks, and
+all_violations wiring."""
 
 from __future__ import annotations
 
@@ -174,3 +175,63 @@ def test_all_violations_carries_new_families(tiny):
     assert part_scoped.filter(F.col("clip_id").isNotNull()).count() == 0
     assert (v.filter(F.col("rule_id") == "x-assert.rate")
              .filter(F.col("clip_id").isNull()).count() == 0)
+
+
+# ---------------------------------------------------------- x-anomaly
+def test_anomaly_flags_outlier_partition(spark):
+    # 9 partitions with mean 10, one with mean 1000; MAD over means is
+    # 0 is avoided by spreading means slightly
+    rows = []
+    for p in range(9):
+        rows += [(10 + p, p), (10 - p, p)]     # mean exactly 10
+    rows += [(1000, 9), (1000, 9)]
+    df = spark.createDataFrame(rows, "v int, part_id int")
+    suite = compile_spec(
+        {"type": "object", "x-anomaly": {"column": "v", "z_max": 3.5}},
+        df.schema)
+    rep = (dataset.partition_anomaly(df, suite.anomaly_checks[0])
+                  .toPandas().set_index("part_id").sort_index())
+    # every clean partition has mean 10 → median 10, MAD 0 →
+    # degenerate rule: only the deviating partition breaches
+    assert bool(rep.loc[9, "breach"]) is True
+    assert rep.loc[9, "z"] is None or str(rep.loc[9, "z"]) == "nan"
+    assert not rep.drop(index=9)["breach"].any()
+
+
+def test_anomaly_modified_z_values(spark):
+    # means 0..8 for parts 0..8, then an outlier mean 100:
+    # median of [0..8,100] = 4.5; deviations sorted
+    # [.5,.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,95.5] → MAD = 2.5
+    # z(100) = 0.6745*(100-4.5)/2.5 = 25.76590
+    rows = [(m, p) for p, m in enumerate(range(9))] + [(100, 9)]
+    df = spark.createDataFrame(rows, "v int, part_id int")
+    suite = compile_spec(
+        {"type": "object", "x-anomaly": {"column": "v"}}, df.schema)
+    rep = (dataset.partition_anomaly(df, suite.anomaly_checks[0])
+                  .toPandas().set_index("part_id").sort_index())
+    assert rep.loc[9, "z"] == pytest.approx(0.6745 * 95.5 / 2.5, abs=1e-4)
+    assert bool(rep.loc[9, "breach"]) is True
+    assert bool(rep.loc[4, "breach"]) is False
+
+
+def test_anomaly_spec_errors(tiny):
+    with pytest.raises(SpecError, match="z_max"):
+        compile_spec({"type": "object",
+                      "x-anomaly": {"column": "dur_ms", "z_max": -1}},
+                     tiny.schema)
+    with pytest.raises(SpecError, match="absent"):
+        compile_spec({"type": "object",
+                      "x-anomaly": {"column": "nope"}}, tiny.schema)
+
+
+def test_anomaly_job_wiring(tiny):
+    suite = compile_spec(
+        {"type": "object",
+         "x-anomaly": {"column": "dur_ms", "z_max": 0.1,
+                       "severity": "ERROR"}}, tiny.schema)
+    v = job.all_violations(tiny, suite)
+    got = v.filter("rule_id = 'x-anomaly.dur_ms'")
+    # part 0 mean ≈ 67.7, part 1 mean 75 → with z_max 0.1 both breach
+    assert got.count() >= 1
+    assert got.filter("severity = 2").count() == got.count()
+    assert got.filter("clip_id is not null").count() == 0

@@ -27,8 +27,12 @@ from canned_yaml_spark.session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="canned-yaml-spark")
-    ap.add_argument("--spec", required=True, help="YAML/JSON spec path")
+    ap.add_argument("--spec", help="YAML/JSON spec path")
     ap.add_argument("--table", required=True, help="clips parquet path")
+    ap.add_argument("--infer", action="store_true",
+                    help="profile --table and print a draft spec (YAML) "
+                         "instead of validating — review, tighten, save, "
+                         "then run with --spec")
     ap.add_argument("--ref", help="clips_ref parquet path (payload checks)")
     ap.add_argument("--dim", action="append", default=[],
                     help="name=path of a dimension table (repeatable)")
@@ -39,14 +43,22 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     import os
-    if not os.path.exists(args.spec):
-        ap.error(f"--spec: no such file: {args.spec}")
+    if not args.infer:
+        if not args.spec:
+            ap.error("--spec is required (or pass --infer to draft one)")
+        if not os.path.exists(args.spec):
+            ap.error(f"--spec: no such file: {args.spec}")
     for d in args.dim:
         if "=" not in d:
             ap.error(f"--dim expects name=path, got {d!r}")
 
     spark = get_spark("canned-yaml-spark", cores=args.cores)
     clips = spark.read.parquet(args.table)
+
+    if args.infer:
+        from canned_yaml_spark import infer
+        print(infer.to_yaml(infer.infer_spec(clips)))
+        return 0
     dims = {}
     for d in args.dim:
         name, path = d.split("=", 1)

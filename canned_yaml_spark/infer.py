@@ -228,6 +228,19 @@ def infer_spec(df: DataFrame, *, enum_max: int = 8,
     return spec
 
 
+def to_yaml(spec: dict) -> str:
+    """The draft spec as YAML text (keys in insertion order — the
+    review surface the CLI's --infer prints). JSON fallback when
+    pyyaml is absent (JSON is a YAML subset, so the output still
+    loads)."""
+    try:
+        import yaml
+        return yaml.safe_dump(spec, sort_keys=False)
+    except ImportError:  # pragma: no cover
+        import json
+        return json.dumps(spec, indent=2)
+
+
 def suggested_rules(df: DataFrame, *, enum_max: int = 8,
                     unique_frac: float = 0.9) -> list[tuple[str, str, str]]:
     """The inference decisions as (column, keyword, value-string) rows

@@ -119,3 +119,27 @@ def test_all_null_and_empty_edge(spark):
     spec = infer.infer_spec(df)
     assert spec["x-completeness"][0]["max_null_frac"] == 1.0
     assert "required" not in spec
+
+
+def test_cli_infer_round_trip(spark, clips, tmp_path, capsys):
+    # --infer prints a YAML draft that loads and compiles; validating
+    # the profiled table with it then exits 0 (the full user loop)
+    import yaml
+    from canned_yaml_spark import cli
+    path = str(tmp_path / "clips.parquet")
+    clips.write.parquet(path)
+    rc = cli.main(["--infer", "--table", path])
+    assert rc == 0
+    drafted = yaml.safe_load(capsys.readouterr().out)
+    assert drafted["type"] == "object"
+    spec_path = tmp_path / "draft.spec.yaml"
+    spec_path.write_text(yaml.safe_dump(drafted))
+    rc2 = cli.main(["--spec", str(spec_path), "--table", path,
+                    "--no-resume"])
+    assert rc2 == 0
+
+
+def test_cli_requires_spec_or_infer(tmp_path):
+    from canned_yaml_spark import cli
+    with pytest.raises(SystemExit):
+        cli.main(["--table", str(tmp_path)])

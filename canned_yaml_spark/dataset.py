@@ -485,10 +485,17 @@ def partition_anomaly(df: DataFrame, check,
     pm = (df.filter(c.isNotNull())
             .groupBy(F.col(part_col).alias("part_id"))
             .agg((F.sum(c) / F.count(F.lit(1))).alias("m")))
-    med = pm.agg(F.expr("percentile(m, 0.5)").alias("_med"))
-    j = pm.crossJoin(F.broadcast(med))
-    mad = j.agg(F.expr("percentile(abs(m - _med), 0.5)").alias("_mad"))
-    k = j.crossJoin(F.broadcast(mad))
+    # median and MAD as global-frame WINDOW aggregates over the tiny
+    # per-partition frame: naive scalar-subquery phrasing (agg →
+    # crossJoin → agg → crossJoin) re-executes pm's whole lineage per
+    # reference — FOUR table scans in the physical plan. The window
+    # form keeps ONE scan; the single-partition window sees exactly
+    # one row per table partition, never raw rows.
+    k = (pm.select("part_id", "m",
+                   F.expr("percentile(m, 0.5) OVER ()").alias("_med"))
+           .select("part_id", "m", "_med",
+                   F.expr("percentile(abs(m - _med), 0.5) OVER ()")
+                    .alias("_mad")))
     z = F.lit(0.6745) * (F.col("m") - F.col("_med")) / F.col("_mad")
     breach = F.when(F.col("_mad") == 0, F.col("m") != F.col("_med")) \
               .otherwise(F.abs(z) > float(check.z_max))

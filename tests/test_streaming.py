@@ -351,3 +351,53 @@ def test_audio_ops_compose_with_streams(spark, tmp_path):
         want = op(spark.read.parquet(src))
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0, name
+
+
+def test_extension_rules_compose_with_streams(spark, tmp_path):
+    # round-5 rule families over streams: x-assert is a stateless row
+    # check (append mode, unchanged operator); the partition-scoped
+    # families (x-completeness / x-frequency / x-anomaly) validate
+    # each micro-batch as a table via foreachBatch — stream == batch
+    # when the stream delivers one batch.
+    from canned_yaml_spark import derive, job
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.runner import row_violations
+
+    src = str(tmp_path / "xsrc")
+    derive.clips_df(spark, "/root/testdata/sf0.001").write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+
+    spec = {"type": "object",
+            "x-assert": {"id": "rate",
+                         "expr": "length(transcript) <= dur_ms"},
+            "x-completeness": {"column": "transcript",
+                               "max_null_frac": 0.01},
+            "x-frequency": {"column": "codec", "max_share": 0.68},
+            "x-anomaly": {"column": "dur_ms"}}
+    suite = compile_spec(spec, batch.schema)
+
+    # stateless row rule: same operator object on the stream
+    out = str(tmp_path / "xout")
+    q = (row_violations(stream, suite).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "xchk"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = row_violations(batch, suite)
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0
+
+    # partition-scoped families: per-micro-batch tables via foreachBatch
+    out2 = str(tmp_path / "xout2")
+    q2 = (stream.writeStream.foreachBatch(
+            lambda df, _: job.all_violations(df, suite)
+                             .write.mode("append").parquet(out2))
+          .option("checkpointLocation", str(tmp_path / "xchk2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    got2 = spark.read.parquet(out2)
+    want2 = job.all_violations(batch, suite)
+    assert got2.count() == want2.count() > 0
+    assert got2.exceptAll(want2).count() == 0

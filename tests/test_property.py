@@ -148,3 +148,55 @@ SELECT w, h_final FROM {final}
         h = int(h)
         signed = h - (1 << 64) if h >= (1 << 63) else h
         assert signed == got[w], repr(w)
+
+
+# ----------------------- partition-scoped rule families vs pure pandas
+part_rows = st.lists(
+    st.tuples(st.integers(0, 3),                       # part_id
+              st.one_of(st.none(), st.integers(0, 30)),    # v (measure)
+              st.one_of(st.none(),
+                        st.sampled_from(["a", "b", "c"]))),  # cat
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=part_rows)
+def test_completeness_frequency_match_pandas(spark, rows):
+    """partition_completeness / partition_frequency vs a pure-pandas
+    reference on arbitrary partitioned data — exact ratios, NULL
+    exclusion, and the (count, value)-max tie-break."""
+    import pandas as pd
+
+    from canned_yaml_spark import dataset
+    from canned_yaml_spark.checks import CompletenessCheck, FrequencyCheck
+
+    df = spark.createDataFrame(rows, "part_id int, v int, cat string")
+    pdf = pd.DataFrame(rows, columns=["part_id", "v", "cat"])
+
+    comp = dataset.partition_completeness(
+        df, [CompletenessCheck("r", "cat", 0.25)]).toPandas() \
+        .set_index("part_id")
+    for pid, g in pdf.groupby("part_id"):
+        frac = g["cat"].isna().mean()
+        assert comp.loc[pid, "null_frac"] == pytest.approx(frac, abs=5e-7)
+        assert bool(comp.loc[pid, "breach"]) == (frac > 0.25)
+
+    freq = dataset.partition_frequency(
+        df, FrequencyCheck("r", "cat", max_share=0.5, min_distinct=2)) \
+        .toPandas().set_index("part_id")
+    for pid, g in pdf.groupby("part_id"):
+        vals = g["cat"].dropna()
+        if vals.empty:
+            assert pid not in freq.index
+            continue
+        counts = vals.value_counts()
+        mc = counts.max()
+        # engine tie-break: max count, then max value
+        top = max(v for v, c in counts.items() if c == mc)
+        share = mc / len(vals)
+        assert freq.loc[pid, "top_value"] == top
+        assert freq.loc[pid, "top_share"] == pytest.approx(share, abs=5e-7)
+        assert freq.loc[pid, "n_distinct"] == counts.size
+        assert bool(freq.loc[pid, "breach"]) == (
+            share > 0.5 or counts.size < 2)

@@ -263,6 +263,54 @@ def main() -> int:
           [("query set broadcast", lambda p: "Broadcast" in p)],
           "small query side broadcast; window top-k cut")
 
+    # round-5 rule-vocabulary extensions
+    xsuite = compile_spec(
+        {"type": "object",
+         "x-assert": {"id": "rate", "expr": "length(transcript) <= dur_ms"},
+         "x-completeness": [{"column": "transcript", "max_null_frac": 0.01},
+                            {"column": "codec"}],
+         "x-frequency": {"column": "codec", "max_share": 0.68},
+         "x-anomaly": {"column": "dur_ms"}}, clips.schema)
+    audit("x-assert (cross-field row rule)",
+          row_violations(clips, xsuite),
+          [("no exchange", lambda p: "Exchange" not in p),
+           ("no join", lambda p: "Join" not in p)],
+          "joins the single-scan violation array — zero plan cost "
+          "beyond its own arithmetic")
+    audit("x-completeness (both budgets)",
+          dataset.partition_completeness(clips, xsuite.completeness_checks),
+          [("ONE aggregate for all budgets",
+            lambda p: p.count("Exchange") == 1),
+           ("single scan", lambda p: p.count("Scan parquet") == 1)],
+          "every null budget folds into one hash agg; shuffle = one "
+          "row per partition")
+    audit("x-frequency (share + distinct)",
+          dataset.partition_frequency(clips, xsuite.frequency_checks[0]),
+          [("two algebraic aggs", lambda p: p.count("Exchange") == 2),
+           ("single scan", lambda p: p.count("Scan parquet") == 1),
+           ("no window", lambda p: "Window" not in p)],
+          "stage-2 input ≤ parts × cardinality after map-side combine")
+    audit("x-anomaly (robust partition outliers)",
+          dataset.partition_anomaly(clips, xsuite.anomaly_checks[0]),
+          [("SINGLE table scan (window form, not scalar subqueries)",
+            lambda p: p.count("Scan parquet") == 1),
+           ("median/MAD windows over the tiny means frame",
+            lambda p: "Window" in p)],
+          "one algebraic agg at table scale; median/MAD see one row "
+          "per partition")
+    from canned_yaml_spark import infer as _infer
+    _prof_aggs = [F.count(F.lit(1)).alias("_n")]
+    audit("spec-inference pass 1",
+          clips.agg(*(_prof_aggs
+                      + [F.sum(F.col(c).isNull().cast("long"))
+                          .alias(f"nn_{c}") for c in clips.columns]
+                      + [F.approx_count_distinct(c).alias(f"ad_{c}")
+                         for c in clips.columns])),
+          [("single scan", lambda p: p.count("Scan parquet") == 1),
+           ("all-algebraic (partial+final, no expand)",
+            lambda p: "Expand" not in p)],
+          "one-row profile; HLL + sums partial-combine map-side")
+
     md = ["# Physical-plan audit", "",
           "Asserted on the executed plan by `python tools/plan_audit.py`",
           f"(re-run any time; last run {time.strftime('%Y-%m-%d %H:%M')},"

@@ -538,6 +538,28 @@ def _q_frequency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_distinct", "breach")
 
 
+def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization over the events table (12 h gap): one
+    # shuffle on user_id, per-user ordered window (deterministic
+    # (time, event_id) tie-break), durations as epoch-second
+    # differences so timezone conventions cancel between engines.
+    # Oracle: identical window logic in DuckDB SQL.
+    from canned_yaml_spark import events as ev
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.session_stats(events, gap_s=43200.0)
+
+
+def _q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-freshness: per-event-type ingestion lag behind the table's
+    # newest event (epoch-second difference). One algebraic agg +
+    # global-frame window over one row per group. 1500 s budget
+    # splits the sf corpus: view/click fresh, signup/purchase/error
+    # stale.
+    from canned_yaml_spark import events as ev
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.freshness_report(events, max_lag_s=1500.0)
+
+
 def _q_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x-anomaly: reference-free drift — modified z-score (Iglewicz-
     # Hoaglin 0.6745·(x−median)/MAD) of each partition's mean dur_ms
@@ -891,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequency_report": _q_frequency_report,
         "inferred_rules": _q_inferred_rules,
         "anomaly_report": _q_anomaly_report,
+        "sessions": _q_sessions,
+        "freshness_report": _q_freshness_report,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -953,6 +977,8 @@ def oracle_sql() -> dict[str, str]:
         "frequency_report": oracle.sql_frequency_report(),
         "inferred_rules": oracle.sql_inferred_rules(),
         "anomaly_report": oracle.sql_anomaly_report(),
+        "sessions": oracle.sql_sessions(),
+        "freshness_report": oracle.sql_freshness_report(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

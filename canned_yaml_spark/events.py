@@ -1,0 +1,105 @@
+"""Event-stream operators over the events table: gap sessionization
+and freshness validation.
+
+The reference has no event/time concepts; these are the operations the
+validation engine's USERS run right next to it on the same cluster
+(sessionize the interaction log, gate on ingestion freshness), so they
+ship as first-class, oracle-gated operators like everything else.
+
+Scale notes:
+- sessionize shuffles ONCE on the user key; the per-user window is the
+  textbook plan (session logic is order-dependent, so salting cannot
+  apply — a power user's events must meet in one task ordered by
+  time). Per-user event counts bound task memory, not table size; AQE
+  skew handling splits oversized user groups' FILE partitions but a
+  single user's ordering task is irreducible — that bound is the
+  operator's contract, and matches every production sessionizer.
+- freshness is one algebraic aggregate to one row per group, then a
+  global-frame window over that tiny frame (same one-scan shape as
+  dataset.partition_anomaly).
+
+Time arithmetic runs in exact INTEGER MICROSECONDS end-to-end
+(timestampdiff vs a fixed naive epoch — works for both TIMESTAMP and
+TIMESTAMP_NTZ columns); only the final exact integer difference is
+divided once into seconds. Differences cancel the epoch choice AND
+timezone conventions, and one division of an exact int64 is
+bit-deterministic, so the DuckDB oracle (epoch_us-based) reproduces
+every value exactly — per-row double conversions would wobble in the
+last ulp between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_US = 1_000_000
+
+
+def _micros(ts_col: str) -> Column:
+    """Naive-epoch integer microseconds of a timestamp column (NTZ or
+    LTZ; a constant offset from the Unix epoch that cancels in every
+    difference this module emits)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, "
+        f"CAST('2000-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+        f"CAST(`{ts_col}` AS TIMESTAMP_NTZ))")
+
+
+def sessionize(events: DataFrame, *, gap_s: float = 1800.0,
+               user_col: str = "user_id",
+               ts_col: str = "ts",
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """Events + (session_idx, _us): gap-based session assignment.
+
+    A new session starts at a user's first event and wherever the gap
+    to the previous event exceeds ``gap_s`` seconds. session_idx is
+    the per-user 1-based session ordinal — (user, session_idx) is the
+    session key. Ordering is (time, tiebreak) so runs are
+    deterministic even with tied timestamps.
+    """
+    us = _micros(ts_col)
+    w = (Window.partitionBy(user_col)
+               .orderBy(us, F.col(order_tiebreak)))
+    gap = us - F.lag(us).over(w)
+    new_session = (gap.isNull()
+                   | (gap > int(round(gap_s * _US)))).cast("long")
+    return (events.withColumn("_us", us)
+                  .withColumn("session_idx",
+                              F.sum(new_session).over(
+                                  w.rowsBetween(Window.unboundedPreceding,
+                                                0))))
+
+
+def session_stats(events: DataFrame, *, gap_s: float = 1800.0,
+                  user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  order_tiebreak: str = "event_id") -> DataFrame:
+    """(user_id, session_idx, n_events, duration_s) per session —
+    duration as an epoch-second difference (timezone-free)."""
+    s = sessionize(events, gap_s=gap_s, user_col=user_col,
+                   ts_col=ts_col, order_tiebreak=order_tiebreak)
+    return (s.groupBy(F.col(user_col).alias("user_id"), "session_idx")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round((F.max("_us") - F.min("_us")) / F.lit(1e6), 6)
+                   .alias("duration_s")))
+
+
+def freshness_report(events: DataFrame, *, group_col: str = "event_type",
+                     ts_col: str = "ts",
+                     max_lag_s: float = 3600.0) -> DataFrame:
+    """(group, lag_s, breach) — x-freshness: how far each group's
+    newest event trails the table's newest event. A group whose
+    pipeline stalled shows a growing lag while the healthy groups keep
+    the global max moving. One algebraic agg at table scale; the
+    global max is a window over the one-row-per-group frame (single
+    scan — same shape as partition_anomaly's median/MAD)."""
+    g = (events.filter(F.col(ts_col).isNotNull())
+               .groupBy(F.col(group_col).alias("group"))
+               .agg(F.max(_micros(ts_col)).alias("_gmax")))
+    rep = g.withColumn("_amax", F.expr("max(_gmax) OVER ()"))
+    lag_us = F.col("_amax") - F.col("_gmax")         # exact int64
+    return rep.select("group",
+                      F.round(lag_us / F.lit(1e6), 6).alias("lag_s"),
+                      (lag_us > int(round(max_lag_s * _US)))
+                      .alias("breach"))

@@ -1265,6 +1265,43 @@ def sql_inferred_rules() -> str:
             f"SELECT * FROM ({union}) ORDER BY col, keyword")
 
 
+def sql_sessions() -> str:
+    # gap sessionization restated with DuckDB windows: identical
+    # (time, event_id) ordering tie-break, identical 12 h gap test in
+    # exact INTEGER microseconds (epoch_us ↔ the engine's
+    # timestampdiff; the constant epoch offset cancels in every
+    # difference), one double division at the very end — so every
+    # value matches bit-for-bit.
+    return """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 43200000000
+                  THEN 1 ELSE 0 END AS np
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (SELECT user_id, us,
+             SUM(np) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM l)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       round((MAX(us) - MIN(us)) / 1000000.0, 6) AS duration_s
+FROM s GROUP BY user_id, session_idx
+""".strip()
+
+
+def sql_freshness_report() -> str:
+    # x-freshness: per-group max integer-microseconds vs the global
+    # max — exact int lag, divided once (timezone/epoch-free), 1500 s
+    # budget
+    return ("WITH g AS (SELECT event_type AS \"group\", "
+            "MAX(epoch_us(ts)) AS gmax FROM events "
+            "WHERE ts IS NOT NULL GROUP BY event_type), "
+            "a AS (SELECT MAX(gmax) AS amax FROM g) "
+            "SELECT g.\"group\", "
+            "round((a.amax - g.gmax) / 1000000.0, 6) AS lag_s, "
+            "(a.amax - g.gmax) > 1500000000 AS breach FROM g, a")
+
+
 def sql_anomaly_report() -> str:
     # x-anomaly: per-partition mean (exact bigint sum / count — the
     # same bit-deterministic ratio as the engine), then interpolated

@@ -560,6 +560,22 @@ def _q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.freshness_report(events, max_lag_s=1500.0)
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of (point-in-time) join: each error event matched to the same
+    # user's most recent click at-or-before it. Union+window plan (one
+    # shuffle + one sort of |L|+|R| — the operator's optimal bound;
+    # Spark has no built-in). Oracle: DuckDB's native ASOF LEFT JOIN —
+    # a genuinely independent implementation of the semantics.
+    from canned_yaml_spark import events as ev
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ev.asof_join(events.filter("event_type = 'error'"),
+                       events.filter("event_type = 'click'"),
+                       right_cols=("event_id",))
+    return out.select("event_id",
+                      F.col("asof_event_id").alias("matched_id"),
+                      "asof_gap_s")
+
+
 def _q_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x-anomaly: reference-free drift — modified z-score (Iglewicz-
     # Hoaglin 0.6745·(x−median)/MAD) of each partition's mean dur_ms
@@ -915,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_report": _q_anomaly_report,
         "sessions": _q_sessions,
         "freshness_report": _q_freshness_report,
+        "asof_join": _q_asof_join,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
@@ -979,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_report": oracle.sql_anomaly_report(),
         "sessions": oracle.sql_sessions(),
         "freshness_report": oracle.sql_freshness_report(),
+        "asof_join": oracle.sql_asof_join(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "frame_sample": oracle.sql_frame_sample(),

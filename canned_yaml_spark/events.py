@@ -103,3 +103,68 @@ def freshness_report(events: DataFrame, *, group_col: str = "event_type",
                       F.round(lag_us / F.lit(1e6), 6).alias("lag_s"),
                       (lag_us > int(round(max_lag_s * _US)))
                       .alias("breach"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, *,
+              key_col: str = "user_id",
+              ts_col: str = "ts",
+              right_cols: tuple = ("event_id",),
+              tolerance_s: float | None = None) -> DataFrame:
+    """As-of join: every left row picks the LATEST right row with
+    right.ts <= left.ts on the same key — the timeseries primitive
+    Spark has no built-in for (point-in-time joins: match an event to
+    the prevailing rate/state/previous action).
+
+    Spark-first plan (the union+window form every production
+    point-in-time join uses, e.g. Databricks tempo): tag both sides,
+    union, ONE shuffle on the key, and per key a time-ordered window
+    where `last(right_value, ignorenulls)` carries the most recent
+    right payload forward onto each left row. No range join, no
+    per-row probe: cost is one shuffle + one sort of |L|+|R|, the
+    optimal bound for this operator. Ties at the same instant order
+    right-before-left, so a right row AT the left timestamp matches
+    (<= semantics, matching DuckDB's ASOF JOIN — the gate's oracle).
+
+    Output: left rows + `asof_<col>` for each right payload column +
+    `asof_gap_s` (exact integer-micros difference / 1e6). With
+    ``tolerance_s``, matches older than the tolerance are nulled
+    (pandas merge_asof semantics).
+    """
+    us = _micros(ts_col)
+    lt = left.select(F.col(key_col).alias("_k"), us.alias("_us"),
+                     F.lit(1).alias("_side"), F.struct("*").alias("_l"),
+                     *[F.lit(None).cast(right.schema[c].dataType)
+                        .alias(f"_r_{c}") for c in right_cols],
+                     F.lit(None).cast("long").alias("_r_us"))
+    rt = right.select(F.col(key_col).alias("_k"), us.alias("_us"),
+                      F.lit(0).alias("_side"),
+                      F.lit(None).cast(lt.schema["_l"].dataType)
+                       .alias("_l"),
+                      *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+                      us.alias("_r_us"))
+    u = lt.unionByName(rt)
+    w = (Window.partitionBy("_k")
+               .orderBy("_us", "_side")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(f"_r_{c}", ignorenulls=True).over(w)
+                .alias(f"asof_{c}") for c in right_cols]
+    carried_us = F.last("_r_us", ignorenulls=True).over(w)
+    out = (u.select("_l", "_us", "_side", carried_us.alias("_m_us"),
+                    *carried)
+            .filter(F.col("_side") == 1))
+    gap_us = F.col("_us") - F.col("_m_us")
+    if tolerance_s is not None:
+        tol = int(round(tolerance_s * _US))
+        keep = gap_us <= tol
+        out = out.select(
+            "_l",
+            *[F.when(keep, F.col(f"asof_{c}")).alias(f"asof_{c}")
+              for c in right_cols],
+            F.when(keep, F.round(gap_us / F.lit(1e6), 6))
+             .alias("asof_gap_s"))
+    else:
+        out = out.select(
+            "_l", *[F.col(f"asof_{c}") for c in right_cols],
+            F.round(gap_us / F.lit(1e6), 6).alias("asof_gap_s"))
+    return out.select("_l.*",
+                      *[f"asof_{c}" for c in right_cols], "asof_gap_s")

@@ -1302,6 +1302,21 @@ def sql_freshness_report() -> str:
             "(a.amax - g.gmax) > 1500000000 AS breach FROM g, a")
 
 
+def sql_asof_join() -> str:
+    # point-in-time join oracle: DuckDB's NATIVE ASOF LEFT JOIN — an
+    # entirely independent implementation of <= as-of semantics (the
+    # engine uses the union+window plan). Gap as exact integer-micros
+    # difference / 1e6, like everything time-valued in events.py.
+    return """
+WITH l AS (SELECT * FROM events WHERE event_type = 'error'),
+     r AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT l.event_id,
+       r.event_id AS matched_id,
+       round((epoch_us(l.ts) - epoch_us(r.ts)) / 1000000.0, 6) AS asof_gap_s
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip()
+
+
 def sql_anomaly_report() -> str:
     # x-anomaly: per-partition mean (exact bigint sum / count — the
     # same bit-deterministic ratio as the engine), then interpolated

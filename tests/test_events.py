@@ -95,3 +95,48 @@ def test_freshness_null_ts_excluded(spark):
         "AS t(event_id, ts, user_id, event_type)")
     rep = ev.freshness_report(df, max_lag_s=10.0)
     assert [r.group for r in rep.collect()] == ["a"]
+
+
+def test_asof_join_semantics(spark):
+    from canned_yaml_spark import events as ev
+    left = _events(spark, [
+        (10, "2024-01-01 01:00:00", 1, "l"),
+        (11, "2024-01-01 03:00:00", 1, "l"),
+        (12, "2024-01-01 00:30:00", 2, "l"),   # before any right → null
+        (13, "2024-01-01 02:00:00", 3, "l"),   # key absent on right
+    ])
+    right = _events(spark, [
+        (0, "2024-01-01 00:00:00", 1, "r"),
+        (1, "2024-01-01 01:00:00", 1, "r"),    # AT left ts → matches (<=)
+        (2, "2024-01-01 02:30:00", 1, "r"),
+        (3, "2024-01-01 01:00:00", 2, "r"),
+    ])
+    out = {r.event_id: (r.asof_event_id, r.asof_gap_s)
+           for r in ev.asof_join(left, right,
+                                 right_cols=("event_id",)).collect()}
+    assert out[10] == (1, 0.0)          # equal timestamp matches
+    assert out[11] == (2, 1800.0)       # latest at-or-before
+    assert out[12] == (None, None)      # nothing before → left join null
+    assert out[13] == (None, None)      # key missing on right
+
+
+def test_asof_join_tolerance(spark):
+    from canned_yaml_spark import events as ev
+    left = _events(spark, [(10, "2024-01-01 02:00:00", 1, "l")])
+    right = _events(spark, [(0, "2024-01-01 00:00:00", 1, "r")])
+    out = ev.asof_join(left, right, right_cols=("event_id",),
+                       tolerance_s=3600.0).collect()[0]
+    assert out.asof_event_id is None    # 7200 s > 3600 s tolerance
+    out2 = ev.asof_join(left, right, right_cols=("event_id",),
+                        tolerance_s=7200.0).collect()[0]
+    assert out2.asof_event_id == 0 and out2.asof_gap_s == 7200.0
+
+
+def test_asof_join_keeps_left_columns(spark):
+    from canned_yaml_spark import events as ev
+    left = _events(spark, [(10, "2024-01-01 02:00:00", 1, "payload")])
+    right = _events(spark, [(0, "2024-01-01 00:00:00", 1, "r")])
+    row = ev.asof_join(left, right,
+                       right_cols=("event_id", "event_type")).collect()[0]
+    assert row.event_type == "payload"          # left columns intact
+    assert row.asof_event_type == "r"           # right payload carried

@@ -252,6 +252,21 @@ def _q_near_dup_pairs(spark, sf_dir):
     return dedup.near_dup_pairs(d2)
 
 
+def _q_dup_components(spark, sf_dir):
+    # pairs → connected components (alternating large/small-star);
+    # oracle recomputes them by an independent algorithm (recursive-CTE
+    # reachability over the exact-Jaccard pair set)
+    d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
+    return dedup.dup_components(dedup.near_dup_pairs(d2))
+
+
+def _q_dedup_kept(spark, sf_dir):
+    # the deduplicated corpus: keep the min-id representative per
+    # component, drop every other member
+    d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
+    return dedup.dedup_keep(d2, dedup.near_dup_pairs(d2)).select("doc_id")
+
+
 def _q_near_dup_delta(spark, sf_dir):
     # incremental dedup: the injected duplicates are the corpus delta;
     # the base documents' signatures come from the (here in-memory)
@@ -914,6 +929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dups": _q_exact_dups,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_delta": _q_near_dup_delta,
+        "dup_components": _q_dup_components,
+        "dedup_kept": _q_dedup_kept,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "audio_near_dups": _q_audio_near_dups,
@@ -979,6 +996,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dups": oracle.sql_exact_dup_groups(),
         "near_dup_pairs": oracle.sql_near_dup_pairs(),
         "near_dup_delta": oracle.sql_near_dup_delta(),
+        "dup_components": oracle.sql_dup_components(),
+        "dedup_kept": oracle.sql_dedup_kept(),
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "audio_near_dups": oracle.sql_audio_near_dups(),

@@ -676,3 +676,121 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
                      F.col("b.vec_id").alias("vec_b"),
                      F.round(cos, 4).alias("cosine"))
              .filter(F.col("cosine") >= threshold))
+
+
+# ------------------------------------------- components → keep-one rep
+#
+# A dedup pipeline does not end at pairs: near-duplication is
+# transitive in practice (A≈B, B≈C ⇒ keep ONE of {A,B,C}), so the
+# pairs must be clustered into connected components and one
+# representative kept per component. The reference has no analogue
+# (its validator sees one document at a time); this is the
+# training-data-pipeline closure of near_dup_pairs.
+#
+# Scale shape: the edge set is O(#dup pairs) — tiny relative to the
+# corpus (≲1% of rows at production dup rates), so every shuffle below
+# carries only id pairs. Components are computed with the alternating
+# large-star / small-star algorithm (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC 2014): each round is two
+# groupBy aggregations on the edge frame; converges in O(log² n)
+# rounds (2-3 in practice — dup clusters are near-cliques, which
+# star-collapse immediately). No driver-side graph state: the driver
+# sees only a per-round (count, changed?) pair.
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round: connect every neighbor LARGER than u to
+    min(Γ(u) ∪ {u}). Input/output: canonical undirected edges u < v."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (nbrs.groupBy("u")
+             .agg(F.least(F.min("v"), F.col("u")).alias("m"),
+                  F.collect_set(F.when(F.col("v") > F.col("u"), F.col("v")))
+                   .alias("big")))
+    return (m.select(F.explode("big").alias("v"), F.col("m").alias("u"))
+             .filter(F.col("u") != F.col("v"))
+             .select("u", "v").distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: for each node u, link all smaller-or-self
+    neighbors to their minimum. Input/output: canonical u < v edges
+    (v's smaller neighbor set is exactly {u : (u,v) ∈ E})."""
+    m = (e.groupBy("v")
+          .agg(F.min("u").alias("m"), F.collect_set("u").alias("small")))
+    out = m.select(
+        F.col("m").alias("u"),
+        F.explode(F.array_union("small", F.array("v"))).alias("v"))
+    return (out.filter(F.col("u") != F.col("v"))
+               .select("u", "v").distinct())
+
+
+def dup_components(pairs: DataFrame, docs: DataFrame | None = None,
+                   max_rounds: int = 32) -> DataFrame:
+    """Connected components over dup pairs → (doc_id, component_id)
+    with component_id = MIN doc_id in the component (deterministic
+    canonical label). When `docs` is given, singletons (docs in no
+    pair) are included mapping to themselves; otherwise only docs that
+    appear in some pair are returned.
+
+    Fixpoint detection is EXACT (two except-alls on the edge frame),
+    not a hash heuristic; lineage is truncated per round with
+    localCheckpoint so the plan stays O(1) deep across iterations.
+    """
+    e = (pairs.select(F.least("doc_a", "doc_b").alias("u"),
+                      F.greatest("doc_a", "doc_b").alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .distinct()
+              .localCheckpoint(eager=True))
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = (e2.exceptAll(e).limit(1).count()
+                   or e.exceptAll(e2).limit(1).count())
+        e = e2
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"dup_components did not converge in "
+                           f"{max_rounds} rounds — pathological input?")
+    # fixpoint is a star forest: every edge is (root=component min, member)
+    members = e.select(F.col("v").alias("doc_id"),
+                       F.col("u").alias("component_id"))
+    roots = (e.select(F.col("u").alias("doc_id"))
+              .distinct()
+              .withColumn("component_id", F.col("doc_id")))
+    comp = members.unionByName(roots)
+    if docs is not None:
+        singles = (docs.select(F.col("doc_id"))
+                       .join(comp.select("doc_id"), "doc_id", "left_anti")
+                       .withColumn("component_id", F.col("doc_id")))
+        comp = comp.unionByName(singles)
+    return comp
+
+
+def dedup_keep(docs: DataFrame, pairs: DataFrame,
+               prefer: str | None = None) -> DataFrame:
+    """The deduplicated corpus: one representative per dup component
+    (all columns of `docs` preserved). Representative = the MIN doc_id
+    in the component, or — when `prefer` names a numeric quality
+    column on docs — the component's max-`prefer` doc (ties broken by
+    min doc_id, so the output is deterministic either way).
+
+    Scale shape: components ride the (tiny) pair frame; the only
+    corpus-scale operation is ONE broadcast-able semi-join of docs
+    against the drop set (docs in a component but not its
+    representative), which is again O(#dup rows)."""
+    comp = dup_components(pairs)          # pair-docs only: the drop set
+    if prefer is None:
+        keep = (comp.groupBy("component_id")
+                    .agg(F.min("doc_id").alias("keep_id")))
+    else:
+        scored = comp.join(docs.select("doc_id", prefer), "doc_id")
+        keep = (scored.groupBy("component_id")
+                      .agg(F.min_by(
+                          "doc_id",
+                          F.struct((-F.col(prefer)).alias("q"),
+                                   F.col("doc_id").alias("d")))
+                           .alias("keep_id")))
+    drop = (comp.join(keep, "component_id")
+                .filter(F.col("doc_id") != F.col("keep_id"))
+                .select("doc_id"))
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")

@@ -1445,3 +1445,51 @@ SELECT e.part_id,
 FROM e JOIN an USING (part_id)
 GROUP BY e.part_id, an.n
 """.strip()
+
+
+def sql_dup_components(threshold: float = 0.8) -> str:
+    """Oracle for dedup.dup_components over the near-dup pairs: an
+    INDEPENDENT algorithm — recursive-CTE reachability (min reachable
+    doc_id per node) instead of alternating star rounds — over the
+    same exact-Jaccard pair set (sql_near_dup_pairs)."""
+    return f"""
+WITH RECURSIVE {_DOCS2},
+{_SHINGLES},
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+walk(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.r FROM edges e JOIN walk w ON e.v = w.u)
+SELECT u AS doc_id, MIN(r) AS component_id
+FROM walk GROUP BY u
+""".strip()
+
+
+def sql_dedup_kept(threshold: float = 0.8) -> str:
+    """Oracle for dedup.dedup_keep (min-id representative): corpus ids
+    minus every component member that is not the component minimum."""
+    comp = sql_dup_components(threshold)
+    return f"""
+WITH comp AS ({comp}),
+d2 AS (
+  SELECT doc_id FROM documents
+  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 10 = 0)
+SELECT d2.doc_id FROM d2
+LEFT JOIN comp ON d2.doc_id = comp.doc_id
+WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
+""".strip()

@@ -368,3 +368,92 @@ def test_simhash_oracle_domain_holds(spark, docs2):
                        .alias("m"))
                .collect()[0].m)
     assert max_len < 32
+
+
+def test_dup_components_hand_graph(spark):
+    # chain, pair, triangle, 4-path — each must collapse to its min id
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22),
+         (30, 31), (31, 32), (32, 33)],
+        "doc_a long, doc_b long")
+    got = {(r.doc_id, r.component_id)
+           for r in dedup.dup_components(pairs).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+            (30, 30), (31, 30), (32, 30), (33, 30)}
+    assert got == want
+
+
+def test_dup_components_long_chain_converges(spark):
+    # a 64-node descending path is the star algorithm's adversarial
+    # case (maximum diameter; ids anti-sorted so large-star must do
+    # the work) — must converge within the round bound and label
+    # everything with the min
+    edges = [(i + 1, i) for i in range(63)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = dedup.dup_components(pairs).collect()
+    assert len(got) == 64
+    assert all(r.component_id == 0 for r in got)
+
+
+def test_dup_components_singletons_included(spark):
+    pairs = spark.createDataFrame([(5, 6)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in (5, 6, 9)],
+                                 "doc_id long")
+    got = {(r.doc_id, r.component_id)
+           for r in dedup.dup_components(pairs, docs).collect()}
+    assert got == {(5, 5), (6, 5), (9, 9)}
+
+
+def test_dedup_keep_min_id_and_prefer(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", float(i % 7)) for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string, q double")
+    kept = sorted(r.doc_id for r in dedup.dedup_keep(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+    # prefer=q: component {1,2,3} has q 1,2,3 → 3; {10,11} q 3,4 → 11
+    kept_q = sorted(
+        r.doc_id for r in dedup.dedup_keep(docs, pairs, prefer="q").collect())
+    assert kept_q == [3, 11, 99]
+    # preferred rep keeps ALL doc columns intact
+    row = (dedup.dedup_keep(docs, pairs, prefer="q")
+           .filter(F.col("doc_id") == 3).collect()[0])
+    assert row.text == "t3" and row.q == 3.0
+
+
+def test_dedup_keep_transitive_over_corpus(spark, docs, docs2):
+    # independent oracle: Python union-find over the collected pair
+    # set (the corpus also has ORGANIC near-dups — e.g. docs 0/50/82 —
+    # so injected families can merge; min-of-component is the spec)
+    pairs = dedup.near_dup_pairs(docs2)
+    rows = pairs.select("doc_a", "doc_b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        root = find(x)
+        comp_min[root] = min(comp_min.get(root, x), x)
+    pair_docs = set(parent)
+    drop = {x for x in pair_docs if x != comp_min[find(x)]}
+    all_ids = {r.doc_id for r in docs2.select("doc_id").collect()}
+    expect = all_ids - drop
+
+    kept = dedup.dedup_keep(docs2, pairs)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == expect
+    # every injected clone (ids ≥ 1M) is connected to its original
+    # (< 1M), so no clone can be a component min → none survives
+    assert not {k for k in kept_ids if k >= 1_000_000}

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from canned_yaml_spark import (
     compile_spec, dataset, dedup, derive, drift, fixtures, oracle, payload,
-    similarity, textops,
+    sampling, similarity, textops,
 )
 from canned_yaml_spark.runner import row_verdicts, row_violations
 
@@ -250,6 +250,30 @@ def _q_exact_dups(spark, sf_dir):
 def _q_near_dup_pairs(spark, sf_dir):
     d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
     return dedup.near_dup_pairs(d2)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    # exact 40-per-stratum deterministic sample; the two-phase
+    # skew-proof plan must equal the oracle's one-window form
+    d = _docs(spark, sf_dir).withColumn(
+        "stratum", (F.col("doc_id") % 7).cast("int"))
+    return (sampling.stratified_sample(d, "stratum", 40, "doc_id")
+            .select("doc_id", "stratum"))
+
+
+def _q_sample_fraction(spark, sf_dir):
+    return (sampling.sample_fraction(_docs(spark, sf_dir), 0.25, "doc_id")
+            .select("doc_id"))
+
+
+def _q_budget_sample(spark, sf_dir):
+    # greedy hash-order prefix per stratum under a 20k-char budget;
+    # the boundary-bucket plan must equal the oracle's window form
+    d = (_docs(spark, sf_dir)
+         .withColumn("stratum", (F.col("doc_id") % 5).cast("int"))
+         .withColumn("w", F.length("text").cast("long")))
+    return (sampling.budget_sample(d, "stratum", 20_000, "w", "doc_id")
+            .select("doc_id", "stratum", "w"))
 
 
 def _q_dup_components(spark, sf_dir):
@@ -931,6 +955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_delta": _q_near_dup_delta,
         "dup_components": _q_dup_components,
         "dedup_kept": _q_dedup_kept,
+        "stratified_sample": _q_stratified_sample,
+        "sample_fraction": _q_sample_fraction,
+        "budget_sample": _q_budget_sample,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "audio_near_dups": _q_audio_near_dups,
@@ -998,6 +1025,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_delta": oracle.sql_near_dup_delta(),
         "dup_components": oracle.sql_dup_components(),
         "dedup_kept": oracle.sql_dedup_kept(),
+        "stratified_sample": oracle.sql_stratified_sample(),
+        "sample_fraction": oracle.sql_sample_fraction(),
+        "budget_sample": oracle.sql_budget_sample(),
         "cosine_topk": oracle.sql_cosine_topk(),
         "embedding_near_dups": oracle.sql_embedding_near_dups(),
         "audio_near_dups": oracle.sql_audio_near_dups(),

@@ -1493,3 +1493,37 @@ SELECT d2.doc_id FROM d2
 LEFT JOIN comp ON d2.doc_id = comp.doc_id
 WHERE comp.doc_id IS NULL OR comp.doc_id = comp.component_id
 """.strip()
+
+
+# ------------------------------ deterministic sampling (sampling.py) --
+
+def sql_stratified_sample(k: int = 40, seed: int = 42) -> str:
+    """Exact k-per-stratum sample in seeded-md5 order — the one-window
+    ANSI restatement of sampling.stratified_sample's two-phase plan."""
+    return f"""
+WITH s AS (SELECT doc_id, doc_id % 7 AS stratum,
+                  md5('{seed}:' || doc_id) AS h FROM documents)
+SELECT doc_id, stratum FROM s
+QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY h, doc_id) <= {k}
+""".strip()
+
+
+def sql_sample_fraction(frac: float = 0.25, seed: int = 42) -> str:
+    threshold = format(int(frac * 16 ** 15), "015x")
+    return f"""
+SELECT doc_id FROM documents
+WHERE substr(md5('{seed}:' || doc_id), 1, 15) < '{threshold}'
+""".strip()
+
+
+def sql_budget_sample(budget: int = 20_000, seed: int = 42) -> str:
+    """Greedy hash-order prefix under a per-stratum weight budget —
+    the one-window restatement of the boundary-bucket plan."""
+    return f"""
+WITH s AS (SELECT doc_id, doc_id % 5 AS stratum, length(text) AS w,
+                  md5('{seed}:' || doc_id) AS h FROM documents),
+c AS (SELECT doc_id, stratum, w,
+             SUM(w) OVER (PARTITION BY stratum ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum FROM s)
+SELECT doc_id, stratum, w FROM c WHERE cum <= {budget}
+""".strip()

@@ -252,6 +252,17 @@ def _q_near_dup_pairs(spark, sf_dir):
     return dedup.near_dup_pairs(d2)
 
 
+def _q_contamination(spark, sf_dir):
+    # benchmark-contamination hygiene pass: probes = every 50th raw
+    # doc standing in for an eval set; corpus = the dup-injected
+    # docs2, so flagged docs are exactly the probes, their injected
+    # near/exact copies, and any organic near-dup of a probe
+    docs = _docs(spark, sf_dir)
+    d2 = dedup.with_dup_injection(docs)
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_report(d2, probes)
+
+
 def _q_stratified_sample(spark, sf_dir):
     # exact 40-per-stratum deterministic sample; the two-phase
     # skew-proof plan must equal the oracle's one-window form
@@ -955,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_delta": _q_near_dup_delta,
         "dup_components": _q_dup_components,
         "dedup_kept": _q_dedup_kept,
+        "contamination": _q_contamination,
         "stratified_sample": _q_stratified_sample,
         "sample_fraction": _q_sample_fraction,
         "budget_sample": _q_budget_sample,
@@ -1025,6 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_delta": oracle.sql_near_dup_delta(),
         "dup_components": oracle.sql_dup_components(),
         "dedup_kept": oracle.sql_dedup_kept(),
+        "contamination": oracle.sql_contamination(),
         "stratified_sample": oracle.sql_stratified_sample(),
         "sample_fraction": oracle.sql_sample_fraction(),
         "budget_sample": oracle.sql_budget_sample(),

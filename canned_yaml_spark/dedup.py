@@ -794,3 +794,61 @@ def dedup_keep(docs: DataFrame, pairs: DataFrame,
                 .filter(F.col("doc_id") != F.col("keep_id"))
                 .select("doc_id"))
     return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+# ------------------------------------------- benchmark contamination
+
+#: contamination shingle width: long windows (30 normalized chars,
+#: crossing word boundaries) are near-unique unless actually copied —
+#: the dedup SHINGLE_LEN=5 grams collide organically on ANY shared
+#: vocabulary (measured: every doc of the synthetic corpus shares a
+#: 5-gram with the probe set; at 30 chars only probes + their copies
+#: + one organic near-dup are flagged)
+CONTAM_SHINGLE_LEN = 30
+
+
+def _shingles_n(t, n: int) -> "F.Column":
+    """Distinct n-char shingles of already-normalized text (same HOF
+    shape as `shingles`, parametrized width)."""
+    return F.when(
+        F.length(t) < n, F.array(t)
+    ).otherwise(F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+        lambda i: t.substr(i, F.lit(n)))))
+
+
+def contamination_report(docs: DataFrame, probes: DataFrame,
+                         min_hits: int = 1,
+                         shingle_len: int = CONTAM_SHINGLE_LEN) -> DataFrame:
+    """Benchmark-contamination check: which corpus docs share ≥
+    min_hits long normalized character shingles with ANY probe
+    (test-set) document. The standard pre-training hygiene pass — a
+    training corpus must not contain the eval set, verbatim or lightly
+    edited.
+
+    Scale shape: the probe set is small by nature (benchmarks are
+    KB–MB); its DISTINCT shingle set is broadcast, so the corpus-side
+    probe is a broadcast hash join on exploded shingles with NO
+    corpus shuffle — the only exchange is the per-doc re-aggregation,
+    and that carries HIT rows only (≈ contaminated docs × matched
+    shingles), never the clean bulk.
+
+    Output: (doc_id, n_hits, n_shingles, hit_share) per flagged doc;
+    hit_share is a ratio of integers → bit-identical across engines.
+    """
+    banned = (_with_norm(probes)
+              .select(F.explode(_shingles_n(F.col("_t"), shingle_len))
+                       .alias("g"))
+              .distinct())
+    sized = (_with_norm(docs)
+             .select("doc_id",
+                     _shingles_n(F.col("_t"), shingle_len).alias("sh"))
+             .select("doc_id", F.size("sh").alias("n_shingles"),
+                     F.explode("sh").alias("g")))
+    return (sized.join(F.broadcast(banned), "g")
+                 .groupBy("doc_id", "n_shingles")
+                 .agg(F.count(F.lit(1)).alias("n_hits"))
+                 .filter(F.col("n_hits") >= min_hits)
+                 .select("doc_id", "n_hits", "n_shingles",
+                         F.round(F.col("n_hits") / F.col("n_shingles"), 4)
+                          .alias("hit_share")))

@@ -1527,3 +1527,29 @@ c AS (SELECT doc_id, stratum, w,
                           ROWS UNBOUNDED PRECEDING) AS cum FROM s)
 SELECT doc_id, stratum, w FROM c WHERE cum <= {budget}
 """.strip()
+
+
+def sql_contamination(min_hits: int = 1, n: int = 30) -> str:
+    """Oracle for dedup.contamination_report (probes = every 50th raw
+    doc, corpus = the dup-injected docs2): the same long-shingle
+    derivation restated, matched via an inverted-index join instead of
+    a broadcast probe."""
+    return f"""
+WITH {_DOCS2},
+norm AS (SELECT doc_id, {_NORM} AS t FROM docs2),
+shd AS (SELECT doc_id,
+  CASE WHEN length(t) < {n} THEN [t]
+       ELSE list_distinct(list_transform(
+                generate_series(1, length(t)-{n - 1}),
+                i -> substr(t, i, {n}))) END AS s
+  FROM norm),
+probe AS (SELECT DISTINCT unnest(s) AS g FROM shd
+          WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+ex AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g FROM shd),
+hits AS (
+  SELECT doc_id, n_shingles, COUNT(*) AS n_hits
+  FROM ex JOIN probe USING (g) GROUP BY 1, 2)
+SELECT doc_id, n_hits, n_shingles,
+       round(n_hits * 1.0 / n_shingles, 4) AS hit_share
+FROM hits WHERE n_hits >= {min_hits}
+""".strip()

@@ -457,3 +457,42 @@ def test_dedup_keep_transitive_over_corpus(spark, docs, docs2):
     # every injected clone (ids ≥ 1M) is connected to its original
     # (< 1M), so no clone can be a component min → none survives
     assert not {k for k in kept_ids if k >= 1_000_000}
+
+
+def test_contamination_flags_probes_and_copies(spark, docs, docs2):
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    rep = dedup.contamination_report(docs2, probes).collect()
+    flagged = {r.doc_id for r in rep}
+    n = docs.count()
+    # every probe, its near copy (+1M), and its exact copy (+2M,
+    # %50 ⇒ %10) must be flagged
+    for k in range(0, n, 50):
+        assert {k, k + 1_000_000, k + 2_000_000} <= flagged
+    # probes flag themselves verbatim
+    shares = {r.doc_id: r.hit_share for r in rep}
+    for k in range(0, n, 50):
+        assert shares[k] == 1.0
+        # copies share most-but-not-all windows (the near copy has
+        # extra tail shingles) — still well above any sane threshold
+        assert shares[k + 1_000_000] >= 0.9
+    # long windows discriminate: the clean bulk is NOT flagged
+    assert len(flagged) < 0.2 * docs2.count()
+
+
+def test_contamination_clean_probe_set(spark, docs2):
+    spark_ = docs2.sparkSession
+    probes = spark_.createDataFrame(
+        [(0, "entirely novel benchmark sentence nothing shares")],
+        "doc_id long, text string")
+    assert dedup.contamination_report(docs2, probes).count() == 0
+
+
+def test_contamination_short_text_edge(spark):
+    corpus = spark.createDataFrame(
+        [(1, "tiny"), (2, "a much longer sentence that is its own text")],
+        "doc_id long, text string")
+    probes = spark.createDataFrame([(9, "tiny")], "doc_id long, text string")
+    rep = dedup.contamination_report(corpus, probes).collect()
+    # sub-window texts degrade to whole-text matching
+    assert {r.doc_id for r in rep} == {1}
+    assert rep[0].hit_share == 1.0

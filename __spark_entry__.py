@@ -263,6 +263,15 @@ def _q_contamination(spark, sf_dir):
     return dedup.contamination_report(d2, probes)
 
 
+def _q_split_leak_free(spark, sf_dir):
+    # component-keyed train/test split: a near-dup of a test doc can
+    # never land in train; oracle recomputes components independently
+    d2 = dedup.with_dup_injection(_docs(spark, sf_dir))
+    return (dedup.split_leak_free(d2, dedup.near_dup_pairs(d2),
+                                  frac_test=0.2)
+            .select("doc_id", "component_id", "split"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     # exact 40-per-stratum deterministic sample; the two-phase
     # skew-proof plan must equal the oracle's one-window form
@@ -967,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": _q_dup_components,
         "dedup_kept": _q_dedup_kept,
         "contamination": _q_contamination,
+        "split_leak_free": _q_split_leak_free,
         "stratified_sample": _q_stratified_sample,
         "sample_fraction": _q_sample_fraction,
         "budget_sample": _q_budget_sample,
@@ -1038,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_components": oracle.sql_dup_components(),
         "dedup_kept": oracle.sql_dedup_kept(),
         "contamination": oracle.sql_contamination(),
+        "split_leak_free": oracle.sql_split_leak_free(),
         "stratified_sample": oracle.sql_stratified_sample(),
         "sample_fraction": oracle.sql_sample_fraction(),
         "budget_sample": oracle.sql_budget_sample(),

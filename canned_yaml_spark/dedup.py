@@ -852,3 +852,32 @@ def contamination_report(docs: DataFrame, probes: DataFrame,
                  .select("doc_id", "n_hits", "n_shingles",
                          F.round(F.col("n_hits") / F.col("n_shingles"), 4)
                           .alias("hit_share")))
+
+
+def split_leak_free(docs: DataFrame, pairs: DataFrame,
+                    frac_test: float = 0.1, seed: int = 42) -> DataFrame:
+    """Leakage-free train/test split: the split key is the dup
+    COMPONENT, not the document, so a near-duplicate of a test doc can
+    never land in train (the classic eval-leakage bug). Deterministic:
+    split = md5(seed:component_id) prefix against the frac threshold,
+    same rows on any cluster/partitioning.
+
+    Scale shape: only docs that appear in some dup pair need a
+    component lookup — that map is O(#dup rows) and is BROADCAST into
+    a left join; every other doc is its own component (coalesce to
+    doc_id). No corpus shuffle.
+
+    Output: docs + (component_id, split ∈ {'train','test'})."""
+    if not 0.0 <= frac_test <= 1.0:
+        raise ValueError(f"frac_test must be in [0,1], got {frac_test}")
+    comp = dup_components(pairs)
+    joined = (docs.join(F.broadcast(comp), "doc_id", "left")
+                  .withColumn("component_id",
+                              F.coalesce("component_id", "doc_id")))
+    threshold = format(int(frac_test * 16 ** 15), "015x")
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col("component_id").cast("string")))
+    return joined.withColumn(
+        "split",
+        F.when(F.substring(h, 1, 15) < F.lit(threshold), F.lit("test"))
+         .otherwise(F.lit("train")))

@@ -1553,3 +1553,26 @@ SELECT doc_id, n_hits, n_shingles,
        round(n_hits * 1.0 / n_shingles, 4) AS hit_share
 FROM hits WHERE n_hits >= {min_hits}
 """.strip()
+
+
+def sql_split_leak_free(frac_test: float = 0.2, seed: int = 42,
+                        threshold: float = 0.8) -> str:
+    """Oracle for dedup.split_leak_free over docs2: recursive-CTE
+    components (independent algorithm) + the same seeded-md5 split."""
+    comp = sql_dup_components(threshold)
+    t = format(int(frac_test * 16 ** 15), "015x")
+    return f"""
+WITH comp AS ({comp}),
+d2 AS (
+  SELECT doc_id FROM documents
+  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 5 = 0
+  UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 10 = 0),
+lab AS (
+  SELECT d2.doc_id,
+         COALESCE(comp.component_id, d2.doc_id) AS component_id
+  FROM d2 LEFT JOIN comp ON d2.doc_id = comp.doc_id)
+SELECT doc_id, component_id,
+       CASE WHEN substr(md5('{seed}:' || component_id), 1, 15) < '{t}'
+            THEN 'test' ELSE 'train' END AS split
+FROM lab
+""".strip()

@@ -496,3 +496,21 @@ def test_contamination_short_text_edge(spark):
     # sub-window texts degrade to whole-text matching
     assert {r.doc_id for r in rep} == {1}
     assert rep[0].hit_share == 1.0
+
+
+def test_split_leak_free_no_pair_straddles(spark, docs2):
+    pairs = dedup.near_dup_pairs(docs2)
+    split = dedup.split_leak_free(docs2, pairs, frac_test=0.3)
+    lab = {r.doc_id: r.split for r in split.collect()}
+    assert set(lab) == {r.doc_id for r in docs2.select("doc_id").collect()}
+    for r in pairs.collect():
+        assert lab[r.doc_a] == lab[r.doc_b], (r.doc_a, r.doc_b)
+    n_test = sum(1 for s in lab.values() if s == "test")
+    assert 0.1 < n_test / len(lab) < 0.5     # loose band: 650 docs
+    # determinism under repartitioning
+    lab2 = {r.doc_id: r.split
+            for r in dedup.split_leak_free(docs2.repartition(11), pairs,
+                                           frac_test=0.3).collect()}
+    assert lab == lab2
+    with pytest.raises(ValueError, match="frac_test"):
+        dedup.split_leak_free(docs2, pairs, frac_test=-0.1)

@@ -311,6 +311,48 @@ def main() -> int:
             lambda p: "Expand" not in p)],
           "one-row profile; HLL + sums partial-combine map-side")
 
+    from canned_yaml_spark import sampling as _sampling
+    sdocs = (docs.withColumn("stratum", (F.col("doc_id") % 7).cast("int"))
+                 .withColumn("w", F.length("text").cast("long")))
+    import re as _re
+    audit("stratified_sample (two-phase)",
+          _sampling.stratified_sample(sdocs, "stratum", 40, "doc_id"),
+          [("two windows (salted local + survivors)",
+            lambda p: p.count("windowspecdefinition") == 2),
+           ("phase 1 partitioned by salt too",
+            lambda p: "_salt" in p),
+           ("Spark 4 adds partial map-side top-k on both",
+            lambda p: p.count("WindowGroupLimit") >= 2)],
+          "stage-2 input ≤ strata×salts×k rows; PLUS Spark 4's "
+          "WindowGroupLimit bounds each shuffle to k per map partition")
+    audit("sample_fraction",
+          _sampling.sample_fraction(sdocs, 0.25, "doc_id"),
+          [("zero exchanges", lambda p: "Exchange" not in p)],
+          "pure scan-side hash-prefix filter; partitioning-invariant")
+    audit("budget_sample (boundary bucket)",
+          _sampling.budget_sample(sdocs, "stratum", 20_000, "w", "doc_id"),
+          [("bucket frame broadcast back",
+            lambda p: "BroadcastHashJoin" in p),
+           ("row window partitioned by (stratum,_b) — never a whole "
+            "stratum",
+            lambda p: _re.search(
+                r"windowspecdefinition\(stratum#\d+, _b#\d+", p))],
+          "per-bucket agg → tiny cum frame; row sort only in the one "
+          "edge bucket per stratum")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    audit("contamination_report",
+          dedup.contamination_report(docs, probes),
+          [("probe set broadcast", lambda p: "BroadcastHashJoin" in p),
+           ("no sort-merge", lambda p: "SortMergeJoin" not in p)],
+          "corpus side never shuffles; re-agg carries hit rows only")
+    _pairs_cc = dedup.near_dup_pairs(docs).localCheckpoint(eager=False)
+    audit("split_leak_free (final join)",
+          dedup.split_leak_free(docs, _pairs_cc),
+          [("component map broadcast",
+            lambda p: "BroadcastHashJoin" in p)],
+          "components ride the O(#dup) pair frame (star rounds are "
+          "id-pair shuffles); corpus sees ONE broadcast left join")
+
     md = ["# Physical-plan audit", "",
           "Asserted on the executed plan by `python tools/plan_audit.py`",
           f"(re-run any time; last run {time.strftime('%Y-%m-%d %H:%M')},"

@@ -48,30 +48,20 @@ def bench(n_procs: int) -> float:
 
 
 def main() -> None:
+    # APPEND-ONLY: the file's headline table is the canonical HEALTHY
+    # window; a fresh probe only appends a row to the window-health
+    # log (the 2026-08-18 12:30 run clobbered the whole file — that
+    # mistake is why this writer no longer rewrites anything)
     rows = [(n, round(bench(n), 1)) for n in (1, 2, 4, 8, 16, 32)]
-    md = ["# Host memory-bandwidth ceiling (context for BASELINE.md)",
-          "",
-          "Pure numpy memcpy, one pinned process per CPU, 256 MB",
-          "buffers (no Spark/JVM). `python tools/membw.py` re-runs.",
-          f"Measured {time.strftime('%Y-%m-%d %H:%M')}.",
-          "",
-          "| processes | aggregate GB/s |", "|---|---|"]
-    md += [f"| {n} | {g} |" for n, g in rows]
-    peak = max(g for _, g in rows)
-    at32 = dict(rows)[32]
-    md += ["",
-           f"The host plateaus at ~{peak} GB/s around 4–8 processes and "
-           f"DEGRADES to ~{at32} GB/s at 32 — byte-bound work cannot "
-           "scale 8 → 32 cores on this box for ANY system. A real "
-           "N → 4N executor scale-up multiplies aggregate memory "
-           "bandwidth by 4; this single-VM sandbox cannot express "
-           "that, which is why BASELINE.md separates the byte-bound "
-           "payload fraction from the compute-bound fraction when "
-           "evidencing the north_rule."]
-    with open(os.path.join(REPO, "BENCH", "MEMBW.md"), "w") as fh:
-        fh.write("\n".join(md) + "\n")
+    path = os.path.join(REPO, "BENCH", "MEMBW.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    cells = " | ".join(str(dict(rows)[n]) for n in (1, 2, 4, 8, 16, 32))
+    line = f"| {stamp} | {cells} | (unjudged — compare 1p/8p vs healthy) |"
+    with open(path, "a") as fh:
+        fh.write(line + "\n")
     for n, g in rows:
         print(f"{n:2d} procs: {g:6.1f} GB/s")
+    print(f"appended window-health row to {path}; edit the verdict cell")
 
 
 if __name__ == "__main__":

@@ -895,6 +895,73 @@ def _q_payload_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_g711_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL-codec payload validation: the clips are G.711 µ-law/A-law
+    # telephony streams (audio.ulaw_/alaw_encode — ITU-T companding as
+    # vectorized numpy, validated byte-exactly against stdlib audioop
+    # over the full domain in tests/test_audio.py), NOT the zlib stub
+    # containers. Corpus: closed-form modular clips on orders keys
+    # (k % 41 == 0), n(k) = 600 + k % 997 samples, µ-law on even keys /
+    # A-law on odd. Companding keeps intact clips 35-38 dB above their
+    # reference (margins pinned in tests/test_payload.py) — above the
+    # 30 dB gate; three injections, closed-form in k, each fail one
+    # branch: k%12==0 truncated stream (1 byte/sample → half the
+    # samples → length mismatch, SNR -inf), k%12==4 zeroed payload
+    # (noise power ≈ signal power, SNR ≈ 0 dB), k%12==8
+    # transcript tamper. The oracle states that injected ground truth.
+    from canned_yaml_spark import resample as rs
+    from canned_yaml_spark.checks import PayloadCheck
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 41 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen_clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        from canned_yaml_spark import audio as au
+        for pdf in batches:
+            out = {"clip_id": [], "bytes": [], "codec": [],
+                   "transcript": [], "part_id": []}
+            for k in (int(x) for x in pdf["k"]):
+                n = 600 + k % 997
+                codec = "ulaw" if k % 2 == 0 else "alaw"
+                data = au.encode(rs.mod_pcm(k, n), codec)
+                t = f"transcript {k}"
+                r = k % 12
+                if r == 0:
+                    data = data[: n // 2]
+                elif r == 4:
+                    data = au.encode(np.zeros(n, dtype=np.int16), codec)
+                elif r == 8:
+                    t = "tampered"
+                out["clip_id"].append(f"clip_{k:010d}")
+                out["bytes"].append(data)
+                out["codec"].append(codec)
+                out["transcript"].append(t)
+                out["part_id"].append(k % 64)
+            yield pd.DataFrame(out)
+
+    def gen_ref(batches):
+        import pandas as pd
+        for pdf in batches:
+            ks = [int(x) for x in pdf["k"]]
+            yield pd.DataFrame({
+                "clip_id": [f"clip_{k:010d}" for k in ks],
+                "pcm_ref": [rs.mod_pcm(k, 600 + k % 997).tobytes()
+                            for k in ks],
+                "transcript_ref": [f"transcript {k}" for k in ks]})
+
+    clips = keys.mapInPandas(
+        gen_clips, "clip_id string, bytes binary, codec string, "
+                   "transcript string, part_id int")
+    ref = keys.mapInPandas(
+        gen_ref, "clip_id string, pcm_ref binary, transcript_ref string")
+    check = PayloadCheck(rule_id="x-payload.bytes", column="bytes")
+    return (payload.payload_violations(clips, ref, check)
+            .select(*_VCOLS))
+
+
 def _q_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SURVEY §2 #25 — checkpoint/resume end to end, simulating a real
     # mid-run crash: run the FULL corpus once, then truncate the
@@ -1007,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_distance": _q_transcript_distance,
         "payload_snr": _q_payload_snr,       # oracle: injected ground truth
         "payload_certified": _q_payload_certified,  # oracle: same set
+        "g711_snr": _q_g711_snr,             # oracle: injected ground truth
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
@@ -1081,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         # the identical violation set
         "payload_snr": oracle.sql_payload_snr(),
         "payload_certified": oracle.sql_payload_snr(),
+        "g711_snr": oracle.sql_g711_snr(),
         # crash+resume must reproduce the from-scratch verdicts, which
         # this SQL restates family by family over the fixture corpus
         "resume_verdicts": oracle.sql_resume_verdicts(),

@@ -1090,6 +1090,26 @@ WHERE (ridx IN (6, 7, 8) AND copy = 0)
 """.strip()
 
 
+def sql_g711_snr() -> str:
+    # Ground truth by construction for the G.711 gate corpus
+    # (__spark_entry__._q_g711_snr): clips on orders keys k % 41 == 0,
+    # REAL µ-law/A-law companded streams. Intact clips sit 35-38 dB
+    # above reference (companding noise — margins pinned in
+    # tests/test_payload.py), so the payload check fails EXACTLY the
+    # injected rows: k%12==0 (truncated stream → length mismatch →
+    # SNR -inf), k%12==4 (zeroed payload → SNR ≈ 0 dB),
+    # k%12==8 (transcript tamper). One violation row each — the
+    # injections are disjoint and each fails a single branch.
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-payload.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 41 = 0)
+WHERE k % 12 IN (0, 4, 8)
+""".strip()
+
+
 def sql_normalize_peak() -> str:
     # exact restatement of resample.normalize_peak over the gate
     # corpus: clip k holds n(k) = 700 + k % 997 samples of

@@ -63,3 +63,86 @@ def test_snr_empty_and_mismatch():
     assert audio.snr_db(np.zeros(0, "<i2"), np.zeros(0, "<i2")) == float("inf")
     assert audio.snr_db(np.ones(4, "<i2"), None) == float("-inf")
     assert audio.snr_db(np.ones(4, "<i2"), np.ones(5, "<i2")) == float("-inf")
+
+
+# --- G.711 µ-law / A-law: REAL codecs, audioop-cross-checked ---------------
+#
+# The stdlib's audioop (an independent C implementation of ITU-T G.711,
+# present through Python 3.12) is the external oracle: every mapping is
+# compared over its FULL domain — all 65536 int16 inputs for the
+# encoders, all 256 bytes for the decoders. Same discipline as the WAV
+# container's stdlib-`wave` cross-check.
+
+audioop = pytest.importorskip("audioop")
+
+
+def _all_int16():
+    return np.arange(-32768, 32768, dtype=np.int16)
+
+
+def test_ulaw_encode_matches_audioop_exhaustively():
+    x = _all_int16()
+    ref = np.frombuffer(audioop.lin2ulaw(x.tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(audio.ulaw_encode(x), ref)
+
+
+def test_ulaw_decode_matches_audioop_exhaustively():
+    b = np.arange(256, dtype=np.uint8)
+    ref = np.frombuffer(audioop.ulaw2lin(b.tobytes(), 2), dtype="<i2")
+    assert np.array_equal(audio.ulaw_decode(b), ref)
+
+
+def test_alaw_encode_matches_audioop_exhaustively():
+    x = _all_int16()
+    ref = np.frombuffer(audioop.lin2alaw(x.tobytes(), 2), dtype=np.uint8)
+    assert np.array_equal(audio.alaw_encode(x), ref)
+
+
+def test_alaw_decode_matches_audioop_exhaustively():
+    b = np.arange(256, dtype=np.uint8)
+    ref = np.frombuffer(audioop.alaw2lin(b.tobytes(), 2), dtype="<i2")
+    assert np.array_equal(audio.alaw_decode(b), ref)
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_through_codec_registry_passes_30db_gate(codec):
+    # companded log-PCM: lossy but ~37 dB on the synth corpus — above
+    # the 30 dB payload gate with ~7 dB margin (pinned band)
+    pcm = audio.synth_pcm(5, 16000, 400)
+    dec = audio.decode(audio.encode(pcm, codec), codec)
+    assert dec is not None and dec.size == pcm.size
+    s = audio.snr_db(pcm, dec)
+    assert 33.0 <= s <= 42.0
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_transcode_fixpoint(codec):
+    # companding is idempotent after one pass: decode∘encode maps onto
+    # the 256-point codebook, so a second encode round-trips bit-exactly
+    pcm = audio.synth_pcm(6, 22050, 300)
+    enc1 = audio.encode(pcm, codec)
+    dec1 = audio.decode(enc1, codec)
+    assert audio.encode(dec1, codec) == enc1
+    assert np.array_equal(audio.decode(audio.encode(dec1, codec), codec),
+                          dec1)
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_truncation_fails_gate(codec):
+    # 1 byte/sample: truncation halves the sample count → length
+    # mismatch → SNR -inf (hard fail), the same failure shape as raw PCM
+    pcm = audio.synth_pcm(7, 16000, 400)
+    enc = audio.encode(pcm, codec)
+    dec = audio.decode(enc[: len(enc) // 2], codec)
+    assert dec is not None and dec.size == pcm.size // 2
+    assert audio.snr_db(pcm, dec) == float("-inf")
+
+
+def test_g711_extremes_saturate_not_wrap():
+    # full-scale inputs hit the top companding segment on both laws and
+    # decode back to the curve's saturation values, never sign-flipped
+    x = np.array([-32768, -32767, 32766, 32767], dtype=np.int16)
+    for codec in ("ulaw", "alaw"):
+        d = audio.decode(audio.encode(x, codec), codec)
+        assert np.all(np.sign(d) == np.sign(x))
+        assert np.all(np.abs(d.astype(np.int32)) <= 32768)

@@ -473,3 +473,32 @@ def test_payload_gate_closed_form(spark, clips, clips_ref, suite):
         if injected_rule(k) in ("transcript_null", "transcript_len"):
             _, ref_row = make_row(k, 64, False)
             assert ref_row[2] and 1 <= len(ref_row[2]) <= 4096
+
+
+def test_g711_gate_margins():
+    """The G.711 driver gate's oracle (oracle.sql_g711_snr) states the
+    injected ground truth; this pins the margins that make that
+    statement safe, over the gate's own closed-form corpus family:
+    intact companded clips sit 35-38 dB above reference (5+ dB above
+    the 30 dB gate), the zeroed injection sits at ~0 dB (A-law has no true zero —
+    its mid-riser decodes 0 to +8 — so the band is |SNR| < 0.1 dB),
+    and truncation is a hard -inf (1
+    byte/sample → half the samples → length mismatch)."""
+    import numpy as np
+
+    from canned_yaml_spark import audio
+    from canned_yaml_spark.resample import mod_pcm
+
+    intact, zeroed = [], []
+    for k in range(0, 4100, 41):
+        n = 600 + k % 997
+        codec = "ulaw" if k % 2 == 0 else "alaw"
+        ref = mod_pcm(k, n)
+        enc = audio.encode(ref, codec)
+        intact.append(audio.snr_db(ref, audio.decode(enc, codec)))
+        z = audio.encode(np.zeros(n, dtype=np.int16), codec)
+        zeroed.append(audio.snr_db(ref, audio.decode(z, codec)))
+        assert audio.snr_db(
+            ref, audio.decode(enc[: n // 2], codec)) == float("-inf")
+    assert 33.0 <= min(intact) and max(intact) <= 40.0
+    assert max(abs(s) for s in zeroed) < 0.1

@@ -962,6 +962,48 @@ def _q_g711_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_train_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixed-size training-window chunking (segment.window_slices): the
+    # prep step that turns validated clips into trainer-shaped
+    # examples. For raw stateless codecs the whole operator is pure
+    # JVM column ops (sequence → posexplode → substring on binary —
+    # zero Python, one codegen span; plan pinned in tests/
+    # test_segment.py), so the oracle restates it EXACTLY: window
+    # boundaries by integer arithmetic and each window's content via
+    # peak/DC of the sliced samples (closed-form modular signal).
+    # Corpus: pcm_s16le clips on orders keys (k % 43 == 0),
+    # n(k) = 600 + k % 997 samples; win=256, hop=192 (25% overlap).
+    from canned_yaml_spark import segment
+    from canned_yaml_spark import resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 43 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ks = [int(x) for x in pdf["k"]]
+            yield pd.DataFrame({
+                "clip_id": [f"clip_{k:010d}" for k in ks],
+                "codec": ["pcm_s16le"] * len(ks),
+                "bytes": [rs.mod_pcm(k, 600 + k % 997).tobytes()
+                          for k in ks]})
+
+    corpus = keys.mapInPandas(gen, "clip_id string, codec string, "
+                                   "bytes binary")
+    w = segment.window_slices(corpus, win=256, hop=192)
+    stats = payload.audio_stats(
+        w.select(F.concat_ws("#", "clip_id", "win_idx").alias("wid"),
+                 F.lit(0).alias("part_id"), "codec", "win_bytes"),
+        byte_col="win_bytes", id_col="wid")
+    return (w.select("clip_id", "win_idx", "win_start", "win_end",
+                     F.concat_ws("#", "clip_id", "win_idx").alias("wid"))
+             .join(stats.select(F.col("clip_id").alias("wid"), "peak",
+                                "dc_offset"), "wid")
+             .select("clip_id", "win_idx", "win_start", "win_end",
+                     "peak", F.round("dc_offset", 4).alias("dc_offset")))
+
+
 def _q_resume_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SURVEY §2 #25 — checkpoint/resume end to end, simulating a real
     # mid-run crash: run the FULL corpus once, then truncate the
@@ -1052,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_near_dups": _q_audio_near_dups,
         "audio_near_dup_delta": _q_audio_near_dup_delta,
         "audio_segments": _q_audio_segments,
+        "train_windows": _q_train_windows,
         "resample": _q_resample,
         "normalize_peak": _q_normalize_peak,
         "codec_quantiles": _q_codec_quantiles,
@@ -1125,6 +1168,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_near_dups": oracle.sql_audio_near_dups(),
         "audio_near_dup_delta": oracle.sql_audio_near_dup_delta(),
         "audio_segments": oracle.sql_audio_segments(),
+        "train_windows": oracle.sql_train_windows(),
         "resample": oracle.sql_resample(),
         "normalize_peak": oracle.sql_normalize_peak(),
         "codec_quantiles": oracle.sql_codec_quantiles(),

@@ -1110,6 +1110,34 @@ WHERE k % 12 IN (0, 4, 8)
 """.strip()
 
 
+def sql_train_windows() -> str:
+    # Exact restatement of the fixed-window chunking gate
+    # (__spark_entry__._q_train_windows): clips on orders keys
+    # k % 43 == 0 hold n(k) = 600 + k % 997 samples of the modular
+    # signal s(i) = (i*31 + k*7) % 2048 - 1024; windows of 256 samples
+    # every 192, tail dropped (window j exists iff j*192 + 256 <= n).
+    # Window content is checked through its peak and DC offset —
+    # list_max / list_sum over the exact sample range; /256.0 is a
+    # power-of-two division, so the double is exact before round().
+    s = "((i*31 + k*7) % 2048 - 1024)"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k, 600 + o_orderkey % 997 AS n
+            FROM orders WHERE o_orderkey % 43 = 0),
+w AS (SELECT k, unnest(range(0, (n - 256) // 192 + 1)) AS j
+      FROM ks WHERE n >= 256),
+v AS (SELECT k, j, j * 192 AS st FROM w)
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(j AS INT) AS win_idx,
+       st AS win_start,
+       st + 256 AS win_end,
+       list_max(list_transform(range(st, st + 256),
+                               i -> abs({s}))) AS peak,
+       round(list_sum(list_transform(range(st, st + 256),
+                                     i -> {s})) / 256.0, 4) AS dc_offset
+FROM v
+""".strip()
+
+
 def sql_normalize_peak() -> str:
     # exact restatement of resample.normalize_peak over the gate
     # corpus: clip k holds n(k) = 700 + k % 997 samples of

@@ -134,3 +134,107 @@ def seg_corpus_df(spark, keys: DataFrame) -> DataFrame:
 
     return keys.mapInPandas(gen, "clip_id string, codec string, "
                                  "bytes binary")
+
+
+# ----------------------------------------------- fixed training windows
+#: raw STATELESS codecs: fixed bytes/sample, so slicing the byte stream
+#: commutes with decoding it — window extraction never needs Python
+RAW_BPS = {"pcm_s16le": 2, "ulaw": 1, "alaw": 1}
+
+_WIN_SCHEMA = ("clip_id string, codec string, win_idx int, "
+               "win_start bigint, win_end bigint, win_bytes binary")
+
+
+def window_slices(clips: DataFrame, win: int, hop: int,
+                  byte_col: str = "bytes", codec_col: str = "codec",
+                  id_col: str = "clip_id",
+                  emit_bytes: bool = True) -> DataFrame:
+    """Cut clips into fixed-size training windows (`win` samples every
+    `hop`), the prep step between segmentation and featurization.
+    Output: (clip_id, codec, win_idx, win_start, win_end[, win_bytes])
+    with win_end exclusive and the tail (< win samples) dropped —
+    trainers want fixed shapes; window n covers [n·hop, n·hop + win).
+
+    Spark-first shape: for raw stateless codecs (RAW_BPS — PCM16 and
+    the G.711 pair) the sample count is length(bytes)/bps and a window
+    IS a byte-range, so the whole operator is sequence → posexplode →
+    substring COLUMN ops: no Arrow crossing, no Python, one
+    whole-stage-codegen span, embarrassingly parallel, and the DuckDB
+    oracle can restate it exactly (generate_series + blob slicing).
+    Framed/entropy codecs can't be sliced without decode — those rows
+    route through windows_decoded (Arrow) instead; this operator
+    filters to RAW_BPS rows (and to streams whose byte length is a
+    whole number of samples — a dangling byte means the payload is
+    corrupt, which is the payload check's violation to raise, not
+    ours to guess through).
+    """
+    if win <= 0 or hop <= 0:
+        raise ValueError(f"win and hop must be positive, got {win}/{hop}")
+    bps = F.element_at(
+        F.create_map(*[F.lit(x) for kv in RAW_BPS.items() for x in kv]),
+        F.col(codec_col))
+    n = (F.length(F.col(byte_col)) / bps).cast("long")
+    src = (clips.select(F.col(id_col).alias("clip_id"),
+                        F.col(codec_col).alias("codec"),
+                        F.col(byte_col).alias("_bytes"),
+                        bps.alias("_bps"), n.alias("_n"))
+                .filter(F.col("_bps").isNotNull() &
+                        F.col("_bytes").isNotNull() &
+                        (F.length("_bytes") % F.col("_bps") == 0) &
+                        (F.col("_n") >= win)))
+    starts = F.sequence(F.lit(0).cast("long"),
+                        F.col("_n") - win, F.lit(hop).cast("long"))
+    e = src.select("clip_id", "codec", "_bytes", "_bps",
+                   F.posexplode(starts).alias("win_idx", "win_start"))
+    cols = [F.col("clip_id"), F.col("codec"), F.col("win_idx"),
+            F.col("win_start"),
+            (F.col("win_start") + win).alias("win_end")]
+    if emit_bytes:
+        # substring on binary is 1-based; pure JVM byte-range copy
+        cols.append(F.expr(
+            f"substring(_bytes, cast(win_start * _bps + 1 as int), "
+            f"{win} * _bps)").alias("win_bytes"))
+    return e.select(*cols)
+
+
+def windows_decoded(clips: DataFrame, win: int, hop: int,
+                    byte_col: str = "bytes", codec_col: str = "codec",
+                    id_col: str = "clip_id", decoder=None) -> DataFrame:
+    """Arrow fallback for framed/entropy codecs: decode each payload
+    once, then emit every window's samples re-encoded as pcm_s16le
+    (the trainer-ready form — codec column says so). Same windowing
+    rule as window_slices; undecodable rows contribute no windows.
+    One mapInPandas pass, no join, no shuffle; the Python work is a
+    strided slice per window over the already-decoded array."""
+    if win <= 0 or hop <= 0:
+        raise ValueError(f"win and hop must be positive, got {win}/{hop}")
+    dec_fn = decoder or decode
+    src = clips.select(F.col(id_col).alias("clip_id"),
+                       F.col(byte_col).alias("_bytes"),
+                       F.col(codec_col).alias("_codec"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ss, bs = [], [], [], []
+            payloads = pdf["_bytes"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
+            for i, cid in enumerate(pdf["clip_id"]):
+                if payloads[i] is None:
+                    continue
+                pcm = dec_fn(payloads[i], codecs[i])
+                if pcm is None or pcm.size < win:
+                    continue
+                for j, s in enumerate(range(0, pcm.size - win + 1, hop)):
+                    ids.append(cid)
+                    idxs.append(j)
+                    ss.append(s)
+                    bs.append(pcm[s:s + win].tobytes())
+            yield pd.DataFrame({
+                "clip_id": ids,
+                "codec": ["pcm_s16le"] * len(ids),
+                "win_idx": pd.array(idxs, dtype="int32"),
+                "win_start": pd.array(ss, dtype="int64"),
+                "win_end": pd.array([s + win for s in ss], dtype="int64"),
+                "win_bytes": bs})
+
+    return src.mapInPandas(run, _WIN_SCHEMA)

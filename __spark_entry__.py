@@ -962,6 +962,71 @@ def _q_g711_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IMA/DVI ADPCM payload validation (audio.py — REAL 4-bit adaptive
+    # predictive codec, audioop-cross-checked). Corpus: closed-form
+    # TRIANGLE clips (resample.tri_pcm — smooth, so the one-tap
+    # predictor tracks at 60-66 dB; the pseudo-random mod family would
+    # sit at ~4 dB, the codec's honest character) on orders keys
+    # k % 47 == 0, n(k) = 600 + k % 997. Injections closed-form in k:
+    # k%12==0 truncated container (header sample count no longer
+    # matches the body → decode None → undecodable violation),
+    # k%12==4 zeroed payload (encodes/decodes to exact zeros → SNR
+    # exactly 0 dB), k%12==8 transcript tamper. Margins pinned in
+    # tests/test_audio.py + tests/test_payload.py.
+    from canned_yaml_spark import resample as rs
+    from canned_yaml_spark.checks import PayloadCheck
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 47 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen_clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        from canned_yaml_spark import audio as au
+        for pdf in batches:
+            out = {"clip_id": [], "bytes": [], "codec": [],
+                   "transcript": [], "part_id": []}
+            for k in (int(x) for x in pdf["k"]):
+                n = 600 + k % 997
+                data = au.encode(rs.tri_pcm(k, n), "adpcm_ima")
+                t = f"transcript {k}"
+                r = k % 12
+                if r == 0:
+                    data = data[: len(data) // 2]
+                elif r == 4:
+                    data = au.encode(np.zeros(n, dtype=np.int16),
+                                     "adpcm_ima")
+                elif r == 8:
+                    t = "tampered"
+                out["clip_id"].append(f"clip_{k:010d}")
+                out["bytes"].append(data)
+                out["codec"].append("adpcm_ima")
+                out["transcript"].append(t)
+                out["part_id"].append(k % 64)
+            yield pd.DataFrame(out)
+
+    def gen_ref(batches):
+        import pandas as pd
+        for pdf in batches:
+            ks = [int(x) for x in pdf["k"]]
+            yield pd.DataFrame({
+                "clip_id": [f"clip_{k:010d}" for k in ks],
+                "pcm_ref": [rs.tri_pcm(k, 600 + k % 997).tobytes()
+                            for k in ks],
+                "transcript_ref": [f"transcript {k}" for k in ks]})
+
+    clips = keys.mapInPandas(
+        gen_clips, "clip_id string, bytes binary, codec string, "
+                   "transcript string, part_id int")
+    ref = keys.mapInPandas(
+        gen_ref, "clip_id string, pcm_ref binary, transcript_ref string")
+    check = PayloadCheck(rule_id="x-payload.bytes", column="bytes")
+    return (payload.payload_violations(clips, ref, check)
+            .select(*_VCOLS))
+
+
 def _q_train_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-size training-window chunking (segment.window_slices): the
     # prep step that turns validated clips into trainer-shaped
@@ -1118,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_snr": _q_payload_snr,       # oracle: injected ground truth
         "payload_certified": _q_payload_certified,  # oracle: same set
         "g711_snr": _q_g711_snr,             # oracle: injected ground truth
+        "adpcm_snr": _q_adpcm_snr,           # oracle: injected ground truth
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
@@ -1194,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_snr": oracle.sql_payload_snr(),
         "payload_certified": oracle.sql_payload_snr(),
         "g711_snr": oracle.sql_g711_snr(),
+        "adpcm_snr": oracle.sql_adpcm_snr(),
         # crash+resume must reproduce the from-scratch verdicts, which
         # this SQL restates family by family over the fixture corpus
         "resume_verdicts": oracle.sql_resume_verdicts(),

@@ -1110,6 +1110,25 @@ WHERE k % 12 IN (0, 4, 8)
 """.strip()
 
 
+def sql_adpcm_snr() -> str:
+    # Ground truth by construction for the IMA ADPCM gate corpus
+    # (__spark_entry__._q_adpcm_snr): triangle clips on orders keys
+    # k % 47 == 0. Intact clips decode 60-66 dB above reference
+    # (one-tap predictor on a smooth signal — band pinned in
+    # tests/test_audio.py), so the payload check fails EXACTLY the
+    # injected rows: k%12==0 (truncated container → decode None),
+    # k%12==4 (zeroed payload → SNR exactly 0 dB), k%12==8
+    # (transcript tamper). One violation row each.
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-payload.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 47 = 0)
+WHERE k % 12 IN (0, 4, 8)
+""".strip()
+
+
 def sql_train_windows() -> str:
     # Exact restatement of the fixed-window chunking gate
     # (__spark_entry__._q_train_windows): clips on orders keys

@@ -204,6 +204,21 @@ def mod_pcm(key: int, n_samples: int = 4000) -> np.ndarray:
     return ((i * 31 + key * 7) % 2048 - 1024).astype("<i2")
 
 
+def tri_pcm(key: int, n_samples: int, slope: int = 16,
+            amp: int = 4000) -> np.ndarray:
+    """Closed-form TRIANGLE wave for predictive-codec gates: sample i
+    of clip k is |((i·slope + k·13) mod 4·amp) − 2·amp| − amp. Unlike
+    the pseudo-random mod_pcm family this signal is smooth (|Δ| =
+    slope per sample), which a one-tap adaptive predictor (IMA ADPCM)
+    tracks at 60+ dB — mod_pcm's decorrelated samples would sit at
+    ~4 dB under the same codec (the honest character of 4-bit ADPCM,
+    pinned in tests/test_audio.py). Boundaries and values stay exactly
+    restatable in SQL."""
+    i = np.arange(n_samples, dtype=np.int64)
+    return (np.abs((i * slope + key * 13) % (4 * amp) - 2 * amp)
+            - amp).astype("<i2")
+
+
 def mod_corpus_df(spark, keys: DataFrame,
                   n_samples: int = 4000, sr_hz: int = 16000) -> DataFrame:
     """(clip_id, sr_hz, codec, bytes) corpus of closed-form clips for

@@ -146,3 +146,84 @@ def test_g711_extremes_saturate_not_wrap():
         d = audio.decode(audio.encode(x, codec), codec)
         assert np.all(np.sign(d) == np.sign(x))
         assert np.all(np.abs(d.astype(np.int32)) <= 32768)
+
+
+# --- IMA/DVI ADPCM: REAL codec, audioop-cross-checked ----------------------
+
+def test_adpcm_codes_match_audioop_random_streams():
+    """Encode AND decode parity with audioop's independent C
+    implementation over random/structured streams, from the zero state
+    and from arbitrary predictor states (audioop's state tuple ==
+    the container header's (valpred, index))."""
+    rng = np.random.default_rng(3)
+    for trial in range(24):
+        n = int(rng.integers(2, 900)) * 2
+        kind = trial % 3
+        if kind == 0:
+            pcm = rng.integers(-32768, 32768, n).astype(np.int16)
+        elif kind == 1:
+            t = np.arange(n) / 8000.0
+            pcm = (20000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+        else:
+            pcm = np.zeros(n, dtype=np.int16)
+            pcm[::7] = 32767
+        state = (None if trial % 4 == 0 else
+                 (int(rng.integers(-32768, 32768)),
+                  int(rng.integers(0, 89))))
+        ref_bytes, _ = audioop.lin2adpcm(pcm.tobytes(), 2, state)
+        vp, ix = state if state else (0, 0)
+        got = audio._adpcm_pack(audio._adpcm_encode_codes(pcm, vp, ix))
+        assert got == ref_bytes
+        ref_dec, _ = audioop.adpcm2lin(ref_bytes, 2, state)
+        got_dec = audio._adpcm_decode_codes(
+            audio._adpcm_unpack(ref_bytes, n), vp, ix)
+        assert np.array_equal(
+            np.frombuffer(ref_dec, dtype="<i2"), got_dec)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 601, 1024])
+def test_adpcm_container_roundtrip_exact_length(n):
+    # the header's sample count restores EXACT length (odd counts have
+    # a half-filled final byte; headerless streams can't distinguish)
+    pcm = audio.synth_pcm(9, 16000, 400)[:n].copy()
+    enc = audio.encode(pcm, "adpcm_ima")
+    dec = audio.decode(enc, "adpcm_ima")
+    assert dec is not None and dec.size == n
+
+
+def test_adpcm_smooth_signal_snr_band():
+    """ADPCM's honest character: a one-tap adaptive predictor tracks
+    smooth signals at 60+ dB (triangle corpus band pinned — the
+    adpcm_snr gate's safety margin) but decorrelated samples at ~4 dB.
+    The header-carried initial predictor state is load-bearing: from
+    the cold (0,0) state the same triangle clips lose ~45 dB to the
+    start-up transient."""
+    from canned_yaml_spark.resample import mod_pcm, tri_pcm
+    tri, cold, rnd = [], [], []
+    for k in range(0, 4100, 41):
+        n = 600 + k % 997
+        s = tri_pcm(k, n)
+        dec = audio.decode(audio.encode(s, "adpcm_ima"), "adpcm_ima")
+        tri.append(audio.snr_db(s, dec))
+        codes = audio._adpcm_encode_codes(s, 0, 0)
+        cold.append(audio.snr_db(s, audio._adpcm_decode_codes(codes)))
+        m = mod_pcm(k, n)
+        decm = audio.decode(audio.encode(m, "adpcm_ima"), "adpcm_ima")
+        rnd.append(audio.snr_db(m, decm))
+    assert 60.0 <= min(tri) and max(tri) <= 66.0
+    # cold start is harmless only when a clip happens to START near
+    # zero; the worst case loses 40+ dB — that tail is why the header
+    # carries the state
+    assert min(cold) < 25.0
+    assert max(rnd) < 10.0
+
+
+def test_adpcm_corruption_rejected():
+    pcm = audio.synth_pcm(10, 16000, 400)
+    enc = audio.encode(pcm, "adpcm_ima")
+    assert audio.decode(enc[: len(enc) // 2], "adpcm_ima") is None
+    assert audio.decode(b"XXXX" + enc[4:], "adpcm_ima") is None
+    assert audio.decode(enc + b"\x00", "adpcm_ima") is None
+    bad_idx = enc[:10] + bytes([200]) + enc[11:]
+    assert audio.decode(bad_idx, "adpcm_ima") is None
+    assert audio.decode(enc[:8], "adpcm_ima") is None

@@ -502,3 +502,28 @@ def test_g711_gate_margins():
             ref, audio.decode(enc[: n // 2], codec)) == float("-inf")
     assert 33.0 <= min(intact) and max(intact) <= 40.0
     assert max(abs(s) for s in zeroed) < 0.1
+
+
+def test_adpcm_gate_margins():
+    """Safety margins for the ADPCM driver gate's oracle
+    (oracle.sql_adpcm_snr), over the gate's own corpus family: intact
+    triangle clips decode 60-66 dB above reference (band also pinned
+    in tests/test_audio.py), the zeroed injection decodes to EXACT
+    zeros (SNR exactly 0 dB — the encoder's predictor never moves off
+    a zero signal), and truncating the container makes the header's
+    sample count disagree with the body → decode refuses (None), a
+    hard undecodable violation."""
+    import numpy as np
+
+    from canned_yaml_spark import audio
+    from canned_yaml_spark.resample import tri_pcm
+
+    for k in range(0, 4100, 47):
+        n = 600 + k % 997
+        ref = tri_pcm(k, n)
+        enc = audio.encode(ref, "adpcm_ima")
+        assert 60.0 <= audio.snr_db(
+            ref, audio.decode(enc, "adpcm_ima")) <= 66.0
+        z = audio.encode(np.zeros(n, dtype=np.int16), "adpcm_ima")
+        assert audio.snr_db(ref, audio.decode(z, "adpcm_ima")) == 0.0
+        assert audio.decode(enc[: len(enc) // 2], "adpcm_ima") is None

@@ -1110,6 +1110,48 @@ WHERE k % 12 IN (0, 4, 8)
 """.strip()
 
 
+def sql_wer_report() -> str:
+    # INDEPENDENT recomputation of the WER gate
+    # (__spark_entry__._q_wer_report): rebuild both word-id lists by
+    # the same closed form, apply the same k%8 edit, then encode each
+    # list to a string (id → chr(65 + id); the out-of-vocab token 'z'
+    # → id 50) and let DuckDB's OWN levenshtein do the word-level
+    # alignment. Byte edits on the encoded strings are exactly word
+    # edits because the encoding is a bijection from this corpus's
+    # 51-word vocabulary into single-BYTE symbols (DuckDB levenshtein
+    # is byte-oriented — multibyte codepoints would double every
+    # cost). The ENGINE can't use this trick: real transcripts have
+    # unbounded vocabularies, which is why payload.wer runs a general
+    # Arrow DP instead.
+    wid = "(k*7 + i*13) % 50"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k, 5 + o_orderkey % 23 AS n
+            FROM orders WHERE o_orderkey % 31 = 0),
+base AS (SELECT k, n,
+                list_transform(range(0, n), i -> {wid}) AS ref_ids
+         FROM ks),
+probe AS (SELECT k, n, ref_ids,
+  CASE k % 8
+    WHEN 1 THEN list_transform(range(0, n),
+                  i -> CASE WHEN i = k % n THEN 50 ELSE {wid} END)
+    WHEN 3 THEN ref_ids[1:n-1]
+    WHEN 5 THEN list_prepend(ref_ids[1], ref_ids)
+    WHEN 7 THEN list_transform(range(0, n), i -> 50)
+    ELSE ref_ids
+  END AS t_ids
+  FROM base),
+enc AS (SELECT k, n,
+  array_to_string(list_transform(t_ids, x -> chr(CAST(65 + x AS INTEGER))), '') AS et,
+  array_to_string(list_transform(ref_ids, x -> chr(CAST(65 + x AS INTEGER))), '') AS er
+  FROM probe)
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(n AS BIGINT) AS n_ref_words,
+       CAST(levenshtein(et, er) AS BIGINT) AS dist,
+       round(levenshtein(et, er) / CAST(n AS DOUBLE), 4) AS wer
+FROM enc
+""".strip()
+
+
 def sql_adpcm_snr() -> str:
     # Ground truth by construction for the IMA ADPCM gate corpus
     # (__spark_entry__._q_adpcm_snr): triangle clips on orders keys

@@ -418,6 +418,82 @@ def transcript_distance(clips: DataFrame, clips_ref: DataFrame,
                     F.levenshtein("_t", "_tr").alias("dist"))
 
 
+def _word_lev(a: list[str], b: list[str]) -> int:
+    """Word-level Levenshtein distance via a numpy DP whose inner loop
+    is vectorized over the reference dimension: the sequential
+    next[j-1]+1 dependency collapses into one minimum.accumulate scan
+    (next[j] − j is the running prefix-min of the candidate costs −
+    their index). One O(|b|) vector pass per probe word."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    vocab: dict[str, int] = {}
+    ac = [vocab.setdefault(w, len(vocab)) for w in a]
+    bc = np.array([vocab.setdefault(w, len(vocab)) for w in b])
+    m = bc.size
+    idx = np.arange(1, m + 1)
+    prev = np.arange(m + 1)
+    for i, wa in enumerate(ac):
+        tent = np.minimum(prev[1:] + 1, prev[:-1] + (bc != wa))
+        g = np.minimum.accumulate(np.concatenate(([i + 1], tent - idx)))
+        prev = g + np.arange(m + 1)
+    return int(prev[m])
+
+
+def wer(clips: DataFrame, clips_ref: DataFrame,
+        id_col: str = "clip_id", part_col: str = "part_id",
+        ref_col: str = "transcript_ref",
+        join_hint: str = "SHUFFLE_HASH") -> DataFrame:
+    """Word error rate — the ASR-standard metric: word-level edit
+    distance between each clip's transcript and its reference, divided
+    by the reference word count. Words are whitespace-separated tokens
+    (runs collapse, leading/trailing ignored), case-sensitive.
+
+    Output: (clip_id, part_id, n_ref_words, dist, wer); dist NULL when
+    either side is NULL, wer additionally NULL for an empty reference.
+    The join is the same pruned clip_id equi-join as
+    transcript_distance (exchange-free over bucketed tables); the DP
+    itself crosses into Python because word-level alignment is not a
+    JVM expression (Spark's levenshtein is char-level and its chr()
+    wraps at 256, so no word→char encoding is faithful JVM-side — the
+    DuckDB oracle uses exactly that encoding, full-Unicode there).
+    One Arrow batch pass, numpy-vectorized inner loop (_word_lev).
+    """
+    t = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(part_col).alias("part_id"),
+        F.col("transcript").alias("_t"),
+    ).join(
+        clips_ref.select("clip_id",
+                         F.col(ref_col).alias("_tr")).hint(join_hint),
+        "clip_id", "inner")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_out, d_out, w_out = [], [], []
+            for tt, rr in zip(pdf["_t"], pdf["_tr"]):
+                n_ref = None if rr is None else len(rr.split())
+                if tt is None or rr is None:
+                    d = w = None
+                else:
+                    d = _word_lev(tt.split(), rr.split())
+                    w = round(d / n_ref, 4) if n_ref else None
+                n_out.append(n_ref)
+                d_out.append(d)
+                w_out.append(w)
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "part_id": pdf["part_id"],
+                "n_ref_words": pd.array(n_out, dtype="Int64"),
+                "dist": pd.array(d_out, dtype="Int64"),
+                "wer": pd.array(w_out, dtype="Float64")})
+
+    return t.mapInPandas(
+        run, "clip_id string, part_id int, n_ref_words bigint, "
+             "dist bigint, wer double")
+
+
 #: audio_stats output schema — one metrics row per input clip
 _STATS_SCHEMA = ("clip_id string, part_id int, n_samples bigint, "
                  "peak int, dc_offset double, rms_db double, "

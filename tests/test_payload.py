@@ -527,3 +527,59 @@ def test_adpcm_gate_margins():
         z = audio.encode(np.zeros(n, dtype=np.int16), "adpcm_ima")
         assert audio.snr_db(ref, audio.decode(z, "adpcm_ima")) == 0.0
         assert audio.decode(enc[: len(enc) // 2], "adpcm_ima") is None
+
+
+def _ref_word_lev(a, b):
+    """Plain-loop reference DP (textbook recurrence)."""
+    dp = list(range(len(b) + 1))
+    for i, wa in enumerate(a, 1):
+        new = [i]
+        for j, wb in enumerate(b, 1):
+            new.append(min(dp[j] + 1, new[j - 1] + 1,
+                           dp[j - 1] + (wa != wb)))
+        dp = new
+    return dp[len(b)]
+
+
+def test_word_lev_hand_cases():
+    wl = payload._word_lev
+    assert wl([], []) == 0
+    assert wl(["a"], []) == 1
+    assert wl([], ["a", "b"]) == 2
+    assert wl(["the", "cat"], ["the", "cat"]) == 0
+    assert wl(["the", "cat"], ["the", "hat"]) == 1
+    assert wl(["the", "cat", "sat"], ["the", "sat"]) == 1
+    assert wl(["a", "b", "c"], ["c", "b", "a"]) == 2
+    # no shared words → distance is max length
+    assert wl(["x", "y", "z"], ["p", "q"]) == 3
+
+
+def test_word_lev_matches_reference_dp():
+    import random
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    for _ in range(200):
+        a = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        b = [rng.choice(vocab) for _ in range(rng.randrange(0, 25))]
+        assert payload._word_lev(a, b) == _ref_word_lev(a, b)
+
+
+def test_wer_operator_semantics(spark):
+    clips = spark.createDataFrame(
+        [("c0", "the cat  sat", 0),        # double space collapses
+         ("c1", None, 0),                  # NULL transcript
+         ("c2", "a b c", 1),
+         ("c3", "anything", 1)],
+        "clip_id string, transcript string, part_id int")
+    ref = spark.createDataFrame(
+        [("c0", "the cat sat"), ("c1", "x"), ("c2", "a c"),
+         ("c3", "")],                      # empty reference
+        "clip_id string, transcript_ref string")
+    rows = {r.clip_id: r for r in payload.wer(clips, ref).collect()}
+    assert (rows["c0"].dist, rows["c0"].wer) == (0, 0.0)
+    assert rows["c1"].dist is None and rows["c1"].wer is None
+    assert rows["c1"].n_ref_words == 1
+    assert (rows["c2"].n_ref_words, rows["c2"].dist, rows["c2"].wer) \
+        == (2, 1, 0.5)
+    # empty ref: dist defined (insert all), rate undefined
+    assert rows["c3"].dist == 1 and rows["c3"].wer is None

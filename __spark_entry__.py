@@ -1013,6 +1013,56 @@ def _q_wer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("clip_id", "n_ref_words", "dist", "wer")
 
 
+def _q_transcript_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-transcript as a spec rule: WER ≤ 0.2 vs the reference table —
+    # ASR tolerance in the validator vocabulary (the generalization of
+    # x-payload's exact-equality branch). Same corpus family as
+    # wer_report (orders keys k % 31 == 0, closed-form word edits by
+    # k % 8). With max_wer = 0.2 the single-word edits (k%8 ∈ {1,3,5})
+    # give WER 1/n ≤ 1/5 = 0.2 — AT the bound for n = 5, so they pin
+    # the strict-inequality semantics by PASSING — and only the
+    # everything-replaced rows (k%8 == 7, WER exactly 1.0) violate.
+    from canned_yaml_spark import payload as pl
+    from canned_yaml_spark.compile import compile_spec as _cs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 31 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, ts, rs_ = [], [], []
+            for k in (int(x) for x in pdf["k"]):
+                n = 5 + k % 23
+                words = [f"w{(k * 7 + i * 13) % 50}" for i in range(n)]
+                probe = list(words)
+                r = k % 8
+                if r == 1:
+                    probe[k % n] = "z"
+                elif r == 3:
+                    probe = probe[:-1]
+                elif r == 5:
+                    probe = [probe[0]] + probe
+                elif r == 7:
+                    probe = ["z"] * n
+                ids.append(f"clip_{k:010d}")
+                ts.append(" ".join(probe))
+                rs_.append(" ".join(words))
+            yield pd.DataFrame({"clip_id": ids, "transcript": ts,
+                                "transcript_ref": rs_,
+                                "part_id": [0] * len(ids)})
+
+    corpus = keys.mapInPandas(
+        gen, "clip_id string, transcript string, transcript_ref string, "
+             "part_id int")
+    suite = _cs({"type": "object", "properties": {
+        "transcript": {"x-transcript": {"max_wer": 0.2}}}}, corpus.schema)
+    [tc] = suite.transcript_checks
+    return pl.transcript_violations(
+        corpus.select("clip_id", "transcript", "part_id"),
+        corpus.select("clip_id", "transcript_ref"), tc).select(*_VCOLS)
+
+
 def _q_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IMA/DVI ADPCM payload validation (audio.py — REAL 4-bit adaptive
     # predictive codec, audioop-cross-checked). Corpus: closed-form
@@ -1232,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_stats": _q_audio_stats,
         "transcript_distance": _q_transcript_distance,
         "wer_report": _q_wer_report,
+        "transcript_rule": _q_transcript_rule,
         "payload_snr": _q_payload_snr,       # oracle: injected ground truth
         "payload_certified": _q_payload_certified,  # oracle: same set
         "g711_snr": _q_g711_snr,             # oracle: injected ground truth
@@ -1306,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_stats": oracle.sql_audio_stats(),
         "transcript_distance": oracle.sql_transcript_distance(),
         "wer_report": oracle.sql_wer_report(),
+        "transcript_rule": oracle.sql_transcript_rule(),
         "ks_drift": oracle.sql_ks_drift(),
         # ground truth by construction over the deterministic fixture
         # corpus (oracle.sql_payload_snr); both payload plans must emit

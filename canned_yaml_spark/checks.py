@@ -106,6 +106,25 @@ class PayloadCheck:
 
 
 @dataclass(frozen=True)
+class TranscriptCheck:
+    """x-transcript: ASR-tolerance bounds on ``column`` vs the
+    reference table's transcript — the generalization of x-payload's
+    exact-equality transcript branch. max_dist bounds the char-level
+    edit distance (pure-JVM levenshtein plan); max_wer bounds the
+    word error rate (Arrow DP plan, payload.wer). A bound left None is
+    not checked; at least one must be set (compile-time SpecError).
+    NULL on either side passes — absence is `required`'s violation."""
+
+    rule_id: str
+    column: str
+    ref_table: str = "clips_ref"
+    ref_col: str = "transcript_ref"
+    max_dist: int | None = None
+    max_wer: float | None = None
+    severity: Severity = Severity.ERROR
+
+
+@dataclass(frozen=True)
 class AudioStatsCheck:
     """x-audio-stats: decode audio ``column`` and gate per-clip quality
     metrics — clipping fraction, silence fraction, RMS dBFS floor.
@@ -238,6 +257,7 @@ class CheckSuite:
     ref_checks: list[RefCheck] = field(default_factory=list)
     drift_checks: list[DriftCheck] = field(default_factory=list)
     payload_checks: list[PayloadCheck] = field(default_factory=list)
+    transcript_checks: list["TranscriptCheck"] = field(default_factory=list)
     audio_checks: list[AudioStatsCheck] = field(default_factory=list)
     spectral_checks: list[SpectralCheck] = field(default_factory=list)
     quantile_checks: list[QuantileCheck] = field(default_factory=list)

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from canned_yaml_spark.checks import (
     AnomalyCheck, AudioStatsCheck, Check, CheckSuite, CompletenessCheck,
     DriftCheck, FrequencyCheck, PayloadCheck, QuantileCheck, RefCheck,
-    Severity, SpectralCheck, UniqueCheck,
+    Severity, SpectralCheck, TranscriptCheck, UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
 from canned_yaml_spark.spec import load_spec, resolve_ref
@@ -694,6 +694,32 @@ class _Compiler:
                 snr_db_min=float(xp.get("snr_db_min", 30.0)),
                 ref_table=xp.get("ref_table", "clips_ref"),
                 allow_digest=bool(xp.get("digest_fast_path", True))))
+        if "x-transcript" in sub:
+            xt = sub["x-transcript"]
+            path = f"$.properties.{column}.x-transcript"
+            if not isinstance(xt, dict):
+                raise SpecError(path, "x-transcript must be a mapping")
+            max_dist = xt.get("max_dist")
+            max_wer = xt.get("max_wer")
+            if max_dist is None and max_wer is None:
+                raise SpecError(path, "x-transcript needs at least one "
+                                      "of max_dist/max_wer")
+            if max_dist is not None:
+                if not isinstance(max_dist, int) or max_dist < 0:
+                    raise SpecError(f"{path}.max_dist",
+                                    f"must be a non-negative integer, "
+                                    f"got {max_dist!r}")
+            if max_wer is not None:
+                max_wer = float(max_wer)
+                if max_wer < 0:
+                    raise SpecError(f"{path}.max_wer",
+                                    f"must be >= 0, got {max_wer}")
+            self.suite.transcript_checks.append(TranscriptCheck(
+                rule_id=f"x-transcript.{column}", column=column,
+                ref_table=xt.get("ref_table", "clips_ref"),
+                ref_col=xt.get("ref_col", "transcript_ref"),
+                max_dist=max_dist, max_wer=max_wer,
+                severity=Severity[xt.get("severity", "ERROR").upper()]))
         if "x-audio-stats" in sub:
             xa = sub["x-audio-stats"]
             opt = (lambda k: float(xa[k]) if k in xa else None)

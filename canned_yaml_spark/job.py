@@ -102,6 +102,14 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
                     join_hint=("MERGE" if bucketed_by_id
                                and bucket_sort_trusted else "SHUFFLE_HASH"),
                     co_located=bucketed_by_id))
+    for tc in suite.transcript_checks:
+        if clips_ref is not None and tc.column in clips.columns:
+            out = out.unionByName(
+                payload.transcript_violations(
+                    clips, clips_ref, tc, id_col, part_col,
+                    join_hint=("MERGE" if bucketed_by_id
+                               and bucket_sort_trusted
+                               else "SHUFFLE_HASH")))
     for ac in suite.audio_checks:
         # absolute quality gates, no reference table; skipped when the
         # table has no such column (e.g. the transcript-only corpus)

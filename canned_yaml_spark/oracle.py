@@ -1152,6 +1152,23 @@ FROM enc
 """.strip()
 
 
+def sql_transcript_rule() -> str:
+    # Ground truth by construction for the x-transcript gate
+    # (__spark_entry__._q_transcript_rule): over the wer_report corpus
+    # family, max_wer = 0.2 fails EXACTLY the k%8==7 rows (every word
+    # replaced → WER 1.0). The single-edit branches have WER 1/n with
+    # n = 5 + k % 23 ≥ 5, so 1/n ≤ 0.2 with equality at n = 5 — those
+    # rows PASS, pinning the strict `>` bound semantics.
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(0 AS INT) AS part_id,
+       'x-transcript.transcript' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 31 = 0)
+WHERE k % 8 = 7
+""".strip()
+
+
 def sql_adpcm_snr() -> str:
     # Ground truth by construction for the IMA ADPCM gate corpus
     # (__spark_entry__._q_adpcm_snr): triangle clips on orders keys

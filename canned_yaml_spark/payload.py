@@ -494,6 +494,79 @@ def wer(clips: DataFrame, clips_ref: DataFrame,
              "dist bigint, wer double")
 
 
+def transcript_violations(clips: DataFrame, clips_ref: DataFrame,
+                          check, id_col: str = "clip_id",
+                          part_col: str = "part_id",
+                          join_hint: str = "SHUFFLE_HASH") -> DataFrame:
+    """Violation rows for an x-transcript check (TranscriptCheck):
+    ASR-tolerance bounds vs the reference transcript — char edit
+    distance > max_dist and/or word error rate > max_wer (both
+    STRICT: a transcript exactly at the bound passes, same convention
+    as every range rule). NULL on either side passes (`required` owns
+    absence).
+
+    Plan: one pruned 3-column clip_id equi-join feeds both branches
+    (exchange-free over bucketed tables). The max_dist branch is pure
+    JVM — F.levenshtein in codegen, no Python anywhere. The max_wer
+    branch crosses into Arrow only for rows that are not byte-equal to
+    their reference (identity fast-path: equal strings have WER 0 —
+    the same prefilter discipline as the payload decode branch), and
+    an empty reference leaves WER undefined → pass.
+    """
+    rule_id, severity = check.rule_id, int(check.severity)
+    base = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(part_col).alias("part_id"),
+        F.col(check.column).alias("_t"),
+    ).join(
+        clips_ref.select("clip_id",
+                         F.col(check.ref_col).alias("_tr")).hint(join_hint),
+        "clip_id", "inner",
+    ).filter(F.col("_t").isNotNull() & F.col("_tr").isNotNull())
+
+    parts = []
+    if check.max_dist is not None:
+        d = F.levenshtein("_t", "_tr")
+        parts.append(
+            base.filter(d > check.max_dist)
+                .select("clip_id", "part_id",
+                        F.lit(rule_id).alias("rule_id"),
+                        F.lit(severity).alias("severity"),
+                        F.format_string(
+                            f"edit distance %d > {check.max_dist}",
+                            d).alias("message")))
+    if check.max_wer is not None:
+        cand = base.filter(F.col("_t") != F.col("_tr"))
+        max_wer = float(check.max_wer)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, ps, msgs = [], [], []
+                for cid, p, tt, rr in zip(pdf["clip_id"], pdf["part_id"],
+                                          pdf["_t"], pdf["_tr"]):
+                    ref_words = rr.split()
+                    if not ref_words:
+                        continue                     # WER undefined → pass
+                    w = _word_lev(tt.split(), ref_words) / len(ref_words)
+                    if w > max_wer:
+                        ids.append(cid)
+                        ps.append(p)
+                        msgs.append(f"WER {round(w, 4)} > {max_wer}")
+                yield pd.DataFrame({
+                    "clip_id": ids,
+                    "part_id": pd.array(ps, dtype="int32"),
+                    "rule_id": [rule_id] * len(ids),
+                    "severity": pd.array([severity] * len(ids),
+                                         dtype="int32"),
+                    "message": msgs})
+
+        parts.append(cand.mapInPandas(run, _OUT_SCHEMA))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 #: audio_stats output schema — one metrics row per input clip
 _STATS_SCHEMA = ("clip_id string, part_id int, n_samples bigint, "
                  "peak int, dc_offset double, rms_db double, "

@@ -235,3 +235,90 @@ def test_anomaly_job_wiring(tiny):
     assert got.count() >= 1
     assert got.filter("severity = 2").count() == got.count()
     assert got.filter("clip_id is not null").count() == 0
+
+
+# ------------------------------------------------------- x-transcript
+@pytest.fixture(scope="module")
+def tref(spark):
+    rows = [("c0", "short"), ("c1", "too long for 3ms"),
+            ("c2", "exists"), ("c3", "a b c d"), ("c4", "w"),
+            ("c5", "u v w x"), ("c6", "")]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, transcript_ref string")
+    df = df.cache()
+    df.count()
+    return df
+
+
+def _tspec(**kw):
+    return {"type": "object", "properties": {
+        "transcript": {"x-transcript": kw}}}
+
+
+def test_transcript_dist_bound_strict_and_null_pass(tiny, tref):
+    # c3 'x' vs 'a b c d' dist 7 > 3 → violation; c5 'y' vs 'u v w x'
+    # dist 7 → violation; c0/c1 equal (dist 0); c2/c4 NULL transcript
+    # → pass; c6 '' vs '' equal. Bound is STRICT: max_dist 7 → none.
+    from canned_yaml_spark import payload
+    suite = compile_spec(_tspec(max_dist=3), tiny.schema)
+    [tc] = suite.transcript_checks
+    v = payload.transcript_violations(tiny, tref, tc)
+    got = sorted((r.clip_id, r.message) for r in v.collect())
+    assert [c for c, _ in got] == ["c3", "c5"]
+    assert got[0][1] == "edit distance 7 > 3"
+    assert payload.transcript_violations(
+        tiny, tref, compile_spec(_tspec(max_dist=7),
+                                 tiny.schema).transcript_checks[0]) \
+        .count() == 0
+
+
+def test_transcript_dist_branch_is_pure_jvm(tiny, tref):
+    from canned_yaml_spark import payload
+    suite = compile_spec(_tspec(max_dist=3), tiny.schema)
+    plan = payload.transcript_violations(tiny, tref,
+                                         suite.transcript_checks[0]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_transcript_wer_bound(tiny, tref):
+    # word-level: c3 'x' vs 'a b c d' → dist 4 (no shared words),
+    # WER 1.0; c5 'y' vs 'u v w x' → 1.0; c1 equal → fast-path skips
+    # Python; c6 ref '' → WER undefined → pass even though '' == ''
+    from canned_yaml_spark import payload
+    suite = compile_spec(_tspec(max_wer=0.5), tiny.schema)
+    [tc] = suite.transcript_checks
+    assert tc.max_dist is None and tc.max_wer == 0.5
+    v = payload.transcript_violations(tiny, tref, tc)
+    got = sorted((r.clip_id, r.message) for r in v.collect())
+    assert got == [("c3", "WER 1.0 > 0.5"), ("c5", "WER 1.0 > 0.5")]
+
+
+def test_transcript_both_bounds_two_rule_rows(tiny, tref):
+    from canned_yaml_spark import payload
+    suite = compile_spec(_tspec(max_dist=3, max_wer=0.5, severity="WARN"),
+                         tiny.schema)
+    [tc] = suite.transcript_checks
+    assert int(tc.severity) == int(Severity.WARN)
+    v = payload.transcript_violations(tiny, tref, tc)
+    assert v.count() == 4                    # c3 and c5 fail BOTH bounds
+
+
+def test_transcript_job_wiring(tiny, tref):
+    suite = compile_spec(_tspec(max_wer=0.5), tiny.schema)
+    v = job.all_violations(tiny, suite, clips_ref=tref)
+    assert sorted(r.clip_id for r in v.collect()) == ["c3", "c5"]
+    # without a ref table the check is skipped, not an error
+    assert job.all_violations(tiny, suite).count() == 0
+
+
+@pytest.mark.parametrize("frag, loc", [
+    ({"max_dist": -1}, "max_dist"),
+    ({"max_dist": 1.5}, "max_dist"),
+    ({"max_wer": -0.1}, "max_wer"),
+    ({}, "x-transcript"),
+])
+def test_transcript_spec_errors(tiny, frag, loc):
+    with pytest.raises(SpecError) as ei:
+        compile_spec(_tspec(**frag), tiny.schema)
+    assert loc in str(ei.value)

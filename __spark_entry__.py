@@ -429,6 +429,88 @@ def _q_resample(spark, sf_dir):
         F.round("rms_db", 4).alias("rms_db"))
 
 
+def _q_speed_perturb(spark, sf_dir):
+    # speed perturbation ×10/9 (the classic ASR augmentation, slight
+    # speed-up) over the closed-form modular corpus, value-checked
+    # through per-clip metrics of the PERTURBED samples. The oracle
+    # restates the rational-position interpolation itself with
+    # denominator 9 — odd, so the round-half tie between engines can
+    # never fire (oracle.sql_speed_perturb).
+    from canned_yaml_spark import augment, resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 53 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    out = augment.speed_perturb(rs.mod_corpus_df(spark, keys), 10, 9)
+    stats = payload.audio_stats(
+        out.withColumn("codec", F.lit("pcm_s16le"))
+           .withColumn("part_id", F.lit(0)),
+        byte_col="bytes")
+    return stats.select(
+        "clip_id", "n_samples", "peak",
+        F.round("dc_offset", 4).alias("dc_offset"),
+        F.round("rms_db", 4).alias("rms_db"))
+
+
+def _q_gain_perturb(spark, sf_dir):
+    # exact rational gain ×7/9 over the modular corpus; the oracle
+    # restates the round-half-up rational out = floor((2·s·7 + 9)/18)
+    # (floor, not SQL's truncate-toward-zero — the sql_downmix /
+    # sql_normalize_peak negative-division trap) plus the shared
+    # stats tail (oracle.sql_gain_perturb).
+    from canned_yaml_spark import augment, resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 59 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    out = augment.gain_perturb(rs.mod_corpus_df(spark, keys), 7, 9)
+    stats = payload.audio_stats(
+        out.withColumn("codec", F.lit("pcm_s16le"))
+           .withColumn("part_id", F.lit(0)),
+        byte_col="bytes")
+    # dc as the EXACT integer sum, not a rounded mean: sum/4000
+    # terminates at 5 decimals, so a 4-decimal round can land on a
+    # half-tie that Spark (shortest-decimal HALF_UP) and DuckDB (raw
+    # binary) resolve differently — measured on this very gate.
+    return stats.select(
+        "clip_id", "n_samples", "peak",
+        F.round(F.col("dc_offset") * F.col("n_samples"))
+         .cast("long").alias("dc_sum"),
+        F.round("rms_db", 4).alias("rms_db"))
+
+
+def _q_mix_noise(spark, sf_dir):
+    # additive-noise augmentation: each modular clip mixed 3:1 against
+    # its assigned bank clip (closed-form assignment noise_id = k % 4
+    # so the oracle stays pure arithmetic; production assignment is
+    # assign_noise's xxhash64 bucketing). The 300-sample triangle
+    # noise TILES across the 4000-sample clip; out[i] =
+    # floor((3·s(i) + t(i mod 300, nid)) / 4), restated exactly by
+    # oracle.sql_mix_noise through the shared stats tail.
+    from canned_yaml_spark import augment, resample as rs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 61 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    clips = (rs.mod_corpus_df(spark, keys)
+             .withColumn("noise_id",
+                         (F.regexp_extract("clip_id", r"(\d+)", 1)
+                          .cast("long") % 4).cast("int")))
+    bank = spark.createDataFrame(
+        [(nid, bytearray(rs.tri_pcm(nid, 300).tobytes()))
+         for nid in range(4)],
+        "noise_id int, bytes binary")
+    out = augment.mix_noise(clips, bank, 3, 1, 4)
+    stats = payload.audio_stats(
+        out.withColumn("codec", F.lit("pcm_s16le"))
+           .withColumn("part_id", F.lit(0)),
+        byte_col="bytes")
+    # exact integer dc_sum, not a rounded mean — same /4000
+    # half-tie hazard as the gain gate (see _q_gain_perturb)
+    return stats.select(
+        "clip_id", "n_samples", "peak",
+        F.round(F.col("dc_offset") * F.col("n_samples"))
+         .cast("long").alias("dc_sum"),
+        F.round("rms_db", 4).alias("rms_db"))
+
+
 def _q_downmix(spark, sf_dir):
     # stereo→mono downmix of REAL two-channel RIFF/WAVE files (the
     # chunk walker supplies the channel count), value-checked through
@@ -1262,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_segments": _q_audio_segments,
         "train_windows": _q_train_windows,
         "resample": _q_resample,
+        "speed_perturb": _q_speed_perturb,
+        "gain_perturb": _q_gain_perturb,
+        "mix_noise": _q_mix_noise,
         "normalize_peak": _q_normalize_peak,
         "codec_quantiles": _q_codec_quantiles,
         "quantile_report": _q_quantile_report,
@@ -1339,6 +1424,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": oracle.sql_audio_segments(),
         "train_windows": oracle.sql_train_windows(),
         "resample": oracle.sql_resample(),
+        "speed_perturb": oracle.sql_speed_perturb(),
+        "gain_perturb": oracle.sql_gain_perturb(),
+        "mix_noise": oracle.sql_mix_noise(),
         "normalize_peak": oracle.sql_normalize_peak(),
         "codec_quantiles": oracle.sql_codec_quantiles(),
         "quantile_report": oracle.sql_quantile_report(),

@@ -868,6 +868,89 @@ FROM s
 """.strip()
 
 
+_STATS_TAIL = """
+SELECT clip_id,
+       CAST({n} AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+       round(list_avg(smp), 4) AS dc_offset,
+       round(20 * log10(sqrt(list_avg(list_transform(smp,
+             v -> CAST(v AS DOUBLE) * v))) / 32768.0), 4) AS rms_db
+FROM s
+""".strip()
+
+
+_STATS_TAIL_INTDC = """
+SELECT clip_id,
+       CAST({n} AS BIGINT) AS n_samples,
+       CAST(list_max(list_transform(smp, v -> abs(v))) AS INT) AS peak,
+       CAST(list_sum(smp) AS BIGINT) AS dc_sum,
+       round(20 * log10(sqrt(list_avg(list_transform(smp,
+             v -> CAST(v AS DOUBLE) * v))) / 32768.0), 4) AS rms_db
+FROM s
+""".strip()
+
+
+def sql_speed_perturb() -> str:
+    # Exact restatement of the ×10/9 speed perturbation
+    # (__spark_entry__._q_speed_perturb): output sample j interpolates
+    # the modular input at position j·10/9, n_out = 3999·9//10 + 1 =
+    # 3600. Denominator 9 is odd, so round() half-ties between numpy
+    # rint and DuckDB round can never fire (the sql_resample
+    # argument); the stats tail is the shared cross-engine-exact
+    # peak/dc/rms math.
+    s_of = "(({f})*31 + k*7) % 2048 - 1024"
+    f = "((j*10)//9)"
+    f2 = f"least({f} + 1, 3999)"
+    r = "((j*10)%9)"
+    out = (f"CAST(round((({s_of.format(f=f)}) * (9 - {r}) "
+           f"+ ({s_of.format(f=f2)}) * {r}) / 9.0) AS BIGINT)")
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 53 = 0),
+s AS (SELECT printf('clip_%010d', k) AS clip_id,
+             list_transform(range(0, 3600), j -> {out}) AS smp
+      FROM ks)
+{_STATS_TAIL.format(n=3600)}
+""".strip()
+
+
+def sql_gain_perturb() -> str:
+    # Exact restatement of the ×7/9 gain (__spark_entry__.
+    # _q_gain_perturb): out = the round-half-up rational
+    # floor((2·s·7 + 9) / 18) — floor() over a float division because
+    # SQL integer `/` truncates toward zero on negatives while the
+    # engine's numpy // floors (the sql_downmix trap); numerators
+    # ≤ ~14k are exact doubles.
+    s = "((i*31 + k*7) % 2048 - 1024)"
+    out = f"CAST(floor((2*{s}*7 + 9) / 18.0) AS BIGINT)"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 59 = 0),
+s AS (SELECT printf('clip_%010d', k) AS clip_id,
+             list_transform(range(0, 4000), i -> {out}) AS smp
+      FROM ks)
+{_STATS_TAIL_INTDC.format(n=4000)}
+""".strip()
+
+
+def sql_mix_noise() -> str:
+    # Exact restatement of the 3:1 noise mix (__spark_entry__.
+    # _q_mix_noise): clip k's sample i mixes the modular signal with
+    # its assigned bank clip (nid = k % 4), the 300-sample triangle
+    # noise TILED by i mod 300: out = floor((3·s(i) + t) / 4), where
+    # t = |((i%300)·16 + nid·13) mod 16000 − 8000| − 4000
+    # (resample.tri_pcm's closed form). 3·s + t ∈ [−7072, 7072] and
+    # /4.0 is a power-of-two division — floor is exact both engines.
+    s = "((i*31 + k*7) % 2048 - 1024)"
+    t = "(abs(((i % 300)*16 + (k % 4)*13) % 16000 - 8000) - 4000)"
+    out = f"CAST(floor((3*{s} + {t}) / 4.0) AS BIGINT)"
+    return f"""
+WITH ks AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 61 = 0),
+s AS (SELECT printf('clip_%010d', k) AS clip_id,
+             list_transform(range(0, 4000), i -> {out}) AS smp
+      FROM ks)
+{_STATS_TAIL_INTDC.format(n=4000)}
+""".strip()
+
+
 def sql_audio_near_dup_delta() -> str:
     # ground truth by construction: the delta holds one opus re-encode
     # '<id>_d' per corpus key ≡ 0 (mod 185); incremental dedup against

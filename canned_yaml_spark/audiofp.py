@@ -500,8 +500,19 @@ def chirp_corpus_df(spark, n_clips: int | None = None,
     from a driver table); defaults to range(n_clips). dup_every=None
     injects no dups at all (note k=0 satisfies k ≡ 0 mod ANYTHING, so
     "a huge dup_every" is not a no-dups spelling when 0 is a key)."""
-    from canned_yaml_spark.audio import _MAGIC, encode
-    lossy = sorted(c for c in _MAGIC if c != "pcm_s16le")
+    from canned_yaml_spark.audio import encode
+    # Rotation pinned to the three QUANTIZED-STUB codecs, not derived
+    # from the registry: this fixture's ground truth ("exactly the
+    # injected pairs match") requires every dup to keep ≥1 exact
+    # 32-bit probe frame and BER ≤ threshold. The stubs quantize
+    # mantissa bits (BER ≤ 0.002 on chirps — guaranteed); the REAL
+    # codecs measured on chirps: G.711 ~4% BER with some keys at ZERO
+    # exact frames (probe miss), ADPCM up to 20% (a chirp sweeping to
+    # Nyquist is the adversarial input for a one-tap predictor) — too
+    # close to the 0.3 cross-key floor to be ground truth. Deriving
+    # from _MAGIC silently broke recall when adpcm_ima/ulaw/alaw
+    # joined the registry.
+    lossy = ["flac", "mp3", "opus"]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -353,6 +353,62 @@ def main() -> int:
           "components ride the O(#dup) pair frame (star rounds are "
           "id-pair shuffles); corpus sees ONE broadcast left join")
 
+    audit("train windows (raw codecs, JVM)",
+          segment.window_slices(
+              bench.filter(F.col("codec") == "pcm_s16le"), 256, 192),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           ("operator adds NO Python node",
+            lambda p: p.count("MapInPandas")
+            == p.count("MapInPandas gen(") and "EvalPython" not in p)],
+          "sequence → posexplode → substring(binary): window EXTRACTION "
+          "(not just bounds) in one codegen span for stateless codecs")
+    from canned_yaml_spark.checks import TranscriptCheck
+    audit("x-transcript (max_dist branch)",
+          payload.transcript_violations(
+              bench,
+              bench.select("clip_id", F.concat(
+                  "transcript", F.lit(" x")).alias("transcript_ref")),
+              TranscriptCheck(rule_id="x-transcript.transcript",
+                              column="transcript", max_dist=3)),
+          [("operator adds no Python node",
+            lambda p: p.count("MapInPandas")
+            == p.count("MapInPandas gen(") and "EvalPython" not in p),
+           ("single equi-join", lambda p: p.count("Join") == 1)],
+          "char-distance bound is pure codegen over the pruned "
+          "3-column join; the WER branch adds ONE Arrow node and only "
+          "sees rows not byte-equal to their reference")
+    audit("WER (word error rate)",
+          payload.wer(bench, bench.select(
+              "clip_id", F.col("transcript").alias("transcript_ref"))),
+          [("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1),
+           ("single equi-join", lambda p: p.count("Join") == 1)],
+          "word-level DP crosses into Python by necessity (no JVM "
+          "word alignment); join shape identical to transcript branch")
+    from canned_yaml_spark import augment
+    audit("speed/gain perturb (augment)",
+          augment.speed_perturb(bench, 10, 9),
+          [("zero exchanges", lambda p: "Exchange" not in p),
+           ("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1),
+           ("no join", lambda p: "Join" not in p)],
+          "resample shape: scan → ONE mapInPandas, embarrassingly "
+          "parallel (gain_perturb has the identical plan)")
+    audit("mix_noise (bank broadcast)",
+          augment.mix_noise(
+              augment.assign_noise(bench, 4),
+              spark.createDataFrame(
+                  [(i, bytearray(b"\x01\x00")) for i in range(4)],
+                  "noise_id int, bytes binary"), 3, 1, 4),
+          [("bank broadcasts", lambda p: "BroadcastHashJoin" in p),
+           ("corpus never shuffles",
+            lambda p: "ShuffleExchange" not in p
+            and "Exchange hashpartitioning" not in p),
+           ("one Arrow pass of its own",
+            lambda p: p.count("MapInPandas run(") == 1)],
+          "noise bank is small by construction → broadcast join; the "
+          "corpus-side plan stays scan → join → ONE mapInPandas")
+
     md = ["# Physical-plan audit", "",
           "Asserted on the executed plan by `python tools/plan_audit.py`",
           f"(re-run any time; last run {time.strftime('%Y-%m-%d %H:%M')},"

@@ -56,6 +56,44 @@ def validate_stream(stream_df: DataFrame, suite: CheckSuite,
              .outputMode("append"))
 
 
+def stream_ref_violations(stream_df: DataFrame, clips_ref: DataFrame,
+                          suite: CheckSuite,
+                          id_col: str = "clip_id",
+                          part_col: str = "part_id") -> DataFrame:
+    """Reference-table check families over a STREAM: x-payload
+    (decode + SNR + transcript equality) and x-transcript (tolerance
+    bounds) run on each micro-batch via stream-static joins against
+    the static reference table — continuous-ingest validation, the
+    north_star's posture, with the SAME operators the batch path uses
+    (payload_violations / transcript_violations are plain DataFrame
+    transforms; Structured Streaming supports stateless stream-static
+    equi-joins and mapInPandas, so they compose unchanged and the
+    stream==batch equality is pinned in tests/test_streaming.py).
+
+    Append-safe: no watermark, no state store. Scale note: the static
+    side is re-planned each micro-batch; with the reference table
+    bucketed by clip_id the per-batch join is exchange-free on the
+    static side and only the (small) micro-batch shuffles — the same
+    layout argument as the batch path, now amortized per trigger.
+    """
+    from canned_yaml_spark import payload as pl
+    parts = []
+    for pc in suite.payload_checks:
+        parts.append(pl.payload_violations(
+            stream_df, clips_ref, pc, id_col, part_col))
+    for tc in suite.transcript_checks:
+        if tc.column in stream_df.columns:
+            parts.append(pl.transcript_violations(
+                stream_df, clips_ref, tc, id_col, part_col))
+    if not parts:
+        raise ValueError("suite has no reference-table checks "
+                         "(x-payload / x-transcript)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def running_verdicts(stream_df: DataFrame, suite: CheckSuite,
                      part_col: str = "part_id",
                      state_timeout_ms: int = 600_000) -> DataFrame:

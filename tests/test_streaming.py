@@ -401,3 +401,77 @@ def test_extension_rules_compose_with_streams(spark, tmp_path):
     want2 = job.all_violations(batch, suite)
     assert got2.count() == want2.count() > 0
     assert got2.exceptAll(want2).count() == 0
+
+
+def test_stream_payload_violations_match_batch(spark, suite, tmp_path):
+    """x-payload over a stream (stream-static join + Arrow decode per
+    micro-batch) must emit exactly the batch plan's violation rows —
+    including across a micro-batch boundary (maxFilesPerTrigger=1)."""
+    from canned_yaml_spark import payload as pl
+
+    src = str(tmp_path / "psrc")
+    out = str(tmp_path / "pviol")
+    chk = str(tmp_path / "pchk")
+    clips = fixtures.clips_df(spark, 300, max_samples=16)
+    ref = fixtures.clips_ref_df(spark, 300, max_samples=16)
+    clips.filter(F.col("part_id") < 32).coalesce(1).write.parquet(src)
+    clips.filter(F.col("part_id") >= 32).coalesce(1) \
+         .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(clips.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    v = streaming.stream_ref_violations(stream, ref, suite)
+    q = (v.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    [pc] = suite.payload_checks
+    want = pl.payload_violations(clips, ref, pc)
+    key = ["clip_id", "rule_id", "message"]
+    assert got.count() == want.count() > 0
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+    assert want.select(*key).exceptAll(got.select(*key)).count() == 0
+
+
+def test_stream_transcript_rule_match_batch(spark, tmp_path):
+    """x-transcript (WER bound) over a stream: same rows as batch."""
+    from canned_yaml_spark import payload as pl
+    from canned_yaml_spark.compile import compile_spec
+
+    src = str(tmp_path / "tsrc")
+    out = str(tmp_path / "tviol")
+    chk = str(tmp_path / "tchk")
+    clips = fixtures.clips_df(spark, 300, max_samples=16)
+    ref = fixtures.clips_ref_df(spark, 300, max_samples=16)
+    clips.coalesce(1).write.parquet(src)
+
+    tsuite = compile_spec(
+        {"type": "object", "properties": {
+            "transcript": {"x-transcript": {"max_dist": 3,
+                                            "max_wer": 0.5}}}},
+        clips.schema)
+    stream = spark.readStream.schema(clips.schema).parquet(src)
+    v = streaming.stream_ref_violations(stream, ref, tsuite)
+    q = (v.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    [tc] = tsuite.transcript_checks
+    want = pl.transcript_violations(clips, ref, tc)
+    key = ["clip_id", "rule_id", "message"]
+    assert got.count() == want.count() > 0
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_stream_ref_violations_needs_ref_checks(spark, tmp_path):
+    import pytest
+
+    from canned_yaml_spark.compile import compile_spec
+    clips = fixtures.clips_df(spark, 10, max_samples=16)
+    empty = compile_spec({"type": "object"}, clips.schema)
+    with pytest.raises(ValueError):
+        streaming.stream_ref_violations(clips, clips, empty)

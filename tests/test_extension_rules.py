@@ -322,3 +322,11 @@ def test_transcript_spec_errors(tiny, frag, loc):
     with pytest.raises(SpecError) as ei:
         compile_spec(_tspec(**frag), tiny.schema)
     assert loc in str(ei.value)
+
+
+def test_deep_spec_carries_x_transcript(tiny):
+    # schema-less compile (the deep spec requires columns tiny lacks)
+    suite = compile_spec(open("specs/clips_deep.spec.yaml").read())
+    [tc] = suite.transcript_checks
+    assert tc.max_wer == 0.2 and tc.max_dist is None
+    assert int(tc.severity) == int(Severity.WARN)

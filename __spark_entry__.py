@@ -1044,21 +1044,11 @@ def _q_g711_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
-def _q_wer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Word error rate (payload.wer): word-level edit distance / ref
-    # word count — the ASR-standard acceptance metric. Corpus on
-    # orders keys k % 31 == 0: reference transcript of clip k is
-    # n(k) = 5 + k % 23 words, word i = 'w' || (k*7 + i*13) % 50; the
-    # probe side applies one closed-form edit by k % 8 (1: substitute
-    # word k%n with the out-of-vocab token 'z', 3: drop the last word,
-    # 5: prepend a duplicate of the first word, 7: replace every word
-    # with 'z', else identical). The oracle is INDEPENDENT: it encodes
-    # each word list to a Unicode string (word id → chr(256+id) —
-    # full-Unicode chr in DuckDB; Spark's wraps at 256, which is why
-    # the engine side is an Arrow DP instead) and runs DuckDB's own
-    # levenshtein, so the word-level DP itself is recomputed by a
-    # second implementation, not just the injected truth restated.
-    from canned_yaml_spark import payload as pl
+def _wer_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared closed-form word-edit corpus for the WER-family gates
+    (orders keys k % 31 == 0; ref = n(k) words, probe = one edit by
+    k % 8 — see _q_wer_report). Both gates and both oracles restate
+    exactly this construction."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     keys = (orders.filter(F.col("o_orderkey") % 31 == 0)
                   .select(F.col("o_orderkey").alias("k")))
@@ -1087,9 +1077,27 @@ def _q_wer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "transcript_ref": rs_,
                                 "part_id": [0] * len(ids)})
 
-    corpus = keys.mapInPandas(
+    return keys.mapInPandas(
         gen, "clip_id string, transcript string, transcript_ref string, "
              "part_id int")
+
+
+def _q_wer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Word error rate (payload.wer): word-level edit distance / ref
+    # word count — the ASR-standard acceptance metric. Corpus on
+    # orders keys k % 31 == 0: reference transcript of clip k is
+    # n(k) = 5 + k % 23 words, word i = 'w' || (k*7 + i*13) % 50; the
+    # probe side applies one closed-form edit by k % 8 (1: substitute
+    # word k%n with the out-of-vocab token 'z', 3: drop the last word,
+    # 5: prepend a duplicate of the first word, 7: replace every word
+    # with 'z', else identical). The oracle is INDEPENDENT: it encodes
+    # each word list to a Unicode string (word id → chr(256+id) —
+    # full-Unicode chr in DuckDB; Spark's wraps at 256, which is why
+    # the engine side is an Arrow DP instead) and runs DuckDB's own
+    # levenshtein, so the word-level DP itself is recomputed by a
+    # second implementation, not just the injected truth restated.
+    from canned_yaml_spark import payload as pl
+    corpus = _wer_corpus(spark, sf_dir)
     return pl.wer(corpus.select("clip_id", "transcript", "part_id"),
                   corpus.select("clip_id", "transcript_ref")) \
              .select("clip_id", "n_ref_words", "dist", "wer")
@@ -1106,37 +1114,7 @@ def _q_transcript_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything-replaced rows (k%8 == 7, WER exactly 1.0) violate.
     from canned_yaml_spark import payload as pl
     from canned_yaml_spark.compile import compile_spec as _cs
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    keys = (orders.filter(F.col("o_orderkey") % 31 == 0)
-                  .select(F.col("o_orderkey").alias("k")))
-
-    def gen(batches):
-        import pandas as pd
-        for pdf in batches:
-            ids, ts, rs_ = [], [], []
-            for k in (int(x) for x in pdf["k"]):
-                n = 5 + k % 23
-                words = [f"w{(k * 7 + i * 13) % 50}" for i in range(n)]
-                probe = list(words)
-                r = k % 8
-                if r == 1:
-                    probe[k % n] = "z"
-                elif r == 3:
-                    probe = probe[:-1]
-                elif r == 5:
-                    probe = [probe[0]] + probe
-                elif r == 7:
-                    probe = ["z"] * n
-                ids.append(f"clip_{k:010d}")
-                ts.append(" ".join(probe))
-                rs_.append(" ".join(words))
-            yield pd.DataFrame({"clip_id": ids, "transcript": ts,
-                                "transcript_ref": rs_,
-                                "part_id": [0] * len(ids)})
-
-    corpus = keys.mapInPandas(
-        gen, "clip_id string, transcript string, transcript_ref string, "
-             "part_id int")
+    corpus = _wer_corpus(spark, sf_dir)
     suite = _cs({"type": "object", "properties": {
         "transcript": {"x-transcript": {"max_wer": 0.2}}}}, corpus.schema)
     [tc] = suite.transcript_checks

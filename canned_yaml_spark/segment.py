@@ -224,11 +224,21 @@ def windows_decoded(clips: DataFrame, win: int, hop: int,
                 pcm = dec_fn(payloads[i], codecs[i])
                 if pcm is None or pcm.size < win:
                     continue
-                for j, s in enumerate(range(0, pcm.size - win + 1, hop)):
-                    ids.append(cid)
-                    idxs.append(j)
-                    ss.append(s)
-                    bs.append(pcm[s:s + win].tobytes())
+                pcm = np.ascontiguousarray(pcm, dtype="<i2")
+                n_win = (pcm.size - win) // hop + 1
+                # one strided view + ONE contiguous memcpy for all of
+                # the clip's windows, then cheap bytes-object slices
+                # off that buffer — not n_win numpy slice+tobytes calls
+                sw = np.lib.stride_tricks.as_strided(
+                    pcm, shape=(n_win, win),
+                    strides=(pcm.strides[0] * hop, pcm.strides[0]))
+                buf = np.ascontiguousarray(sw).tobytes()
+                step = win * 2
+                ids.extend([cid] * n_win)
+                idxs.extend(range(n_win))
+                ss.extend(range(0, n_win * hop, hop))
+                bs.extend(buf[o:o + step]
+                          for o in range(0, n_win * step, step))
             yield pd.DataFrame({
                 "clip_id": ids,
                 "codec": ["pcm_s16le"] * len(ids),

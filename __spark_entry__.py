@@ -919,6 +919,50 @@ def _q_transcript_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("dist") > 0)
 
 
+def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual image near-dup (multimodal.dhash64 + pigeonhole band
+    # LSH + JVM bit_count verify — EXACT w.r.t. hamming ≤ 4, no false
+    # negatives by construction). Corpus on orders keys k % 67 == 0:
+    # one 16×16 BMP per key (avalanche-mixed pixels — cross-key dHash
+    # distance min 17 bits, pinned in tests/test_multimodal.py);
+    # k%10==0 injects the SAME pixels re-encoded as PNG (container
+    # change, hamming 0), k%10==5 a one-pixel-perturbed BMP copy
+    # (hamming ≤ 2 by block locality). The oracle states the injected
+    # pairs — exactly the k % 5 == 0 keys.
+    from canned_yaml_spark import multimodal
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 67 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in (int(x) for x in pdf["k"]):
+                px = multimodal.mix_pixel(
+                    k, np.arange(16 * 16 * 3, dtype=np.int64)) \
+                    .astype(np.uint8)
+                ids.append(f"img_{k:010d}")
+                blobs.append(multimodal.encode_bmp(k, 16, 16, pixels=px))
+                if k % 10 == 0:
+                    ids.append(f"img_{k:010d}_dup")
+                    blobs.append(
+                        multimodal.encode_png(k, 16, 16, pixels=px))
+                elif k % 10 == 5:
+                    noised = px.copy()
+                    pos = (k * 37) % px.size
+                    noised[pos] = (int(noised[pos]) + 3) % 256
+                    ids.append(f"img_{k:010d}_dup")
+                    blobs.append(
+                        multimodal.encode_bmp(k, 16, 16, pixels=noised))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    corpus = keys.mapInPandas(gen, "media_id string, media binary")
+    return (multimodal.image_near_dups(corpus, max_hamming=4)
+            .orderBy("media_id_a"))
+
+
 def _q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-clip quality metrics (peak/RMS dBFS/clipping/silence/DC) over
     # the media corpus's REAL RIFF/WAVE rows, decoded by the generic
@@ -1341,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
         "downmix": _q_downmix,
         "media_meta": _q_media_meta,
+        "image_near_dups": _q_image_near_dups,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
         "transcript_distance": _q_transcript_distance,
@@ -1419,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oracle.sql_asof_join(),
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
+        "image_near_dups": oracle.sql_image_near_dups(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),
         "transcript_distance": oracle.sql_transcript_distance(),

@@ -175,13 +175,17 @@ def bmp_pixel(k: int, j):
     return (j * 5 + k * 19) % 256
 
 
-def encode_bmp(key: int, width: int = BMP_W, height: int = BMP_H) -> bytes:
+def encode_bmp(key: int, width: int = BMP_W, height: int = BMP_H,
+               pixels: np.ndarray | None = None) -> bytes:
     """A real, spec-conformant Windows BMP: BITMAPFILEHEADER +
     BITMAPINFOHEADER, 24 bpp uncompressed, rows stored BOTTOM-UP with
     4-byte row padding — both quirks a parser must actually honor.
     Pure numpy/struct — no Pillow, no external codec."""
-    px = bmp_pixel(key, np.arange(width * height * 3,
-                                  dtype=np.int64)).astype(np.uint8)
+    px = (np.asarray(pixels, dtype=np.uint8).reshape(-1)
+          if pixels is not None else
+          bmp_pixel(key, np.arange(width * height * 3,
+                                   dtype=np.int64)).astype(np.uint8))
+    assert px.size == width * height * 3
     logical = px.reshape(height, width * 3)
     stride = (width * 3 + 3) & ~3
     rows = np.zeros((height, stride), dtype=np.uint8)
@@ -229,6 +233,22 @@ def _decode_bmp(buf: bytes) -> dict:
             "mean_luma": float(logical.mean())}
 
 
+def bmp_pixels(buf: bytes) -> np.ndarray:
+    """Decoded BMP pixels as an (h, w, 3) uint8 array in logical
+    (top-down, BGR) order — the raster form the perceptual-hash
+    operators consume. Same validation as _decode_bmp."""
+    meta = _decode_bmp(buf)                     # full header validation
+    file_size, _, _, offset = struct.unpack("<IHHI", buf[2:14])
+    width, height = struct.unpack("<ii", buf[18:26])
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(bytes(buf), dtype=np.uint8,
+                         count=h * stride, offset=offset).reshape(h, stride)
+    logical = rows[:, : width * 3] if top_down else rows[::-1, : width * 3]
+    return logical.reshape(h, width, 3).copy()
+
+
 # ----------------------------------------------------- real codec: PNG
 #: PNG corpus constants (the DuckDB oracle restates the same formula);
 #: height 5 so the encoder's per-row filter cycle r % 5 exercises ALL
@@ -258,7 +278,7 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def encode_png(key: int, width: int = PNG_W, height: int = PNG_H,
-               channels: int = 3) -> bytes:
+               channels: int = 3, pixels: np.ndarray | None = None) -> bytes:
     """A real, spec-conformant PNG: signature, IHDR/IDAT/IEND chunks
     with big-endian lengths and CRC32s, zlib-compressed scanlines.
     Row r is written with filter type r % 5, so a decoder must
@@ -267,8 +287,15 @@ def encode_png(key: int, width: int = PNG_W, height: int = PNG_H,
     bytes still equal png_pixel(key, j) and the oracle can restate the
     mean analytically. Pure numpy/struct/zlib — no Pillow."""
     color_type = {1: 0, 3: 2, 4: 6}[channels]    # gray / RGB / RGBA
-    px = png_pixel(key, np.arange(width * height * channels,
-                                  dtype=np.int64)).astype(np.uint8)
+    # pixels: optional explicit flat uint8 raster (logical order) —
+    # re-encode arbitrary content (e.g. the image near-dup gate writes
+    # the SAME pixels under both containers); default is the corpus
+    # formula
+    px = (np.asarray(pixels, dtype=np.uint8).reshape(-1)
+          if pixels is not None else
+          png_pixel(key, np.arange(width * height * channels,
+                                   dtype=np.int64)).astype(np.uint8))
+    assert px.size == width * height * channels
     raw = px.reshape(height, width * channels).astype(np.int32)
     bpp = channels                                # bit depth 8
     lines = []
@@ -297,17 +324,16 @@ def encode_png(key: int, width: int = PNG_W, height: int = PNG_H,
             + _png_chunk(b"IEND", b""))
 
 
-def _decode_png(buf: bytes) -> dict:
-    """Real PNG parser: validates the signature, walks chunks verifying
-    every CRC32, parses IHDR (bit depth 8; gray/RGB/RGBA; no interlace),
-    inflates the concatenated IDAT stream, and reverses the per-row
-    filter (all five types, PNG spec §9) to reconstruct pixels.
-    Sub/Average/Paeth unfiltering is inherently sequential in x (each
-    byte needs the reconstructed byte bpp to its left), so rows decode
-    with a per-byte loop — fine for metadata extraction; a columnar
-    raster pipeline would batch whole images per Arrow batch anyway.
-    Metadata mapping matches BMP: mean_luma = mean over all samples
-    (order-invariant, so the oracle restates it analytically)."""
+def _png_recon(buf: bytes) -> np.ndarray:
+    """Real PNG parser → (h, w, channels) uint8 pixels: validates the
+    signature, walks chunks verifying every CRC32, parses IHDR (bit
+    depth 8; gray/RGB/RGBA; no interlace), inflates the concatenated
+    IDAT stream, and reverses the per-row filter (all five types, PNG
+    spec §9) to reconstruct pixels. Sub/Average/Paeth unfiltering is
+    inherently sequential in x (each byte needs the reconstructed byte
+    bpp to its left), so rows decode with a per-byte loop — fine for
+    metadata extraction; a columnar raster pipeline would batch whole
+    images per Arrow batch anyway."""
     if len(buf) < 8 or bytes(buf[:8]) != _PNG_SIG:
         raise ValueError("bad PNG signature")
     pos, ihdr, idat, seen_end = 8, None, [], False
@@ -372,8 +398,23 @@ def _decode_png(buf: bytes) -> dict:
             raise ValueError(f"bad filter type {ftype} on row {r}")
         recon[r] = cur
         prior = cur
-    return {"width": int(w), "height": int(h), "channels": channels,
-            "n_frames": 1, "mean_luma": float(recon.mean())}
+    return recon.astype(np.uint8).reshape(h, int(w), channels)
+
+
+def png_pixels(buf: bytes) -> np.ndarray:
+    """Decoded PNG pixels as an (h, w, channels) uint8 array — full
+    chunk/CRC/filter validation (shared reconstruction, _png_recon)."""
+    return _png_recon(buf)
+
+
+def _decode_png(buf: bytes) -> dict:
+    """Metadata mapping for the media_meta surface (matches BMP):
+    mean_luma = mean over all samples — order-invariant, so the oracle
+    restates it analytically. Full validation via _png_recon."""
+    px = _png_recon(buf)
+    h, w, channels = px.shape
+    return {"width": w, "height": h, "channels": channels,
+            "n_frames": 1, "mean_luma": float(px.mean())}
 
 
 # ------------------------------------------ real codec: Y4M (YUV4MPEG2)
@@ -648,3 +689,159 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
                                 "frame": frames})
 
     return src.mapInPandas(run, "media_id string, frame_idx int, frame binary")
+
+
+# ------------------------------ perceptual hash (dHash) + image near-dup
+def media_pixels(buf: bytes | None) -> np.ndarray | None:
+    """Decoded raster for the REAL image containers — (h, w, channels)
+    uint8 for BMP/PNG payloads, None for anything else (other kinds,
+    corrupt containers). The perceptual-hash operators consume this."""
+    if buf is None:
+        return None
+    b = bytes(buf)
+    try:
+        if b[:2] == b"BM":
+            return bmp_pixels(b)
+        if b[:4] == b"\x89PNG":
+            return png_pixels(b)
+    except ValueError:
+        return None
+    return None
+
+
+def dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash (dHash) — the standard perceptual image
+    fingerprint: integer grayscale (floor mean over channels), EXACT
+    integer area-mean resize to an 8×9 grid (add.reduceat over
+    floor-boundary blocks, floor-divided by block area — no float
+    interpolation, so the hash is bit-deterministic across platforms),
+    then bit r·8+c = 1 iff grid[r, c+1] > grid[r, c]. Returned as a
+    SIGNED 64-bit int (Spark LongType). Invariant to container /
+    lossless re-encode by construction (it sees pixels, not bytes);
+    a single-pixel perturbation can flip at most 2 bits (its block's
+    left and right comparisons)."""
+    h, w, ch = px.shape
+    if h < 8 or w < 9:
+        raise ValueError(f"image {w}x{h} too small for an 8x9 dHash "
+                         f"grid (need >= 9x8)")
+    gray = px.astype(np.int64).sum(axis=2) // ch
+    rb = (np.arange(9, dtype=np.int64) * h) // 8
+    cb = (np.arange(10, dtype=np.int64) * w) // 9
+    colsum = np.add.reduceat(gray, cb[:-1], axis=1)
+    blocks = np.add.reduceat(colsum, rb[:-1], axis=0)
+    areas = np.diff(rb)[:, None] * np.diff(cb)[None, :]
+    grid = blocks // areas
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_hashes(df: DataFrame, byte_col: str = "media",
+                 id_col: str = "media_id") -> DataFrame:
+    """(media_id, dhash) for every decodable real-container image row.
+    One Arrow pass (scan → mapInPandas), no join, no shuffle; rows
+    that aren't BMP/PNG, fail decode, or are below the 9×8 grid floor
+    contribute no rows (dedup skips what it cannot see — the media
+    quality gates own those)."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(byte_col).alias("_media"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for i in range(len(pdf)):
+                px = media_pixels(pdf["_media"].iat[i])
+                if px is None or px.shape[0] < 8 or px.shape[1] < 9:
+                    continue
+                ids.append(pdf["media_id"].iat[i])
+                hs.append(dhash64(px))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "dhash": pd.array(hs, dtype="int64")})
+
+    return src.mapInPandas(run, "media_id string, dhash long")
+
+
+#: 64 dHash bits → max_hamming+1 disjoint bands (pigeonhole: a pair
+#: within hamming ≤ k agrees EXACTLY on ≥ 1 of k+1 bands, so the band
+#: join has NO false negatives — same guarantee style as the audio
+#: fingerprint probe, but here it is exhaustive, not probabilistic)
+def _dhash_bands(n_bands: int) -> list[tuple[int, int]]:
+    base, extra = divmod(64, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        out.append((off, width))
+        off += width
+    return out
+
+
+def image_near_dups(df: DataFrame, max_hamming: int = 4,
+                    byte_col: str = "media",
+                    id_col: str = "media_id") -> DataFrame:
+    """Perceptual near-duplicate image pairs (media_id_a < media_id_b):
+    same picture under a different container, lossless re-encode, or
+    small pixel perturbation. EXACT w.r.t. its stated rule — a pair is
+    reported iff hamming(dhash_a, dhash_b) ≤ max_hamming — because the
+    band split is a pigeonhole cover, not a probabilistic probe.
+
+    Plan: one Arrow hash pass (a few bytes per image out), then
+    EVERYTHING is JVM: posexplode over shiftrightunsigned band
+    extraction, one shuffle keyed on (band, band_bits), pair dedupe,
+    and a bit_count(xor) verify in codegen. Payload bytes never
+    shuffle — the join moves 8-byte hashes, the same scale shape as
+    the audio fingerprint and MinHash band joins."""
+    if not 0 <= max_hamming <= 16:
+        raise ValueError(f"max_hamming must be in [0, 16], "
+                         f"got {max_hamming}")
+    h = image_hashes(df, byte_col, id_col)
+    bands = _dhash_bands(max_hamming + 1)
+    band_cols = F.array(*[
+        F.struct(F.lit(i).alias("b"),
+                 (F.shiftrightunsigned("dhash", off)
+                  .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                  ).alias("v"))
+        for i, (off, width) in enumerate(bands)])
+    e = h.select("media_id", "dhash",
+                 F.explode(band_cols).alias("bb")) \
+         .select("media_id", "dhash",
+                 F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, ["b", "v"])
+             .filter(F.col("a.media_id") < F.col("b.media_id"))
+             .select(F.col("a.media_id").alias("media_id_a"),
+                     F.col("b.media_id").alias("media_id_b"),
+                     F.col("a.dhash").alias("_ha"),
+                     F.col("b.dhash").alias("_hb"))
+             .distinct())
+    return (cand.filter(
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                <= max_hamming)
+                .select("media_id_a", "media_id_b"))
+
+
+#: image near-dup gate corpus: 16×16 RGB, pixel bytes from a Knuth
+#: multiplicative mix so images of DIFFERENT keys are decorrelated
+#: (unlike the linear bmp_pixel/png_pixel families, whose shared
+#: gradient structure would alias under a difference hash — measured:
+#: cross-key dHash distance on the linear family collapses to ~0)
+IMGDUP_W = IMGDUP_H = 16
+
+
+def mix_pixel(k: int, j):
+    """Byte j of gate image k: a 32-bit multiply-xor-shift avalanche of
+    (j, k). A single multiplicative hash of a LINEAR j,k combination is
+    NOT enough here: changing k then shifts every pre-image by one
+    constant, block means move coherently, and cross-key dHash distance
+    collapses (measured min 6 of 64 bits — under the match threshold).
+    This mix measures min 17 / mean 32 over 60 keys — coin-flip
+    distance, the margin the near-dup ground truth needs."""
+    m = (1 << 32) - 1
+    v = (np.asarray(j, dtype=np.uint64) * np.uint64(2654435761)) & np.uint64(m)
+    v = v ^ ((np.uint64(k) * np.uint64(40503)) & np.uint64(m))
+    v = (v * np.uint64(2246822519)) & np.uint64(m)
+    v = v ^ (v >> np.uint64(13))
+    v = (v * np.uint64(2654435761)) & np.uint64(m)
+    return ((v >> np.uint64(24)) & np.uint64(255)).astype(np.int64)

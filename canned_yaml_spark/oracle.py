@@ -951,6 +951,21 @@ s AS (SELECT printf('clip_%010d', k) AS clip_id,
 """.strip()
 
 
+def sql_image_near_dups() -> str:
+    # Ground truth by construction for the perceptual image near-dup
+    # gate (__spark_entry__._q_image_near_dups): a dup partner exists
+    # for every k % 5 == 0 key (k%10==0 → same pixels as PNG, hamming
+    # 0; k%10==5 → one perturbed pixel, hamming ≤ 2 by block
+    # locality), and NO cross-key pair can match — the avalanche mix
+    # keeps distinct keys ≥ 17 bits apart (pinned) vs the threshold 4.
+    return """
+SELECT printf('img_%010d', k) AS media_id_a,
+       printf('img_%010d_dup', k) AS media_id_b
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 67 = 0)
+WHERE k % 5 = 0
+""".strip()
+
+
 def sql_audio_near_dup_delta() -> str:
     # ground truth by construction: the delta holds one opus re-encode
     # '<id>_d' per corpus key ≡ 0 (mod 185); incremental dedup against

@@ -2,6 +2,7 @@
 Decoders are deterministic stubs (libs absent); the Spark-side schema,
 batching and violation surfaces are real."""
 
+import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
@@ -263,3 +264,106 @@ def test_y4m_frame_sample(spark):
     # the truncated stream has one complete frame -> only frame 0,
     # and frame 1's clipped tail is not sampled at every=2
     assert got == {("v0", 0): 24, ("v0", 2): 24, ("v1", 0): 24}
+
+
+# ------------------------- perceptual hash (dHash) + image near-dup
+def _gate_px(k, noise_at=None):
+    px = mm.mix_pixel(
+        k, np.arange(16 * 16 * 3, dtype=np.int64)).astype(np.uint8)
+    if noise_at is not None:
+        px = px.copy()
+        px[noise_at] = (int(px[noise_at]) + 3) % 256
+    return px
+
+
+def test_dhash_container_invariant():
+    # same pixels under BMP and PNG → identical hash (it sees pixels,
+    # not bytes); different keys → far apart
+    for k in (0, 7, 31):
+        px = _gate_px(k)
+        hb = mm.dhash64(
+            mm.bmp_pixels(mm.encode_bmp(k, 16, 16,
+                                                        pixels=px)))
+        hp = mm.dhash64(
+            mm.png_pixels(mm.encode_png(k, 16, 16,
+                                                        pixels=px)))
+        assert hb == hp
+
+
+def test_dhash_noise_and_cross_key_margins():
+    # single-pixel perturbation flips ≤ 2 bits (block-local by
+    # construction); distinct keys sit far above the match threshold
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    hashes = {}
+    for k in range(0, 120):
+        px = _gate_px(k).reshape(16, 16, 3)
+        hashes[k] = mm.dhash64(px)
+        noised = _gate_px(k, noise_at=(k * 37) % (16 * 16 * 3)) \
+            .reshape(16, 16, 3)
+        assert ham(hashes[k], mm.dhash64(noised)) <= 2
+    cross = min(ham(hashes[a], hashes[b])
+                for a in range(0, 40) for b in range(a + 1, 40))
+    assert cross > 8                      # threshold is 4; 2× margin
+
+
+def test_dhash_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        mm.dhash64(np.zeros((4, 4, 3), dtype=np.uint8))
+
+
+def test_image_near_dups_exact_against_injection(spark):
+    # corpus: BMP image per key; k%10==0 → SAME pixels re-encoded as
+    # PNG; k%10==5 → one-pixel-noised BMP copy; expected pairs are
+    # exactly the injections (recall AND precision)
+    rows = []
+    for k in range(60):
+        px = _gate_px(k)
+        rows.append((f"img_{k:03d}",
+                     bytearray(mm.encode_bmp(k, 16, 16,
+                                                     pixels=px))))
+        if k % 10 == 0:
+            rows.append((f"img_{k:03d}_dup", bytearray(
+                mm.encode_png(k, 16, 16, pixels=px))))
+        elif k % 10 == 5:
+            noised = _gate_px(k, noise_at=(k * 37) % (16 * 16 * 3))
+            rows.append((f"img_{k:03d}_dup", bytearray(
+                mm.encode_bmp(k, 16, 16, pixels=noised))))
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    got = {(r.media_id_a, r.media_id_b)
+           for r in mm.image_near_dups(df).collect()}
+    want = {(f"img_{k:03d}", f"img_{k:03d}_dup")
+            for k in range(60) if k % 5 == 0}
+    assert got == want
+
+
+def test_image_near_dups_verify_is_jvm(spark):
+    rows = [("a", bytearray(mm.encode_bmp(1, 16, 16,
+                                                  pixels=_gate_px(1))))]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    plan = mm.image_near_dups(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the hash pass is the ONLY Python anywhere (it appears under both
+    # join inputs in the static plan; identical subtrees collapse to a
+    # ReusedExchange at runtime — the audiofp band-join shape);
+    # banding, join, and the hamming verify are pure JVM
+    assert plan.count("MapInPandas run(") == plan.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
+    assert "bit_count" in plan
+
+
+def test_image_hashes_skip_rules(spark):
+    rows = [
+        ("small", bytearray(mm.encode_bmp(3))),         # 6×5 < grid
+        ("wav", bytearray(mm.encode_wav(3))),           # not image
+        ("corrupt", bytearray(
+            mm.encode_bmp(3, 16, 16, pixels=_gate_px(3))[:20])),
+        ("good", bytearray(mm.encode_bmp(3, 16, 16,
+                                                 pixels=_gate_px(3)))),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    out = mm.image_hashes(df).collect()
+    assert [r.media_id for r in out] == ["good"]

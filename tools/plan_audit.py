@@ -409,6 +409,21 @@ def main() -> int:
           "noise bank is small by construction → broadcast join; the "
           "corpus-side plan stays scan → join → ONE mapInPandas")
 
+    from canned_yaml_spark import multimodal
+    _img_rows = [("i%03d" % i, bytearray(multimodal.encode_bmp(
+        i, 16, 16, pixels=multimodal.mix_pixel(
+            i, __import__("numpy").arange(768)).astype("uint8"))))
+        for i in range(32)]
+    audit("image near-dup (dHash band LSH)",
+          multimodal.image_near_dups(spark.createDataFrame(
+              _img_rows, "media_id string, media binary")),
+          [("hash pass is the only Python",
+            lambda p: p.count("MapInPandas run(") == p.count("MapInPandas")
+            and "EvalPython" not in p),
+           ("JVM hamming verify", lambda p: "bit_count" in p)],
+          "pigeonhole band cover (no false negatives); the join moves "
+          "8-byte hashes, payload bytes never shuffle")
+
     md = ["# Physical-plan audit", "",
           "Asserted on the executed plan by `python tools/plan_audit.py`",
           f"(re-run any time; last run {time.strftime('%Y-%m-%d %H:%M')},"

@@ -919,6 +919,25 @@ def _q_transcript_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("dist") > 0)
 
 
+def _q_media_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-media as a spec rule over the derived media corpus: image-kind
+    # payloads must decode AND be at least 7 px wide. Violations are
+    # closed-form in k (oracle.sql_media_rule): corrupt image
+    # containers (every 10th key truncated — magic survives, so kind
+    # scoping still sees an image) plus the healthy 6-wide BMPs and
+    # 5-wide PNGs; the 8×8 stub images pass the floor. WAV/Y4M rows
+    # are out of scope for kinds=[image] even when corrupt.
+    from canned_yaml_spark import multimodal
+    from canned_yaml_spark.compile import compile_spec as _cs
+    media = multimodal.media_corpus_df(spark, sf_dir)
+    suite = _cs({"type": "object", "properties": {"media": {
+        "x-media": {"kinds": ["image"], "min_width": 7,
+                    "require_decodable": True}}}}, media.schema)
+    [mc] = suite.media_checks
+    return (multimodal.media_violations(media, mc)
+            .select(*_VCOLS))
+
+
 def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Perceptual image near-dup (multimodal.dhash64 + pigeonhole band
     # LSH + JVM bit_count verify — EXACT w.r.t. hamming ≤ 4, no false
@@ -1386,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downmix": _q_downmix,
         "media_meta": _q_media_meta,
         "image_near_dups": _q_image_near_dups,
+        "media_rule": _q_media_rule,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
         "transcript_distance": _q_transcript_distance,
@@ -1465,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "downmix": oracle.sql_downmix(),
         "media_meta": oracle.sql_media_meta(),
         "image_near_dups": oracle.sql_image_near_dups(),
+        "media_rule": oracle.sql_media_rule(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),
         "transcript_distance": oracle.sql_transcript_distance(),

@@ -125,6 +125,23 @@ class TranscriptCheck:
 
 
 @dataclass(frozen=True)
+class MediaCheck:
+    """x-media: decodability + dimension floors on a binary media
+    ``column``, optionally scoped to container kinds (image/video/
+    audio). require_decodable flags payloads the registry cannot parse
+    (corrupt containers, truncations); min_width/min_height gate the
+    decoded geometry. A bound left None is not checked."""
+
+    rule_id: str
+    column: str
+    kinds: tuple[str, ...] | None = None
+    require_decodable: bool = True
+    min_width: int | None = None
+    min_height: int | None = None
+    severity: Severity = Severity.WARN
+
+
+@dataclass(frozen=True)
 class AudioStatsCheck:
     """x-audio-stats: decode audio ``column`` and gate per-clip quality
     metrics — clipping fraction, silence fraction, RMS dBFS floor.
@@ -258,6 +275,7 @@ class CheckSuite:
     drift_checks: list[DriftCheck] = field(default_factory=list)
     payload_checks: list[PayloadCheck] = field(default_factory=list)
     transcript_checks: list["TranscriptCheck"] = field(default_factory=list)
+    media_checks: list["MediaCheck"] = field(default_factory=list)
     audio_checks: list[AudioStatsCheck] = field(default_factory=list)
     spectral_checks: list[SpectralCheck] = field(default_factory=list)
     quantile_checks: list[QuantileCheck] = field(default_factory=list)

@@ -33,7 +33,7 @@ from pyspark.sql import types as T
 from canned_yaml_spark.checks import (
     AnomalyCheck, AudioStatsCheck, Check, CheckSuite, CompletenessCheck,
     DriftCheck, FrequencyCheck, PayloadCheck, QuantileCheck, RefCheck,
-    Severity, SpectralCheck, TranscriptCheck, UniqueCheck,
+    MediaCheck, Severity, SpectralCheck, TranscriptCheck, UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
 from canned_yaml_spark.spec import load_spec, resolve_ref
@@ -720,6 +720,38 @@ class _Compiler:
                 ref_col=xt.get("ref_col", "transcript_ref"),
                 max_dist=max_dist, max_wer=max_wer,
                 severity=Severity[xt.get("severity", "ERROR").upper()]))
+        if "x-media" in sub:
+            xm = sub["x-media"]
+            path = f"$.properties.{column}.x-media"
+            if not isinstance(xm, dict):
+                raise SpecError(path, "x-media must be a mapping")
+            kinds = xm.get("kinds")
+            if kinds is not None:
+                if (not isinstance(kinds, list) or not kinds
+                        or not all(isinstance(x, str) for x in kinds)):
+                    raise SpecError(f"{path}.kinds",
+                                    "must be a non-empty list of kind "
+                                    "names (image/video/audio)")
+                kinds = tuple(kinds)
+            req = bool(xm.get("require_decodable", True))
+            bounds = {}
+            for b in ("min_width", "min_height"):
+                v = xm.get(b)
+                if v is not None:
+                    if not isinstance(v, int) or v <= 0:
+                        raise SpecError(f"{path}.{b}",
+                                        f"must be a positive integer, "
+                                        f"got {v!r}")
+                bounds[b] = v
+            if not req and bounds["min_width"] is None                     and bounds["min_height"] is None:
+                raise SpecError(path, "x-media checks nothing: enable "
+                                      "require_decodable or set a bound")
+            self.suite.media_checks.append(MediaCheck(
+                rule_id=f"x-media.{column}", column=column,
+                kinds=kinds, require_decodable=req,
+                min_width=bounds["min_width"],
+                min_height=bounds["min_height"],
+                severity=Severity[xm.get("severity", "WARN").upper()]))
         if "x-audio-stats" in sub:
             xa = sub["x-audio-stats"]
             opt = (lambda k: float(xa[k]) if k in xa else None)

@@ -110,6 +110,11 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
                     join_hint=("MERGE" if bucketed_by_id
                                and bucket_sort_trusted
                                else "SHUFFLE_HASH")))
+    for mc in suite.media_checks:
+        if mc.column in clips.columns:
+            from canned_yaml_spark import multimodal
+            out = out.unionByName(
+                multimodal.media_violations(clips, mc, id_col, part_col))
     for ac in suite.audio_checks:
         # absolute quality gates, no reference table; skipped when the
         # table has no such column (e.g. the transcript-only corpus)

@@ -845,3 +845,45 @@ def mix_pixel(k: int, j):
     v = v ^ (v >> np.uint64(13))
     v = (v * np.uint64(2654435761)) & np.uint64(m)
     return ((v >> np.uint64(24)) & np.uint64(255)).astype(np.int64)
+
+
+def media_violations(df: DataFrame, check,
+                     id_col: str = "media_id",
+                     part_col: str = "part_id") -> DataFrame:
+    """Violation rows for an x-media check (MediaCheck): undecodable
+    payloads of the scoped kinds and/or decoded geometry below the
+    min_width/min_height floors. One Arrow pass (extract_media_meta) +
+    JVM filters — no reference table, no join, exchange-free at any
+    scale. Kind scoping happens on the container-magic kind column,
+    so a truncated image still counts as an image (its magic
+    survives); payloads of out-of-scope kinds are untouched."""
+    meta = extract_media_meta(df, byte_col=check.column,
+                              id_col=id_col, part_col=part_col)
+    if check.kinds:
+        meta = meta.filter(F.col("kind").isin(*check.kinds))
+    rule_id = check.rule_id
+    sev = int(check.severity)
+    parts = []
+    if check.require_decodable:
+        parts.append(
+            meta.filter(~F.col("ok"))
+                .select(F.col("media_id").alias("clip_id"), "part_id",
+                        F.lit(rule_id).alias("rule_id"),
+                        F.lit(sev).alias("severity"),
+                        F.concat(F.lit("undecodable media: "),
+                                 F.col("err")).alias("message")))
+    for bound, col in ((check.min_width, "width"),
+                       (check.min_height, "height")):
+        if bound is not None:
+            parts.append(
+                meta.filter(F.col("ok") & (F.col(col) < bound))
+                    .select(F.col("media_id").alias("clip_id"), "part_id",
+                            F.lit(rule_id).alias("rule_id"),
+                            F.lit(sev).alias("severity"),
+                            F.format_string(
+                                f"{col} %d < minimum {bound}",
+                                F.col(col)).alias("message")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

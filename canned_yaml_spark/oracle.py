@@ -951,6 +951,25 @@ s AS (SELECT printf('clip_%010d', k) AS clip_id,
 """.strip()
 
 
+def sql_media_rule() -> str:
+    # Ground truth by construction for the x-media gate
+    # (__spark_entry__._q_media_rule) over the derived media corpus
+    # (_MEDIA_KEYED): image-kind keys are NOT is_vid AND NOT is_wav;
+    # corrupt ones (every 10th key — container truncated but magic
+    # intact) violate require_decodable, and the healthy 6-wide BMPs /
+    # 5-wide PNGs violate the 7 px width floor (the 8×8 stub images
+    # pass). Severity WARN = 1.
+    return f"""
+WITH {_MEDIA_KEYED}
+SELECT media_id AS clip_id, part_id,
+       'x-media.media' AS rule_id,
+       CAST(1 AS INT) AS severity
+FROM m
+WHERE NOT is_vid AND NOT is_wav
+  AND (corrupt OR is_bmp OR is_png)
+""".strip()
+
+
 def sql_image_near_dups() -> str:
     # Ground truth by construction for the perceptual image near-dup
     # gate (__spark_entry__._q_image_near_dups): a dup partner exists

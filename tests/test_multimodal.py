@@ -367,3 +367,71 @@ def test_image_hashes_skip_rules(spark):
     df = spark.createDataFrame(rows, "media_id string, media binary")
     out = mm.image_hashes(df).collect()
     assert [r.media_id for r in out] == ["good"]
+
+
+# ------------------------------------------------- x-media spec rule
+def test_media_violations_semantics(spark):
+    from canned_yaml_spark.compile import compile_spec
+    rows = [
+        # corrupt WAV — out of scope for kinds=[image]
+        ("wav_bad", 0, bytearray(mm.encode_wav(1)[:20])),
+        # corrupt BMP — undecodable image
+        ("bmp_bad", 0, bytearray(mm.encode_bmp(2)[:20])),
+        # healthy 5×5 PNG — width 5 < floor 6
+        ("png_small", 1, bytearray(mm.encode_png(3))),
+        # healthy 6×5 BMP — width 6 passes, height 5 < floor 6? no:
+        # only min_width set here
+        ("bmp_ok", 1, bytearray(mm.encode_bmp(4))),
+        # healthy 8×8 stub image — passes
+        ("img_ok", 2, bytearray(mm.encode_image(5))),
+    ]
+    df = spark.createDataFrame(rows,
+                               "media_id string, part_id int, media binary")
+    suite = compile_spec(
+        {"type": "object", "properties": {"media": {"x-media": {
+            "kinds": ["image"], "min_width": 6}}}}, df.schema)
+    [mc] = suite.media_checks
+    assert mc.kinds == ("image",) and int(mc.severity) == 1
+    v = mm.media_violations(df, mc)
+    got = sorted((r.clip_id, r.message) for r in v.collect())
+    assert [c for c, _ in got] == ["bmp_bad", "png_small"]
+    assert "undecodable media" in got[0][1]
+    assert got[1][1] == "width 5 < minimum 6"
+
+
+def test_media_rule_job_wiring(spark):
+    from canned_yaml_spark import job
+    from canned_yaml_spark.compile import compile_spec
+    rows = [("m0", 0, bytearray(mm.encode_bmp(2)[:20])),
+            ("m1", 0, bytearray(mm.encode_bmp(3)))]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, part_id int, media binary")
+    suite = compile_spec(
+        {"type": "object", "properties": {"media": {"x-media": {
+            "require_decodable": True, "severity": "ERROR"}}}}, df.schema)
+    v = job.all_violations(df, suite)
+    [r] = v.collect()
+    assert r.clip_id == "m0" and r.severity == 2
+
+
+def test_media_rule_spec_errors(spark):
+    import pytest
+
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+    frame = spark.createDataFrame([], "media binary")
+
+    def mk(frag):
+        return compile_spec({"type": "object", "properties": {
+            "media": {"x-media": frag}}}, frame.schema)
+
+    for frag, loc in (
+            ({"kinds": "image"}, "kinds"),
+            ({"kinds": []}, "kinds"),
+            ({"min_width": 0}, "min_width"),
+            ({"min_height": -2}, "min_height"),
+            ({"require_decodable": False}, "checks nothing"),
+    ):
+        with pytest.raises(SpecError) as ei:
+            mk(frag)
+        assert loc in str(ei.value)

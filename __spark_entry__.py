@@ -919,6 +919,58 @@ def _q_transcript_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("dist") > 0)
 
 
+def _q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual VIDEO near-dup (multimodal.video_near_dups): per-frame
+    # dHash of Y4M luminance planes, frame-0-anchored pigeonhole band
+    # probe, pure-JVM forall/zip_with/bit_count verify over the carried
+    # fingerprint arrays. Corpus on orders keys k % 73 == 0: 4-frame
+    # 16×16 C420 streams with avalanche-mixed content; k%10==0 injects
+    # a CHROMA-ONLY perturbation (bytes differ, Y planes identical —
+    # the dup a byte-level dedup must miss and a perceptual one must
+    # catch), k%10==5 one Y pixel per frame (every frame ≤ 2 bits).
+    # Oracle: the injected pairs — exactly the k % 5 == 0 keys.
+    from canned_yaml_spark import multimodal
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 73 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+    w = h = 16
+    plane = w * h * 3 // 2
+    nf = 4
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in (int(x) for x in pdf["k"]):
+                px = multimodal.mix_pixel(
+                    k, np.arange(nf * plane, dtype=np.int64)) \
+                    .astype(np.uint8)
+                ids.append(f"vid_{k:010d}")
+                blobs.append(multimodal.encode_y4m(k, nf, w, h,
+                                                   payload=px))
+                r = k % 10
+                if r in (0, 5):
+                    p2 = px.copy()
+                    for f in range(nf):
+                        base = f * plane
+                        if r == 0:       # chroma-only: Y untouched
+                            pos = base + w * h \
+                                + (k + f) % (plane - w * h)
+                            p2[pos] = (int(p2[pos]) + 7) % 256
+                        else:            # one Y pixel per frame
+                            pos = base + (k * 37 + f * 11) % (w * h)
+                            p2[pos] = (int(p2[pos]) + 3) % 256
+                    ids.append(f"vid_{k:010d}_dup")
+                    blobs.append(multimodal.encode_y4m(k, nf, w, h,
+                                                       payload=p2))
+            yield pd.DataFrame({"media_id": ids, "media": blobs})
+
+    corpus = keys.mapInPandas(gen, "media_id string, media binary")
+    return (multimodal.video_near_dups(corpus, max_hamming=4)
+            .orderBy("media_id_a"))
+
+
 def _q_media_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x-media as a spec rule over the derived media corpus: image-kind
     # payloads must decode AND be at least 7 px wide. Violations are
@@ -1406,6 +1458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "image_near_dups": _q_image_near_dups,
         "media_rule": _q_media_rule,
+        "video_near_dups": _q_video_near_dups,
         "frame_sample": _q_frame_sample,
         "audio_stats": _q_audio_stats,
         "transcript_distance": _q_transcript_distance,
@@ -1486,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": oracle.sql_media_meta(),
         "image_near_dups": oracle.sql_image_near_dups(),
         "media_rule": oracle.sql_media_rule(),
+        "video_near_dups": oracle.sql_video_near_dups(),
         "frame_sample": oracle.sql_frame_sample(),
         "audio_stats": oracle.sql_audio_stats(),
         "transcript_distance": oracle.sql_transcript_distance(),

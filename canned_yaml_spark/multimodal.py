@@ -433,7 +433,8 @@ def y4m_byte(k: int, j):
 
 
 def encode_y4m(key: int, n_frames: int = Y4M_F, width: int = Y4M_W,
-               height: int = Y4M_H, csp: str = "420") -> bytes:
+               height: int = Y4M_H, csp: str = "420",
+               payload: np.ndarray | None = None) -> bytes:
     """A real YUV4MPEG2 stream: tagged plain-text stream header, then
     per-frame `FRAME\\n` markers each followed by raw planar YUV —
     exactly the layout ffmpeg/mjpegtools emit. Pure numpy/struct."""
@@ -441,8 +442,13 @@ def encode_y4m(key: int, n_frames: int = Y4M_F, width: int = Y4M_W,
              "mono": width * height}[csp]
     head = (f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 "
             f"C{csp}\n").encode()
-    px = y4m_byte(key, np.arange(n_frames * plane,
-                                 dtype=np.int64)).astype(np.uint8)
+    # payload: optional explicit concatenated-frame bytes (the video
+    # near-dup gate re-encodes perturbed content); default = formula
+    px = (np.asarray(payload, dtype=np.uint8).reshape(-1)
+          if payload is not None else
+          y4m_byte(key, np.arange(n_frames * plane,
+                                  dtype=np.int64)).astype(np.uint8))
+    assert px.size == n_frames * plane
     out = [head]
     for f in range(n_frames):
         out.append(b"FRAME\n")
@@ -887,3 +893,113 @@ def media_violations(df: DataFrame, check,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def y4m_y_planes(buf: bytes) -> np.ndarray:
+    """(n_frames, h, w) uint8 Y planes of a Y4M stream — the luminance
+    rasters the video perceptual hash consumes. Same walk/validation
+    as _decode_y4m."""
+    b = bytes(buf)
+    w, h, csp, pos = _parse_y4m_header(b)
+    fsz, _ = _y4m_frame_bytes(w, h, csp)
+    planes = []
+    while pos < len(b):
+        if b[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        nl = b.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("unterminated FRAME header")
+        pos = nl + 1
+        if pos + fsz > len(b):
+            raise ValueError("frame data overruns buffer")
+        planes.append(np.frombuffer(b, dtype=np.uint8, count=w * h,
+                                    offset=pos).reshape(h, w))
+        pos += fsz
+    if not planes:
+        raise ValueError("stream contains no frames")
+    return np.stack(planes)
+
+
+def video_hashes(df: DataFrame, byte_col: str = "media",
+                 id_col: str = "media_id") -> DataFrame:
+    """(media_id, n_frames, fp: array<long>) — per-frame dHash of each
+    Y4M payload's Y planes (luminance is what perceptual video
+    identity lives in; chroma subsampling/requantization shouldn't
+    move the fingerprint). One Arrow pass, no join; undecodable or
+    sub-grid (< 9×8) streams contribute no rows."""
+    src = df.select(F.col(id_col).alias("media_id"),
+                    F.col(byte_col).alias("_media"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, fps = [], [], []
+            for i in range(len(pdf)):
+                buf = pdf["_media"].iat[i]
+                if buf is None or bytes(buf[:4]) != b"YUV4":
+                    continue
+                try:
+                    planes = y4m_y_planes(buf)
+                except ValueError:
+                    continue
+                if planes.shape[1] < 8 or planes.shape[2] < 9:
+                    continue
+                ids.append(pdf["media_id"].iat[i])
+                ns.append(planes.shape[0])
+                fps.append([int(dhash64(p[:, :, None]))
+                            for p in planes])
+            # object dtype: Arrow's pandas converter rejects a numpy
+            # object array of lists unless the column is a plain
+            # python-object Series
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="object"),
+                "n_frames": pd.array(ns, dtype="int32"),
+                "fp": pd.Series(fps, dtype="object")})
+
+    return src.mapInPandas(
+        run, "media_id string, n_frames int, fp array<long>")
+
+
+def video_near_dups(df: DataFrame, max_hamming: int = 4,
+                    byte_col: str = "media",
+                    id_col: str = "media_id") -> DataFrame:
+    """Perceptual near-duplicate VIDEO pairs: same footage under
+    re-encode or small per-frame perturbation. Match rule (exact, no
+    false negatives): equal frame counts AND EVERY aligned frame's
+    dHash within max_hamming. The probe is the frame-aligned band
+    split of image_near_dups lifted to (frame_idx, band, bits): a
+    matching pair's frame 0 alone guarantees a probe hit (pigeonhole
+    over its max_hamming+1 bands), so candidate generation is
+    lossless; the verify is a pure-JVM forall/zip_with/bit_count over
+    the carried fp arrays — fingerprints shuffle (8 B × frames),
+    payload bytes never."""
+    if not 0 <= max_hamming <= 16:
+        raise ValueError(f"max_hamming must be in [0, 16], "
+                         f"got {max_hamming}")
+    h = video_hashes(df, byte_col, id_col)
+    bands = _dhash_bands(max_hamming + 1)
+    f0 = F.element_at("fp", 1)              # frame 0 anchors the probe
+    band_cols = F.array(*[
+        F.struct(F.lit(i).alias("b"),
+                 (F.shiftrightunsigned(f0, off)
+                  .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                  ).alias("v"))
+        for i, (off, width) in enumerate(bands)])
+    e = h.select("media_id", "n_frames", "fp",
+                 F.explode(band_cols).alias("bb")) \
+         .select("media_id", "n_frames", "fp",
+                 F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cand = (a.join(b, ["b", "v"])
+             .filter(F.col("a.media_id") < F.col("b.media_id"))
+             .filter(F.col("a.n_frames") == F.col("b.n_frames"))
+             .select(F.col("a.media_id").alias("media_id_a"),
+                     F.col("b.media_id").alias("media_id_b"),
+                     F.col("a.fp").alias("_fa"),
+                     F.col("b.fp").alias("_fb"))
+             .distinct())
+    ok = F.forall(
+        F.zip_with("_fa", "_fb",
+                   lambda x, y: F.bit_count(x.bitwiseXOR(y))
+                   <= F.lit(max_hamming)),
+        lambda z: z)
+    return cand.filter(ok).select("media_id_a", "media_id_b")

@@ -951,6 +951,21 @@ s AS (SELECT printf('clip_%010d', k) AS clip_id,
 """.strip()
 
 
+def sql_video_near_dups() -> str:
+    # Ground truth by construction for the perceptual video near-dup
+    # gate (__spark_entry__._q_video_near_dups): a dup partner exists
+    # for every k % 5 == 0 key (k%10==0 chroma-only → identical Y
+    # planes → hamming 0 on every frame; k%10==5 one Y pixel per frame
+    # → ≤ 2 bits); cross-key content is avalanche-mixed, far above the
+    # 4-bit threshold (margins pinned in tests/test_multimodal.py).
+    return """
+SELECT printf('vid_%010d', k) AS media_id_a,
+       printf('vid_%010d_dup', k) AS media_id_b
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 73 = 0)
+WHERE k % 5 = 0
+""".strip()
+
+
 def sql_media_rule() -> str:
     # Ground truth by construction for the x-media gate
     # (__spark_entry__._q_media_rule) over the derived media corpus

@@ -435,3 +435,85 @@ def test_media_rule_spec_errors(spark):
         with pytest.raises(SpecError) as ei:
             mk(frag)
         assert loc in str(ei.value)
+
+
+# ------------------------------------ video perceptual near-dup (Y4M)
+_VW = _VH = 16
+_VPLANE = _VW * _VH * 3 // 2              # C420 frame bytes
+_VF = 4
+
+
+def _vid_payload(k, y_noise=False, c_noise=False, frames=_VF):
+    px = mm.mix_pixel(k, np.arange(frames * _VPLANE, dtype=np.int64)) \
+        .astype(np.uint8).copy()
+    for f in range(frames):
+        base = f * _VPLANE
+        if y_noise:                        # one Y-plane pixel per frame
+            pos = base + (k * 37 + f * 11) % (_VW * _VH)
+            px[pos] = (int(px[pos]) + 3) % 256
+        if c_noise:                        # chroma-only perturbation
+            pos = base + _VW * _VH + (k + f) % (_VPLANE - _VW * _VH)
+            px[pos] = (int(px[pos]) + 7) % 256
+    return px
+
+
+def _vid(k, **kw):
+    frames = kw.pop("frames", _VF)
+    return mm.encode_y4m(k, frames, _VW, _VH,
+                         payload=_vid_payload(k, frames=frames, **kw))
+
+
+def test_y4m_y_planes_and_frame_hash():
+    buf = _vid(3)
+    planes = mm.y4m_y_planes(buf)
+    assert planes.shape == (_VF, _VH, _VW)
+    want = _vid_payload(3)[: _VW * _VH].reshape(_VH, _VW)
+    assert np.array_equal(planes[0], want)
+    # frame hash == image dhash of the same raster
+    assert mm.dhash64(planes[0][:, :, None]) == \
+        mm.dhash64(want[:, :, None])
+
+
+def test_video_near_dups_exact_against_injection(spark):
+    rows = []
+    for k in range(40):
+        rows.append((f"v{k:03d}", bytearray(_vid(k))))
+        if k % 10 == 0:
+            # chroma-only change: bytes differ, Y planes identical —
+            # exactly what byte-level dedup misses and perceptual
+            # dedup must catch
+            rows.append((f"v{k:03d}_dup",
+                         bytearray(_vid(k, c_noise=True))))
+        elif k % 10 == 5:
+            # one Y pixel per frame: every frame hamming ≤ 2
+            rows.append((f"v{k:03d}_dup",
+                         bytearray(_vid(k, y_noise=True))))
+    # frame-count mismatch: same first 3 frames' content, one missing
+    rows.append(("v000_short", bytearray(_vid(0, frames=3))))
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    got = {(r.media_id_a, r.media_id_b)
+           for r in mm.video_near_dups(df).collect()}
+    want = {(f"v{k:03d}", f"v{k:03d}_dup")
+            for k in range(40) if k % 5 == 0}
+    assert got == want
+
+
+def test_video_near_dups_verify_is_jvm(spark):
+    df = spark.createDataFrame([("a", bytearray(_vid(1)))],
+                               "media_id string, media binary")
+    plan = mm.video_near_dups(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("MapInPandas run(") == plan.count("MapInPandas")
+    assert "BatchEvalPython" not in plan
+    assert "bit_count" in plan and "forall" in plan.lower()
+
+
+def test_video_hashes_skip_rules(spark):
+    rows = [("tiny", bytearray(mm.encode_y4m(1))),       # 4×4 < grid
+            ("bmp", bytearray(mm.encode_bmp(1))),        # wrong kind
+            ("trunc", bytearray(_vid(1)[:50])),          # corrupt
+            ("good", bytearray(_vid(1))), ("null", None)]
+    df = spark.createDataFrame(rows, "media_id string, media binary")
+    out = mm.video_hashes(df).collect()
+    assert [r.media_id for r in out] == ["good"]
+    assert out[0].n_frames == _VF and len(out[0].fp) == _VF

@@ -423,6 +423,21 @@ def main() -> int:
            ("JVM hamming verify", lambda p: "bit_count" in p)],
           "pigeonhole band cover (no false negatives); the join moves "
           "8-byte hashes, payload bytes never shuffle")
+    _np = __import__("numpy")
+    _vid_rows = [("v%03d" % i, bytearray(multimodal.encode_y4m(
+        i, 4, 16, 16, payload=multimodal.mix_pixel(
+            i, _np.arange(4 * 384)).astype("uint8"))))
+        for i in range(16)]
+    audit("video near-dup (frame dHash)",
+          multimodal.video_near_dups(spark.createDataFrame(
+              _vid_rows, "media_id string, media binary")),
+          [("hash pass is the only Python",
+            lambda p: p.count("MapInPandas run(") == p.count("MapInPandas")
+            and "EvalPython" not in p),
+           ("array verify is JVM",
+            lambda p: "bit_count" in p and "forall" in p.lower())],
+          "frame-0 band probe is lossless; verify folds the carried "
+          "fp arrays in codegen — per-frame hashes shuffle, frames never")
 
     md = ["# Physical-plan audit", "",
           "Asserted on the executed plan by `python tools/plan_audit.py`",

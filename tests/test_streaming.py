@@ -475,3 +475,35 @@ def test_stream_ref_violations_needs_ref_checks(spark, tmp_path):
     empty = compile_spec({"type": "object"}, clips.schema)
     with pytest.raises(ValueError):
         streaming.stream_ref_violations(clips, clips, empty)
+
+
+def test_stream_window_chunking_matches_batch(spark, tmp_path):
+    """Training-window chunking on a STREAM: window_slices is
+    stateless pure-JVM column logic, so it composes onto a streaming
+    source unchanged — continuous clip ingest → trainer-shaped chunks
+    with no state store and no watermark."""
+    from canned_yaml_spark import audio, segment
+
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    chk = str(tmp_path / "wchk")
+    pcm = audio.synth_pcm(3, 16000, 400)
+    rows = [(f"c{i}", bytearray(audio.encode(pcm, c)), c)
+            for i, c in enumerate(("pcm_s16le", "ulaw", "alaw"))]
+    clips = spark.createDataFrame(rows,
+                                  "clip_id string, bytes binary, "
+                                  "codec string")
+    clips.write.parquet(src)
+
+    stream = spark.readStream.schema(clips.schema).parquet(src)
+    w = segment.window_slices(stream, 256, 192)
+    q = (w.writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = segment.window_slices(clips, 256, 192)
+    key = ["clip_id", "win_idx", "win_start", "win_end"]
+    assert got.count() == want.count() > 0
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0

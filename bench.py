@@ -171,7 +171,7 @@ def main() -> None:
     # page-cache churn contaminated the r4 recorded figure)
     marker = os.path.join(BENCH_DIR, "_DONE")
     if not (os.path.exists(marker)
-            and open(marker).read().strip() == "v2"):
+            and open(marker).read().strip() == "v3"):
         r = subprocess.run([sys.executable, here, "--build"])
         if r.returncode != 0:
             raise RuntimeError("bench corpus build failed")

@@ -1303,6 +1303,67 @@ def _q_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_loudness_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-loudness as a spec rule: ITU-R BS.1770-4 gated integrated
+    # loudness bounds on the decoded payload (loudness.py — exact
+    # vectorized K-weighting via closed-form pole expansion + batched
+    # rFFT, the standard's 400 ms / -70 LKFS / -10 LU gating). Corpus
+    # on orders keys k % 71 == 0: clip k is a quantized 997 Hz sine of
+    # 1.2 s at 16 kHz (even k, pcm_s16le) or 8 kHz (odd k, µ-law) —
+    # 997 Hz is where the K-filter gain and the standard's -0.691
+    # offset cancel, so LUFS ≈ 20·log10(amp) - 3.01. Amplitude by
+    # k % 10: 0 → 0.9 (≈ -4.6 LUFS, breaches max_lufs -10 by 5 dB),
+    # 5 → 0.002 (≈ -57, breaches min_lufs -40 by 17 dB; µ-law granular
+    # noise adds ≤ 0.3 LU — margins dwarf it), 3 → all-zero signal
+    # (every block under the -70 absolute gate → loudness UNDEFINED →
+    # breaches the floor as dead air), 7 → 3-byte pcm stream
+    # (undecodable), else 0.08 (≈ -25.6, passes with ≥ 14 dB margins).
+    # The oracle states that injected ground truth.
+    from canned_yaml_spark import loudness
+    from canned_yaml_spark.compile import compile_spec as _cs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 71 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from canned_yaml_spark import audio as au
+        for pdf in batches:
+            out = {"clip_id": [], "bytes": [], "sr_hz": [], "codec": [],
+                   "part_id": []}
+            for k in (int(x) for x in pdf["k"]):
+                fs = 16000 if k % 2 == 0 else 8000
+                n = int(1.2 * fs)
+                r = k % 10
+                amp = {0: 0.9, 5: 0.002}.get(r, 0.08)
+                t = np.arange(n, dtype=np.float64) / fs
+                x = amp * np.sin(2 * np.pi * 997.0 * t)
+                if r == 3:
+                    x = np.zeros(n)
+                pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+                codec = "pcm_s16le" if k % 2 == 0 else "ulaw"
+                data = au.encode(pcm, codec)
+                if r == 7:
+                    codec, data = "pcm_s16le", b"\x00\x01\x02"  # odd length
+                out["clip_id"].append(f"clip_{k:010d}")
+                out["bytes"].append(data)
+                out["sr_hz"].append(fs)
+                out["codec"].append(codec)
+                out["part_id"].append(k % 64)
+            yield pd.DataFrame(out)
+
+    clips = keys.mapInPandas(
+        gen, "clip_id string, bytes binary, sr_hz int, codec string, "
+             "part_id int")
+    suite = _cs({"type": "object", "properties": {"bytes": {
+        "x-loudness": {"min_lufs": -40, "max_lufs": -10,
+                       "severity": "ERROR"}}}}, clips.schema)
+    [lc] = suite.loudness_checks
+    return loudness.loudness_violations(clips, lc).select(*_VCOLS)
+
+
 def _q_train_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-size training-window chunking (segment.window_slices): the
     # prep step that turns validated clips into trainer-shaped
@@ -1468,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_certified": _q_payload_certified,  # oracle: same set
         "g711_snr": _q_g711_snr,             # oracle: injected ground truth
         "adpcm_snr": _q_adpcm_snr,           # oracle: injected ground truth
+        "loudness_rule": _q_loudness_rule,   # oracle: injected ground truth
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
@@ -1553,6 +1615,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_certified": oracle.sql_payload_snr(),
         "g711_snr": oracle.sql_g711_snr(),
         "adpcm_snr": oracle.sql_adpcm_snr(),
+        "loudness_rule": oracle.sql_loudness_rule(),
         # crash+resume must reproduce the from-scratch verdicts, which
         # this SQL restates family by family over the fixture corpus
         "resume_verdicts": oracle.sql_resume_verdicts(),

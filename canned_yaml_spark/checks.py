@@ -160,6 +160,26 @@ class AudioStatsCheck:
 
 
 @dataclass(frozen=True)
+class LoudnessCheck:
+    """x-loudness: decode audio ``column`` and bound its ITU-R
+    BS.1770-4 gated integrated loudness (LUFS) — the unit corpora are
+    loudness-normalized in, so the validator gates in the same unit.
+    Unlike x-audio-stats' RMS floor, LUFS gates out silence and
+    frequency-weights what remains (dead air can't drag a clip under
+    the floor, hum can't lift it over). Needs the table's sample-rate
+    column (``sr_col``) for the K-weighting filter design. One Arrow
+    pass, no reference table, no join. A bound left as None is not
+    checked."""
+
+    rule_id: str
+    column: str
+    sr_col: str = "sr_hz"
+    min_lufs: float | None = None
+    max_lufs: float | None = None
+    severity: Severity = Severity.WARN
+
+
+@dataclass(frozen=True)
 class SpectralCheck:
     """x-spectral: decode audio ``column``, FFT it, and gate spectral
     quality — a 95%-rolloff floor (catches band-limited audio passed
@@ -277,6 +297,7 @@ class CheckSuite:
     transcript_checks: list["TranscriptCheck"] = field(default_factory=list)
     media_checks: list["MediaCheck"] = field(default_factory=list)
     audio_checks: list[AudioStatsCheck] = field(default_factory=list)
+    loudness_checks: list[LoudnessCheck] = field(default_factory=list)
     spectral_checks: list[SpectralCheck] = field(default_factory=list)
     quantile_checks: list[QuantileCheck] = field(default_factory=list)
     completeness_checks: list[CompletenessCheck] = field(default_factory=list)
@@ -297,6 +318,7 @@ class CheckSuite:
             ("unique", self.unique_checks), ("ref", self.ref_checks),
             ("drift", self.drift_checks), ("payload", self.payload_checks),
             ("audio", self.audio_checks),
+            ("loudness", self.loudness_checks),
             ("spectral", self.spectral_checks),
             ("quantile", self.quantile_checks),
             ("completeness", self.completeness_checks),

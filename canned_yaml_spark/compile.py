@@ -32,8 +32,9 @@ from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
     AnomalyCheck, AudioStatsCheck, Check, CheckSuite, CompletenessCheck,
-    DriftCheck, FrequencyCheck, PayloadCheck, QuantileCheck, RefCheck,
-    MediaCheck, Severity, SpectralCheck, TranscriptCheck, UniqueCheck,
+    DriftCheck, FrequencyCheck, LoudnessCheck, PayloadCheck, QuantileCheck,
+    RefCheck, MediaCheck, Severity, SpectralCheck, TranscriptCheck,
+    UniqueCheck,
 )
 from canned_yaml_spark.errors import SpecError
 from canned_yaml_spark.spec import load_spec, resolve_ref
@@ -763,6 +764,31 @@ class _Compiler:
                 max_silence_frac=opt("max_silence_frac"),
                 min_rms_db=opt("min_rms_db"),
                 severity=Severity[xa.get("severity", "WARN").upper()]))
+        if "x-loudness" in sub:
+            xl = sub["x-loudness"]
+            path = f"$.properties.{column}.x-loudness"
+            if not isinstance(xl, dict):
+                raise SpecError(path, f"must be a map, got {xl!r}")
+            bounds = {}
+            for b in ("min_lufs", "max_lufs"):
+                v = xl.get(b)
+                if v is not None and not isinstance(v, (int, float)):
+                    raise SpecError(f"{path}.{b}",
+                                    f"must be a number, got {v!r}")
+                bounds[b] = None if v is None else float(v)
+            if bounds["min_lufs"] is None and bounds["max_lufs"] is None:
+                raise SpecError(path, "x-loudness checks nothing: set "
+                                      "min_lufs and/or max_lufs")
+            if (bounds["min_lufs"] is not None
+                    and bounds["max_lufs"] is not None
+                    and bounds["min_lufs"] > bounds["max_lufs"]):
+                raise SpecError(path, f"min_lufs {bounds['min_lufs']} > "
+                                      f"max_lufs {bounds['max_lufs']}")
+            self.suite.loudness_checks.append(LoudnessCheck(
+                rule_id=f"x-loudness.{column}", column=column,
+                sr_col=xl.get("sr_col", "sr_hz"),
+                min_lufs=bounds["min_lufs"], max_lufs=bounds["max_lufs"],
+                severity=Severity[xl.get("severity", "WARN").upper()]))
         if "x-spectral" in sub:
             xs = sub["x-spectral"]
             opt = (lambda k: float(xs[k]) if k in xs else None)

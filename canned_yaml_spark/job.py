@@ -121,6 +121,13 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         if ac.column in clips.columns:
             out = out.unionByName(
                 payload.audio_stats_violations(clips, ac, id_col, part_col))
+    for lc in suite.loudness_checks:
+        # BS.1770 bound on decoded payload loudness; needs the table's
+        # sample-rate column for the K-weighting design
+        if lc.column in clips.columns and lc.sr_col in clips.columns:
+            from canned_yaml_spark import loudness
+            out = out.unionByName(
+                loudness.loudness_violations(clips, lc, id_col, part_col))
     for sc in suite.spectral_checks:
         if sc.column in clips.columns and sc.sr_col in clips.columns:
             from canned_yaml_spark import audiofp

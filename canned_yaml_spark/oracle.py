@@ -1320,6 +1320,29 @@ WHERE k % 12 IN (0, 4, 8)
 """.strip()
 
 
+def sql_loudness_rule() -> str:
+    # Ground truth by construction for the x-loudness gate corpus
+    # (__spark_entry__._q_loudness_rule): 997 Hz sines on orders keys
+    # k % 71 == 0 with amplitude classed by k % 10. At 997 Hz the
+    # K-filter gain and the standard's -0.691 offset cancel, so the
+    # constructed levels are ≈ -4.6 / -25.6 / -57 LUFS against bounds
+    # [-40, -10] — every class sits ≥ 5 dB from its bound (µ-law
+    # granular noise moves the quiet class ≤ 0.3 LU; tests pin the
+    # margins). The rule therefore fails EXACTLY the injected rows:
+    # k%10==0 (hot, > max_lufs), k%10==3 (all-zero signal → every
+    # block under the -70 LKFS absolute gate → loudness undefined →
+    # floor breach), k%10==5 (quiet, < min_lufs), k%10==7 (3-byte pcm
+    # stream, undecodable). One violation row each.
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-loudness.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 71 = 0)
+WHERE k % 10 IN (0, 3, 5, 7)
+""".strip()
+
+
 def sql_train_windows() -> str:
     # Exact restatement of the fixed-window chunking gate
     # (__spark_entry__._q_train_windows): clips on orders keys

@@ -330,3 +330,11 @@ def test_deep_spec_carries_x_transcript(tiny):
     [tc] = suite.transcript_checks
     assert tc.max_wer == 0.2 and tc.max_dist is None
     assert int(tc.severity) == int(Severity.WARN)
+
+
+def test_deep_spec_carries_x_loudness():
+    suite = compile_spec(open("specs/clips_deep.spec.yaml").read())
+    [lc] = suite.loudness_checks
+    assert lc.min_lufs == -50.0 and lc.max_lufs == -5.0
+    assert lc.sr_col == "sr_hz"
+    assert int(lc.severity) == int(Severity.WARN)

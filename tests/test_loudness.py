@@ -1,0 +1,204 @@
+"""BS.1770 loudness: filter design conformance, exact-filtering
+equivalence, gating semantics, the Spark operator, and the x-loudness
+spec rule."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from canned_yaml_spark import audio, loudness
+from canned_yaml_spark.errors import SpecError
+
+
+# ---- filter design -------------------------------------------------
+
+def test_coeffs_match_bs1770_48k_table():
+    # the standard publishes the 48 kHz cascade; our parametric design
+    # must reproduce it (BS.1770-4, pre-filter + RLB tables)
+    shelf, hp = loudness.k_weighting_coeffs(48000)
+    ref_shelf_b = (1.53512485958697, -2.69169618940638, 1.19839281085285)
+    ref_shelf_a = (1.0, -1.69065929318241, 0.73248077421585)
+    ref_hp_b = (1.0, -2.0, 1.0)
+    ref_hp_a = (1.0, -1.99004745483398, 0.99007225036621)
+    for got, ref in ((shelf[0], ref_shelf_b), (shelf[1], ref_shelf_a),
+                     (hp[0], ref_hp_b), (hp[1], ref_hp_a)):
+        assert max(abs(g - r) for g, r in zip(got, ref)) < 1e-10
+
+
+def _loop_biquad(x, b, a):
+    """Textbook per-sample direct-form-I recursion — the independent
+    reference the vectorized closed-form path must match."""
+    y = np.zeros_like(x, dtype=np.float64)
+    for i in range(len(x)):
+        y[i] = b[0] * x[i]
+        if i >= 1:
+            y[i] += b[1] * x[i - 1] - a[1] * y[i - 1]
+        if i >= 2:
+            y[i] += b[2] * x[i - 2] - a[2] * y[i - 2]
+    return y
+
+
+@pytest.mark.parametrize("fs", [8000, 16000, 44100, 48000])
+def test_kweight_matches_per_sample_recursion(fs):
+    rng = np.random.default_rng(fs)
+    x = rng.uniform(-1.0, 1.0, size=4096)
+    shelf, hp = loudness.k_weighting_coeffs(fs)
+    want = _loop_biquad(_loop_biquad(x, *shelf), *hp)
+    got = loudness.k_weight(x[None, :], fs)[0]
+    assert np.abs(got - want).max() < 1e-9
+
+
+def test_kweight_batch_rows_independent():
+    # matrix path == each row alone (no cross-row leakage through the
+    # shared FFT)
+    rng = np.random.default_rng(3)
+    mat = rng.uniform(-1, 1, size=(5, 2000))
+    whole = loudness.k_weight(mat, 16000)
+    for i in range(5):
+        assert np.allclose(whole[i], loudness.k_weight(mat[i:i+1], 16000)[0],
+                           atol=1e-12)
+
+
+# ---- integrated loudness -------------------------------------------
+
+def _tone(fs, secs, f, amp):
+    t = np.arange(int(secs * fs), dtype=np.float64) / fs
+    return amp * np.sin(2 * np.pi * f * t)
+
+
+def test_tone_loudness_matches_analytic_gain():
+    # steady 997 Hz sine: LUFS = -0.691 + 10·log10(amp²/2) + |H(997)|²dB.
+    # The -0.691 offset is calibrated to cancel the K-filter gain near
+    # 1 kHz, so a full-scale 997 Hz sine reads ≈ -3.01 LUFS.
+    for fs in (16000, 48000):
+        x = _tone(fs, 2.0, 997.0, 0.5)
+        lufs, nb, ng = loudness.integrated_lufs(x[None, :], fs)
+        expected = (-0.691 + 10 * math.log10(0.5 ** 2 / 2)
+                    + loudness.k_weight_gain_db(fs, 997.0))
+        assert lufs[0] == pytest.approx(expected, abs=0.01)
+        assert nb[0] == ng[0] == 17          # 2 s -> (2-0.4)/0.1 + 1
+
+
+def test_gating_discards_silence():
+    # 1 s tone + 9 s silence: the relative gate keeps only the tone
+    # blocks, so integrated loudness sits near the tone's own level —
+    # an UNGATED mean-square would read ~10 dB lower
+    fs = 16000
+    x = np.zeros(10 * fs)
+    x[:fs] = _tone(fs, 1.0, 997.0, 0.5)
+    gated, _, ng = loudness.integrated_lufs(x[None, :], fs)
+    tone_only, _, _ = loudness.integrated_lufs(_tone(fs, 1.0, 997.0, 0.5)[None, :], fs)
+    ungated_db = -0.691 + 10 * math.log10(
+        np.mean(loudness.k_weight(x[None, :], fs)[0] ** 2))
+    assert gated[0] == pytest.approx(tone_only[0], abs=1.0)
+    assert gated[0] > ungated_db + 5.0
+    assert 0 < ng[0] < 15                    # only tone-ish blocks survive
+
+
+def test_silence_and_short_clips_undefined():
+    fs = 16000
+    l_sil, nb, ng = loudness.integrated_lufs(np.zeros((1, 2 * fs)), fs)
+    assert math.isnan(l_sil[0]) and ng[0] == 0 and nb[0] > 0
+    l_short, nb2, _ = loudness.integrated_lufs(
+        np.full((1, 1000), 0.3), fs)     # 62 ms < one 400 ms block
+    assert math.isnan(l_short[0]) and nb2[0] == 0
+
+
+def test_loudness_insensitive_to_sample_rate():
+    # same tone, three rates: within a small design wobble (<0.1 LU)
+    vals = []
+    for fs in (8000, 16000, 48000):
+        lufs, _, _ = loudness.integrated_lufs(
+            _tone(fs, 1.5, 997.0, 0.25)[None, :], fs)
+        vals.append(lufs[0])
+    assert max(vals) - min(vals) < 0.1
+
+
+# ---- Spark operator ------------------------------------------------
+
+def _clips_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, codec string, "
+              "part_id int")
+
+
+def test_loudness_stats_operator(spark):
+    fs = 16000
+    loud = (32767 * _tone(fs, 1.0, 997.0, 0.9)).astype("<i2")
+    quiet = (32767 * _tone(fs, 1.0, 997.0, 0.002)).astype("<i2")
+    rows = [
+        ("loud", bytearray(audio.encode(loud, "pcm_s16le")), fs,
+         "pcm_s16le", 0),
+        ("quiet", bytearray(audio.encode(quiet, "ulaw")), fs, "ulaw", 0),
+        ("undec", bytearray(b"\x01"), fs, "pcm_s16le", 1),   # odd length
+        ("nosr", bytearray(audio.encode(loud, "pcm_s16le")), None,
+         "pcm_s16le", 1),
+        ("empty", bytearray(b""), fs, "pcm_s16le", 2),
+    ]
+    out = {r["clip_id"]: r for r in
+           loudness.loudness_stats(_clips_df(spark, rows)).collect()}
+    exp_loud = (-0.691 + 10 * math.log10(0.9 ** 2 / 2)
+                + loudness.k_weight_gain_db(fs, 997.0))
+    assert out["loud"]["lufs"] == pytest.approx(exp_loud, abs=0.05)
+    # µ-law granular quantization noise at a 65-count peak adds real
+    # energy (~0.3 LU measured) — the bound reflects that physics
+    exp_quiet = (-0.691 + 10 * math.log10(0.002 ** 2 / 2)
+                 + loudness.k_weight_gain_db(fs, 997.0))
+    assert out["quiet"]["lufs"] == pytest.approx(exp_quiet, abs=0.5)
+    assert out["undec"]["n_samples"] is None
+    assert out["undec"]["lufs"] is None
+    assert out["nosr"]["n_samples"] == loud.size   # decodable, no sr
+    assert out["nosr"]["lufs"] is None and out["nosr"]["n_blocks"] is None
+    assert out["empty"]["n_samples"] == 0
+    assert out["empty"]["n_blocks"] == 0 and out["empty"]["lufs"] is None
+
+
+def test_x_loudness_rule_through_job(spark):
+    from canned_yaml_spark import job
+    from canned_yaml_spark.compile import compile_spec
+    fs = 16000
+    mk = lambda amp: bytearray(
+        audio.encode((32767 * _tone(fs, 1.0, 997.0, amp)).astype("<i2"),
+                     "pcm_s16le"))
+    rows = [
+        ("ok", mk(0.08), fs, "pcm_s16le", 0),       # ≈ -25.6 LUFS
+        ("hot", mk(0.9), fs, "pcm_s16le", 0),       # ≈ -4.6 > -10
+        ("cold", mk(0.002), fs, "pcm_s16le", 1),    # ≈ -57 < -40
+        ("dead", bytearray(audio.encode(
+            np.zeros(fs, dtype=np.int16), "pcm_s16le")), fs,
+         "pcm_s16le", 1),                           # undefined -> floor
+        ("alien", mk(0.9), fs, "weird_codec", 2),   # unknown codec: skip
+    ]
+    clips = _clips_df(spark, rows)
+    suite = compile_spec({"type": "object", "properties": {"bytes": {
+        "x-loudness": {"min_lufs": -40, "max_lufs": -10,
+                       "severity": "ERROR"}}}}, clips.schema)
+    [lc] = suite.loudness_checks
+    assert lc.rule_id == "x-loudness.bytes" and lc.sr_col == "sr_hz"
+    got = {(r["clip_id"], r["message"].split(" LUFS")[0].rsplit(" ", 1)[0])
+           for r in job.all_violations(clips, suite).collect()}
+    ids = {c for c, _ in got}
+    assert ids == {"hot", "cold", "dead"}
+    msgs = {c: m for c, m in got}
+    assert "integrated loudness" in msgs["hot"]
+
+
+def test_x_loudness_spec_errors():
+    from canned_yaml_spark.compile import compile_spec
+    base = {"type": "object", "properties": {"bytes": {"x-loudness": None}}}
+
+    def expect(xl, frag):
+        base["properties"]["bytes"]["x-loudness"] = xl
+        with pytest.raises(SpecError) as e:
+            compile_spec(base)
+        assert frag in str(e.value)
+        assert "x-loudness" in str(e.value)     # located
+
+    expect([], "must be a map")
+    expect({}, "checks nothing")
+    expect({"min_lufs": "loud"}, "must be a number")
+    expect({"min_lufs": -10, "max_lufs": -20}, "min_lufs -10.0 > max_lufs")

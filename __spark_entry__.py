@@ -1364,6 +1364,59 @@ def _q_loudness_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loudness.loudness_violations(clips, lc).select(*_VCOLS)
 
 
+def _q_true_peak_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-loudness' true-peak ceiling (BS.1770-4 Annex 2): the check a
+    # sample-peak bound CANNOT express. Corpus on orders keys
+    # k % 79 == 0, 0.5 s sines at 48 kHz (even k) / 16 kHz (odd k),
+    # pcm_s16le. By k % 6: 0 → amplitude 0.98 at fs/4 with phase π/4 —
+    # every STORED sample sits at 0.98/√2 (≈ -3.2 dBFS, far under the
+    # ceiling) but the reconstructed waveform peaks at -0.18 dBTP,
+    # breaching the -1.0 dBTP rule (interpolator error ≤ 0.06 dB,
+    # pinned in tests); 3 → the same waveform at amplitude 0.85
+    # (-1.41 dBTP — PASSES, pinning the decision margin both sides of
+    # the bound); else → 1 kHz at 0.5 (-6.0 dBTP, passes). The oracle
+    # states that injected ground truth.
+    from canned_yaml_spark import loudness
+    from canned_yaml_spark.compile import compile_spec as _cs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 79 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"clip_id": [], "bytes": [], "sr_hz": [], "codec": [],
+                   "part_id": []}
+            for k in (int(x) for x in pdf["k"]):
+                fs = 48000 if k % 2 == 0 else 16000
+                n = fs // 2
+                t = np.arange(n, dtype=np.float64) / fs
+                r = k % 6
+                if r in (0, 3):
+                    amp = 0.98 if r == 0 else 0.85
+                    x = amp * np.sin(2 * np.pi * (fs / 4) * t + np.pi / 4)
+                else:
+                    x = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+                pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+                out["clip_id"].append(f"clip_{k:010d}")
+                out["bytes"].append(pcm.tobytes())
+                out["sr_hz"].append(fs)
+                out["codec"].append("pcm_s16le")
+                out["part_id"].append(k % 64)
+            yield pd.DataFrame(out)
+
+    clips = keys.mapInPandas(
+        gen, "clip_id string, bytes binary, sr_hz int, codec string, "
+             "part_id int")
+    suite = _cs({"type": "object", "properties": {"bytes": {
+        "x-loudness": {"max_true_peak_dbtp": -1.0,
+                       "severity": "ERROR"}}}}, clips.schema)
+    [lc] = suite.loudness_checks
+    from canned_yaml_spark.loudness import loudness_violations
+    return loudness_violations(clips, lc).select(*_VCOLS)
+
+
 def _q_train_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-size training-window chunking (segment.window_slices): the
     # prep step that turns validated clips into trainer-shaped
@@ -1530,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_snr": _q_g711_snr,             # oracle: injected ground truth
         "adpcm_snr": _q_adpcm_snr,           # oracle: injected ground truth
         "loudness_rule": _q_loudness_rule,   # oracle: injected ground truth
+        "true_peak_rule": _q_true_peak_rule,  # oracle: injected ground truth
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
@@ -1616,6 +1670,7 @@ def oracle_sql() -> dict[str, str]:
         "g711_snr": oracle.sql_g711_snr(),
         "adpcm_snr": oracle.sql_adpcm_snr(),
         "loudness_rule": oracle.sql_loudness_rule(),
+        "true_peak_rule": oracle.sql_true_peak_rule(),
         # crash+resume must reproduce the from-scratch verdicts, which
         # this SQL restates family by family over the fixture corpus
         "resume_verdicts": oracle.sql_resume_verdicts(),

@@ -176,6 +176,9 @@ class LoudnessCheck:
     sr_col: str = "sr_hz"
     min_lufs: float | None = None
     max_lufs: float | None = None
+    # BS.1770 Annex-2 true-peak ceiling (4x oversampled; catches
+    # inter-sample overs a sample-peak check misses)
+    max_true_peak_dbtp: float | None = None
     severity: Severity = Severity.WARN
 
 

@@ -770,15 +770,16 @@ class _Compiler:
             if not isinstance(xl, dict):
                 raise SpecError(path, f"must be a map, got {xl!r}")
             bounds = {}
-            for b in ("min_lufs", "max_lufs"):
+            for b in ("min_lufs", "max_lufs", "max_true_peak_dbtp"):
                 v = xl.get(b)
                 if v is not None and not isinstance(v, (int, float)):
                     raise SpecError(f"{path}.{b}",
                                     f"must be a number, got {v!r}")
                 bounds[b] = None if v is None else float(v)
-            if bounds["min_lufs"] is None and bounds["max_lufs"] is None:
+            if all(v is None for v in bounds.values()):
                 raise SpecError(path, "x-loudness checks nothing: set "
-                                      "min_lufs and/or max_lufs")
+                                      "min_lufs, max_lufs and/or "
+                                      "max_true_peak_dbtp")
             if (bounds["min_lufs"] is not None
                     and bounds["max_lufs"] is not None
                     and bounds["min_lufs"] > bounds["max_lufs"]):
@@ -788,6 +789,7 @@ class _Compiler:
                 rule_id=f"x-loudness.{column}", column=column,
                 sr_col=xl.get("sr_col", "sr_hz"),
                 min_lufs=bounds["min_lufs"], max_lufs=bounds["max_lufs"],
+                max_true_peak_dbtp=bounds["max_true_peak_dbtp"],
                 severity=Severity[xl.get("severity", "WARN").upper()]))
         if "x-spectral" in sub:
             xs = sub["x-spectral"]

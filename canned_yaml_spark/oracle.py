@@ -1343,6 +1343,24 @@ WHERE k % 10 IN (0, 3, 5, 7)
 """.strip()
 
 
+def sql_true_peak_rule() -> str:
+    # Ground truth by construction for the true-peak gate corpus
+    # (__spark_entry__._q_true_peak_rule): only the k%6==0 rows — the
+    # amplitude-0.98 fs/4 phase-π/4 sines whose reconstructed waveform
+    # peaks at -0.18 dBTP — breach the -1.0 dBTP ceiling. The
+    # amplitude-0.85 twin (-1.41 dBTP) and the 1 kHz 0.5 tones
+    # (-6.0 dBTP) pass; decision margins (0.41 / 0.82 dB) dwarf the
+    # interpolator's measured ≤ 0.06 dB error (tests/test_loudness.py).
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-loudness.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 79 = 0)
+WHERE k % 6 = 0
+""".strip()
+
+
 def sql_train_windows() -> str:
     # Exact restatement of the fixed-window chunking gate
     # (__spark_entry__._q_train_windows): clips on orders keys

@@ -118,6 +118,38 @@ def test_loudness_insensitive_to_sample_rate():
     assert max(vals) - min(vals) < 0.1
 
 
+# ---- true peak -----------------------------------------------------
+
+def test_true_peak_tone_passthrough():
+    # in-band tone: true peak == amplitude (interpolation adds nothing)
+    fs = 48000
+    x = _tone(fs, 0.1, 1000.0, 0.9)
+    tp = loudness.true_peak_batch(x[None, :])[0]
+    assert 20 * math.log10(tp / 0.9) == pytest.approx(0.0, abs=0.01)
+
+
+def test_true_peak_recovers_intersample_overs():
+    # the classic case: sine at fs/4 with phase pi/4 samples at 0.707
+    # of its continuous peak — a sample-peak check reads -3 dB wrong,
+    # the 4x-oversampled measurement recovers the true level
+    fs = 48000
+    t = np.arange(int(0.1 * fs)) / fs
+    x = 0.9 * np.sin(2 * np.pi * (fs / 4) * t + np.pi / 4)
+    sample_peak = np.abs(x).max()
+    tp = loudness.true_peak_batch(x[None, :])[0]
+    assert sample_peak == pytest.approx(0.9 * math.sqrt(0.5), abs=1e-6)
+    assert 20 * math.log10(tp / 0.9) == pytest.approx(0.0, abs=0.1)
+
+
+def test_true_peak_batch_rows_independent():
+    rng = np.random.default_rng(11)
+    mat = rng.uniform(-1, 1, size=(4, 3000))
+    whole = loudness.true_peak_batch(mat)
+    for i in range(4):
+        assert whole[i] == pytest.approx(
+            loudness.true_peak_batch(mat[i:i+1])[0], abs=1e-12)
+
+
 # ---- Spark operator ------------------------------------------------
 
 def _clips_df(spark, rows):
@@ -155,6 +187,37 @@ def test_loudness_stats_operator(spark):
     assert out["nosr"]["lufs"] is None and out["nosr"]["n_blocks"] is None
     assert out["empty"]["n_samples"] == 0
     assert out["empty"]["n_blocks"] == 0 and out["empty"]["lufs"] is None
+    # true peak rides along: loud tone peaks at 20·log10(0.9) dBTP
+    assert out["loud"]["true_peak_dbtp"] == pytest.approx(
+        20 * math.log10(0.9), abs=0.05)
+    assert out["undec"]["true_peak_dbtp"] is None
+
+
+def test_true_peak_ceiling_catches_intersample_overs(spark):
+    # the rule's reason to exist: every stored sample of this clip is
+    # 3 dB under the -1 dBTP ceiling, yet the reconstructed waveform
+    # breaches it — a sample-peak check passes, x-loudness flags it
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.loudness import loudness_violations
+    fs = 48000
+    t = np.arange(fs) / fs
+    over = (32767 * 0.98 * np.sin(2 * np.pi * (fs / 4) * t
+                                  + np.pi / 4)).astype("<i2")
+    safe = (32767 * 0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype("<i2")
+    assert np.abs(over).max() / 32767 < 0.71       # samples look quiet
+    rows = [
+        ("over", bytearray(audio.encode(over, "pcm_s16le")), fs,
+         "pcm_s16le", 0),
+        ("safe", bytearray(audio.encode(safe, "pcm_s16le")), fs,
+         "pcm_s16le", 0),
+    ]
+    clips = _clips_df(spark, rows)
+    suite = compile_spec({"type": "object", "properties": {"bytes": {
+        "x-loudness": {"max_true_peak_dbtp": -1.0}}}}, clips.schema)
+    [lc] = suite.loudness_checks
+    got = loudness_violations(clips, lc).collect()
+    assert [r["clip_id"] for r in got] == ["over"]
+    assert "dBTP > -1.0" in got[0]["message"]
 
 
 def test_x_loudness_rule_through_job(spark):

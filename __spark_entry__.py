@@ -1417,6 +1417,62 @@ def _q_true_peak_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return loudness_violations(clips, lc).select(*_VCOLS)
 
 
+def _q_lra_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-loudness' loudness-range ceiling (EBU Tech 3342): bounds level
+    # SWINGS within a clip, which no mean-level bound can see. Corpus
+    # on orders keys k % 83 == 0: 9 s 997 Hz tones at 8 kHz pcm_s16le,
+    # split 4.5 s/4.5 s between two amplitudes. By k % 4: 0 → levels
+    # 15 LU apart (LRA = 15.0 exactly — blocks 0-1 sit fully loud,
+    # 5-6 fully quiet, so p95/p10 land on pure-level values and the
+    # K-gain cancels in the difference; measured error ≤ 0.05 LU) —
+    # BREACHES max_lra_lu 8; 1 → constant level (LRA ≈ 0, passes);
+    # 2 → 6 LU apart (LRA = 6.0, passes — pins the bound from below,
+    # margin 2 LU ≥ 40× the measurement error); 3 → a 2 s clip (LRA
+    # undefined: shorter than one 3 s short-term block — a ceiling
+    # must not fire). The oracle states that injected ground truth.
+    from canned_yaml_spark import loudness
+    from canned_yaml_spark.compile import compile_spec as _cs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 83 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            out = {"clip_id": [], "bytes": [], "sr_hz": [], "codec": [],
+                   "part_id": []}
+            for k in (int(x) for x in pdf["k"]):
+                fs = 8000
+                r = k % 4
+                secs = 2.0 if r == 3 else 9.0
+                t = np.arange(int(secs * fs), dtype=np.float64) / fs
+                a1 = 0.5
+                if r == 0:
+                    amp = np.where(t < secs / 2, a1, a1 / 10 ** 0.75)
+                elif r == 2:
+                    amp = np.where(t < secs / 2, a1, a1 / 10 ** 0.3)
+                else:
+                    amp = 0.3
+                x = amp * np.sin(2 * np.pi * 997.0 * t)
+                pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+                out["clip_id"].append(f"clip_{k:010d}")
+                out["bytes"].append(pcm.tobytes())
+                out["sr_hz"].append(fs)
+                out["codec"].append("pcm_s16le")
+                out["part_id"].append(k % 64)
+            yield pd.DataFrame(out)
+
+    clips = keys.mapInPandas(
+        gen, "clip_id string, bytes binary, sr_hz int, codec string, "
+             "part_id int")
+    suite = _cs({"type": "object", "properties": {"bytes": {
+        "x-loudness": {"max_lra_lu": 8.0,
+                       "severity": "ERROR"}}}}, clips.schema)
+    [lc] = suite.loudness_checks
+    return loudness.loudness_violations(clips, lc).select(*_VCOLS)
+
+
 def _q_train_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed-size training-window chunking (segment.window_slices): the
     # prep step that turns validated clips into trainer-shaped
@@ -1584,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adpcm_snr": _q_adpcm_snr,           # oracle: injected ground truth
         "loudness_rule": _q_loudness_rule,   # oracle: injected ground truth
         "true_peak_rule": _q_true_peak_rule,  # oracle: injected ground truth
+        "lra_rule": _q_lra_rule,             # oracle: injected ground truth
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
@@ -1671,6 +1728,7 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_snr": oracle.sql_adpcm_snr(),
         "loudness_rule": oracle.sql_loudness_rule(),
         "true_peak_rule": oracle.sql_true_peak_rule(),
+        "lra_rule": oracle.sql_lra_rule(),
         # crash+resume must reproduce the from-scratch verdicts, which
         # this SQL restates family by family over the fixture corpus
         "resume_verdicts": oracle.sql_resume_verdicts(),

@@ -179,6 +179,9 @@ class LoudnessCheck:
     # BS.1770 Annex-2 true-peak ceiling (4x oversampled; catches
     # inter-sample overs a sample-peak check misses)
     max_true_peak_dbtp: float | None = None
+    # EBU Tech 3342 loudness-range ceiling (p95-p10 of gated
+    # short-term loudness; bounds level SWINGS within a clip)
+    max_lra_lu: float | None = None
     severity: Severity = Severity.WARN
 
 

@@ -770,7 +770,8 @@ class _Compiler:
             if not isinstance(xl, dict):
                 raise SpecError(path, f"must be a map, got {xl!r}")
             bounds = {}
-            for b in ("min_lufs", "max_lufs", "max_true_peak_dbtp"):
+            for b in ("min_lufs", "max_lufs", "max_true_peak_dbtp",
+                      "max_lra_lu"):
                 v = xl.get(b)
                 if v is not None and not isinstance(v, (int, float)):
                     raise SpecError(f"{path}.{b}",
@@ -778,8 +779,9 @@ class _Compiler:
                 bounds[b] = None if v is None else float(v)
             if all(v is None for v in bounds.values()):
                 raise SpecError(path, "x-loudness checks nothing: set "
-                                      "min_lufs, max_lufs and/or "
-                                      "max_true_peak_dbtp")
+                                      "min_lufs, max_lufs, "
+                                      "max_true_peak_dbtp and/or "
+                                      "max_lra_lu")
             if (bounds["min_lufs"] is not None
                     and bounds["max_lufs"] is not None
                     and bounds["min_lufs"] > bounds["max_lufs"]):
@@ -790,6 +792,7 @@ class _Compiler:
                 sr_col=xl.get("sr_col", "sr_hz"),
                 min_lufs=bounds["min_lufs"], max_lufs=bounds["max_lufs"],
                 max_true_peak_dbtp=bounds["max_true_peak_dbtp"],
+                max_lra_lu=bounds["max_lra_lu"],
                 severity=Severity[xl.get("severity", "WARN").upper()]))
         if "x-spectral" in sub:
             xs = sub["x-spectral"]

@@ -182,6 +182,57 @@ def k_weight_gain_db(fs: int, f_hz: float) -> float:
     return 20.0 * math.log10(abs(g))
 
 
+def _block_z(y: np.ndarray, fs: int, blk_s: float, hop_s: float):
+    """Mean-square energy per gating block (rows × n_blocks) of an
+    already-K-weighted batch, via one cumsum — or None if the clips
+    are shorter than one block."""
+    blk = int(round(blk_s * fs))
+    hop = int(round(hop_s * fs))
+    n = y.shape[1]
+    if n < blk:
+        return None
+    nb = (n - blk) // hop + 1
+    c = np.zeros((y.shape[0], n + 1), dtype=np.float64)
+    np.cumsum(y * y, axis=1, out=c[:, 1:])
+    starts = np.arange(nb) * hop
+    return (c[:, starts + blk] - c[:, starts]) / blk
+
+
+def _rel_gated(z: np.ndarray, rel_gate_lu: float):
+    """Apply the absolute (-70 LKFS) then relative (``rel_gate_lu``
+    below the abs-gated energy mean) gates to a block-energy matrix.
+    Returns (l_blk, m_rel): per-block loudness and the surviving
+    mask."""
+    rows = z.shape[0]
+    with np.errstate(divide="ignore"):
+        l_blk = _OFFSET + 10.0 * np.log10(z)
+    m_abs = l_blk > ABS_GATE_LKFS
+    cnt_abs = m_abs.sum(axis=1)
+    sum_abs = np.where(m_abs, z, 0.0).sum(axis=1)
+    mean_abs = np.divide(sum_abs, cnt_abs,
+                         out=np.full(rows, np.nan), where=cnt_abs > 0)
+    with np.errstate(invalid="ignore"):
+        gamma = _OFFSET + 10.0 * np.log10(mean_abs) + rel_gate_lu
+        m_rel = m_abs & (l_blk > gamma[:, None])    # NaN gamma -> all False
+    return l_blk, m_rel
+
+
+def _integrated_from_weighted(y: np.ndarray, fs: int):
+    rows = y.shape[0]
+    z = _block_z(y, fs, BLOCK_S, HOP_S)
+    if z is None:
+        return (np.full(rows, np.nan), np.zeros(rows, np.int64),
+                np.zeros(rows, np.int64))
+    _, m_rel = _rel_gated(z, REL_GATE_LU)
+    cnt = m_rel.sum(axis=1)
+    mean_z = np.divide(np.where(m_rel, z, 0.0).sum(axis=1), cnt,
+                       out=np.full(rows, np.nan), where=cnt > 0)
+    with np.errstate(invalid="ignore"):
+        lufs = _OFFSET + 10.0 * np.log10(mean_z)
+    return (lufs, np.full(rows, z.shape[1], np.int64),
+            cnt.astype(np.int64))
+
+
 def integrated_lufs(x_mat: np.ndarray, fs: int):
     """BS.1770-4 gated integrated loudness for a batch matrix of
     equal-length mono clips (float64, full scale ±1).
@@ -191,35 +242,48 @@ def integrated_lufs(x_mat: np.ndarray, fs: int):
     gating block, or every block fell below the -70 LKFS absolute
     gate (silence).
     """
-    rows = x_mat.shape[0]
-    blk = int(round(BLOCK_S * fs))
-    hop = int(round(HOP_S * fs))
-    n = x_mat.shape[1]
-    if n < blk:
-        return (np.full(rows, np.nan), np.zeros(rows, np.int64),
-                np.zeros(rows, np.int64))
-    y = k_weight(x_mat, fs)
-    nb = (n - blk) // hop + 1
-    c = np.zeros((rows, n + 1), dtype=np.float64)
-    np.cumsum(y * y, axis=1, out=c[:, 1:])
-    starts = np.arange(nb) * hop
-    z = (c[:, starts + blk] - c[:, starts]) / blk   # mean square per block
-    with np.errstate(divide="ignore"):
-        l_blk = _OFFSET + 10.0 * np.log10(z)
-    m_abs = l_blk > ABS_GATE_LKFS
-    cnt_abs = m_abs.sum(axis=1)
-    sum_abs = np.where(m_abs, z, 0.0).sum(axis=1)
-    mean_abs = np.divide(sum_abs, cnt_abs,
-                         out=np.full(rows, np.nan), where=cnt_abs > 0)
-    with np.errstate(invalid="ignore"):
-        gamma = _OFFSET + 10.0 * np.log10(mean_abs) + REL_GATE_LU
-        m_rel = m_abs & (l_blk > gamma[:, None])    # NaN gamma -> all False
+    return _integrated_from_weighted(k_weight(x_mat, fs), fs)
+
+
+# ---- loudness range (EBU R 128 / Tech 3342) -------------------------
+#
+# LRA bounds the DISTRIBUTION of short-term loudness, not its mean: a
+# clip that whispers for half its length and shouts for the rest can
+# sit exactly at an integrated-loudness target and still be unusable
+# for training. Everything here is the published EBU algorithm:
+# short-term loudness over 3 s blocks (hop 1 s — ≥ 2/3 overlap), the
+# same -70 LKFS absolute gate as integrated loudness, a -20 LU (not
+# -10) relative gate below the abs-gated energy mean, and
+# LRA = p95 − p10 of the surviving short-term values (linear
+# interpolation). Undefined (NaN) when the clip is shorter than one
+# 3 s block or every block gates out; a single surviving block gives
+# LRA = 0 by construction.
+
+ST_BLOCK_S = 3.0          # short-term window
+ST_HOP_S = 1.0            # 2/3 overlap
+LRA_REL_GATE_LU = -20.0   # Tech 3342 relative threshold
+
+
+def _lra_from_weighted(y: np.ndarray, fs: int):
+    rows = y.shape[0]
+    z = _block_z(y, fs, ST_BLOCK_S, ST_HOP_S)
+    if z is None:
+        return np.full(rows, np.nan), np.zeros(rows, np.int64)
+    l_blk, m_rel = _rel_gated(z, LRA_REL_GATE_LU)
     cnt = m_rel.sum(axis=1)
-    mean_z = np.divide(np.where(m_rel, z, 0.0).sum(axis=1), cnt,
-                       out=np.full(rows, np.nan), where=cnt > 0)
-    with np.errstate(invalid="ignore"):
-        lufs = _OFFSET + 10.0 * np.log10(mean_z)
-    return lufs, np.full(rows, nb, np.int64), cnt.astype(np.int64)
+    l_gated = np.where(m_rel, l_blk, np.nan)
+    lra = np.full(rows, np.nan)
+    any_rows = cnt > 0
+    if any_rows.any():
+        p = np.nanpercentile(l_gated[any_rows], [10.0, 95.0], axis=1)
+        lra[any_rows] = p[1] - p[0]
+    return lra, cnt.astype(np.int64)
+
+
+def loudness_range(x_mat: np.ndarray, fs: int):
+    """EBU Tech 3342 loudness range per row of a batch matrix
+    (float64, full scale ±1). Returns (lra_lu, n_gated_st_blocks)."""
+    return _lra_from_weighted(k_weight(x_mat, fs), fs)
 
 
 # ---- true peak (BS.1770-4 Annex 2: 4x oversampled peak) ------------
@@ -263,7 +327,7 @@ def true_peak_batch(x_mat: np.ndarray) -> np.ndarray:
 
 _LOUD_SCHEMA = ("clip_id string, part_id int, n_samples long, "
                 "n_blocks long, n_gated_blocks long, lufs double, "
-                "true_peak_dbtp double")
+                "true_peak_dbtp double, lra_lu double")
 
 
 def loudness_stats(clips: DataFrame,
@@ -310,6 +374,7 @@ def loudness_stats(clips: DataFrame,
             ng = np.full(n, -1, dtype=np.int64)
             lufs = np.full(n, np.nan)
             tp = np.full(n, np.nan)
+            lra = np.full(n, np.nan)
             groups: dict[tuple[int, int], list[int]] = {}
             for i in range(n):
                 if payloads[i] is None:
@@ -332,11 +397,14 @@ def loudness_stats(clips: DataFrame,
                 for j, i in enumerate(idx):
                     mat[j] = payloads[i]
                 mat /= 32768.0
-                lf, b, g = integrated_lufs(mat, sr)
+                y = k_weight(mat, sr)              # weighted ONCE, reused
+                lf, b, g = _integrated_from_weighted(y, sr)
+                lr, _ = _lra_from_weighted(y, sr)
                 ix = np.asarray(idx)
                 lufs[ix] = lf
                 nb[ix] = b
                 ng[ix] = g
+                lra[ix] = lr
                 with np.errstate(divide="ignore"):
                     tp[ix] = 20.0 * np.log10(true_peak_batch(mat))
             yield pd.DataFrame({
@@ -352,6 +420,10 @@ def loudness_stats(clips: DataFrame,
                 # all-zero clips: -inf dBTP -> NULL (no peak to speak of)
                 "true_peak_dbtp": [None if math.isnan(v) or math.isinf(v)
                                    else float(v) for v in tp],
+                # NULL when undefined: clip < one 3 s short-term block,
+                # or every block gated out
+                "lra_lu": [None if math.isnan(v) else float(v)
+                           for v in lra],
             })
 
     return src.mapInPandas(run, _LOUD_SCHEMA)
@@ -398,6 +470,15 @@ def loudness_violations(clips: DataFrame, check,
             F.concat(F.lit("true peak "),
                      F.round("true_peak_dbtp", 2).cast("string"),
                      F.lit(f" dBTP > {check.max_true_peak_dbtp}"))))
+    if check.max_lra_lu is not None:
+        # NULL (undefined: clip < 3 s or gated to nothing) never
+        # violates a RANGE ceiling — unlike min_lufs, where undefined
+        # means dead air and is the thing the floor exists to reject
+        msgs.append(F.when(
+            F.col("lra_lu") > float(check.max_lra_lu),
+            F.concat(F.lit("loudness range "),
+                     F.round("lra_lu", 1).cast("string"),
+                     F.lit(f" LU > {check.max_lra_lu}"))))
     exploded = s.select(
         "clip_id", "part_id",
         F.explode(F.array_compact(F.array(*msgs))).alias("message"))

@@ -1361,6 +1361,24 @@ WHERE k % 6 = 0
 """.strip()
 
 
+def sql_lra_rule() -> str:
+    # Ground truth by construction for the loudness-range gate corpus
+    # (__spark_entry__._q_lra_rule): only the k%4==0 rows — two-level
+    # tones whose halves sit 15 LU apart, measured LRA = 15.0 ± 0.05 —
+    # breach the max_lra_lu=8 ceiling. The 6 LU twin (LRA 6.0), the
+    # constant tone (LRA ≈ 0) and the 2 s clip (LRA undefined) pass;
+    # decision margins (7 / 2 LU) dwarf the ≤ 0.05 LU measured error
+    # (tests/test_loudness.py).
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-loudness.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 83 = 0)
+WHERE k % 4 = 0
+""".strip()
+
+
 def sql_train_windows() -> str:
     # Exact restatement of the fixed-window chunking gate
     # (__spark_entry__._q_train_windows): clips on orders keys

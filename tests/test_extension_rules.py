@@ -337,5 +337,6 @@ def test_deep_spec_carries_x_loudness():
     [lc] = suite.loudness_checks
     assert lc.min_lufs == -50.0 and lc.max_lufs == -5.0
     assert lc.max_true_peak_dbtp == -1.0
+    assert lc.max_lra_lu == 20.0
     assert lc.sr_col == "sr_hz"
     assert int(lc.severity) == int(Severity.WARN)

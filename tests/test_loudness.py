@@ -150,6 +150,96 @@ def test_true_peak_batch_rows_independent():
             loudness.true_peak_batch(mat[i:i+1])[0], abs=1e-12)
 
 
+# ---- loudness range (Tech 3342) ------------------------------------
+
+def _two_level(fs, secs, f, a1, a2, quantize=True):
+    t = np.arange(int(secs * fs), dtype=np.float64) / fs
+    amp = np.where(t < secs / 2, a1, a2)
+    x = amp * np.sin(2 * np.pi * f * t)
+    if quantize:         # the operator's int16 round trip
+        x = np.clip(x * 32767.0, -32768, 32767).astype(
+            "<i2").astype(np.float64) / 32768.0
+    return x
+
+
+@pytest.mark.parametrize("delta", [15.0, 6.0])
+def test_lra_two_level_tone_equals_level_difference(delta):
+    # 9 s split 4.5/4.5 at 1 s hop: blocks 0-1 sit fully in the loud
+    # half, 5-6 fully in the quiet half, 2-4 straddle — so p10 lands on
+    # pure-quiet and p95 on pure-loud values and LRA == the level
+    # difference EXACTLY (the K-gain at 997 Hz cancels in the
+    # difference); quantization adds < 0.05 LU
+    fs = 8000
+    a1 = 0.5
+    x = _two_level(fs, 9.0, 997.0, a1, a1 / 10 ** (delta / 20))
+    lra, cnt = loudness.loudness_range(x[None, :], fs)
+    assert lra[0] == pytest.approx(delta, abs=0.05)
+    assert cnt[0] == 7
+
+
+def test_lra_constant_tone_is_zero():
+    fs = 8000
+    x = _tone(fs, 9.0, 997.0, 0.3)
+    lra, cnt = loudness.loudness_range(x[None, :], fs)
+    assert lra[0] == pytest.approx(0.0, abs=1e-3)
+    assert cnt[0] == 7
+
+
+def test_lra_undefined_and_degenerate_cases():
+    fs = 8000
+    x = _tone(fs, 9.0, 997.0, 0.3)
+    # shorter than one 3 s short-term block: undefined
+    lra, cnt = loudness.loudness_range(x[None, : 2 * fs], fs)
+    assert math.isnan(lra[0]) and cnt[0] == 0
+    # silence: every block under the -70 LKFS absolute gate
+    lra, cnt = loudness.loudness_range(np.zeros((1, 9 * fs)), fs)
+    assert math.isnan(lra[0]) and cnt[0] == 0
+    # exactly one block: a single value has zero range
+    lra, cnt = loudness.loudness_range(x[None, : 3 * fs], fs)
+    assert lra[0] == 0.0 and cnt[0] == 1
+
+
+def test_lra_relative_gate_saturates_extreme_swings():
+    # Tech 3342's -20 LU relative gate discards blocks far below the
+    # programme energy mean, so a 25 LU bimodal swing measures well
+    # UNDER 25: the quiet half gates out entirely and only loud +
+    # straddling blocks remain. Faithful standard behavior — an LRA
+    # ceiling above ~20 LU can only be tripped by material whose quiet
+    # end stays within the gate (pinned here so nobody "fixes" it)
+    fs = 8000
+    x = _two_level(fs, 9.0, 997.0, 0.7, 0.7 / 10 ** 1.25)
+    lra, cnt = loudness.loudness_range(x[None, :], fs)
+    assert cnt[0] == 5                       # the 2 pure-quiet blocks gated
+    assert lra[0] < 15.0
+
+
+def test_lra_matches_plain_loop_reference():
+    # property: the vectorized masked-percentile path == a textbook
+    # per-row loop (abs gate, rel gate off the energy mean, p95-p10)
+    fs = 8000
+    rng = np.random.default_rng(7)
+    rows = []
+    for _ in range(6):
+        amps = rng.uniform(0.001, 0.9, size=12)      # 12 x 1 s segments
+        t = np.arange(12 * fs, dtype=np.float64) / fs
+        rows.append(np.repeat(amps, fs) * np.sin(2 * np.pi * 997.0 * t))
+    mat = np.asarray(rows)
+    got, _ = loudness.loudness_range(mat, fs)
+    y = loudness.k_weight(mat, fs)
+    blk, hop = 3 * fs, fs
+    for i in range(mat.shape[0]):
+        ls = []
+        for s in range(0, y.shape[1] - blk + 1, hop):
+            z = float(np.mean(y[i, s:s + blk] ** 2))
+            ls.append(-0.691 + 10 * math.log10(z))
+        kept = [l for l in ls if l > -70.0]
+        mean_z = np.mean([10 ** ((l + 0.691) / 10) for l in kept])
+        gate = -0.691 + 10 * math.log10(mean_z) - 20.0
+        kept = [l for l in kept if l > gate]
+        want = float(np.percentile(kept, 95) - np.percentile(kept, 10))
+        assert got[i] == pytest.approx(want, abs=1e-9)
+
+
 # ---- Spark operator ------------------------------------------------
 
 def _clips_df(spark, rows):
@@ -220,6 +310,46 @@ def test_true_peak_ceiling_catches_intersample_overs(spark):
     assert "dBTP > -1.0" in got[0]["message"]
 
 
+def test_lra_ceiling_flags_level_swings(spark):
+    # a clip at a sane AVERAGE level but swinging 15 LU within itself
+    # breaches max_lra_lu; the constant-level clip at the same
+    # integrated loudness passes — the case no scalar-mean bound sees
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.loudness import loudness_violations
+    fs = 8000
+    swing = (32767 * _two_level(fs, 9.0, 997.0, 0.5, 0.5 / 10 ** 0.75,
+                                quantize=False)).astype("<i2")
+    flat = (32767 * _tone(fs, 9.0, 997.0, 0.3)).astype("<i2")
+    short = (32767 * _tone(fs, 2.0, 997.0, 0.3)).astype("<i2")
+    rows = [
+        ("swing", bytearray(audio.encode(swing, "pcm_s16le")), fs,
+         "pcm_s16le", 0),
+        ("flat", bytearray(audio.encode(flat, "pcm_s16le")), fs,
+         "pcm_s16le", 0),
+        # LRA undefined (< one 3 s block): a ceiling must NOT fire
+        ("short", bytearray(audio.encode(short, "pcm_s16le")), fs,
+         "pcm_s16le", 1),
+    ]
+    clips = _clips_df(spark, rows)
+    suite = compile_spec({"type": "object", "properties": {"bytes": {
+        "x-loudness": {"max_lra_lu": 8.0}}}}, clips.schema)
+    [lc] = suite.loudness_checks
+    assert lc.max_lra_lu == 8.0
+    got = loudness_violations(clips, lc).collect()
+    assert [r["clip_id"] for r in got] == ["swing"]
+    assert "loudness range 15.0 LU > 8.0" in got[0]["message"]
+
+
+def test_loudness_stats_carries_lra(spark):
+    fs = 8000
+    swing = (32767 * _two_level(fs, 9.0, 997.0, 0.5, 0.5 / 10 ** 0.3,
+                                quantize=False)).astype("<i2")
+    rows = [("s", bytearray(audio.encode(swing, "pcm_s16le")), fs,
+             "pcm_s16le", 0)]
+    out = loudness.loudness_stats(_clips_df(spark, rows)).collect()
+    assert out[0]["lra_lu"] == pytest.approx(6.0, abs=0.05)
+
+
 def test_x_loudness_rule_through_job(spark):
     from canned_yaml_spark import job
     from canned_yaml_spark.compile import compile_spec
@@ -264,4 +394,5 @@ def test_x_loudness_spec_errors():
     expect([], "must be a map")
     expect({}, "checks nothing")
     expect({"min_lufs": "loud"}, "must be a number")
+    expect({"max_lra_lu": "wide"}, "must be a number")
     expect({"min_lufs": -10, "max_lufs": -20}, "min_lufs -10.0 > max_lufs")

@@ -1238,6 +1238,65 @@ def _q_transcript_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("clip_id", "transcript_ref"), tc).select(*_VCOLS)
 
 
+def _q_transcript_norm_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-transcript with ASR-style normalization (normalize: true):
+    # lowercase + punctuation→space + collapse runs BOTH sides before
+    # measuring, so case/punct-only differences are NOT violations.
+    # Corpus on orders keys k % 89 == 0: ref = n(k) = 4 + k % 7 words
+    # 'w' || (k + 3i) % 20; probe by k % 6 — 0: COSMETIC (uppercased,
+    # comma-joined, trailing '!'; normalizes back to the ref exactly),
+    # 2: substitute word k%n with 'zz' (real edit), 4: drop the last
+    # word (real edit), else byte-equal. With max_dist=0 the
+    # violations are exactly the k%6 ∈ {2,4} rows, and the message
+    # carries the NORMALIZED distance — which the oracle recomputes
+    # with DuckDB's OWN lower/regexp_replace/trim/levenshtein, a
+    # fully independent implementation of both the normalization and
+    # the alignment.
+    from canned_yaml_spark import payload as pl
+    from canned_yaml_spark.compile import compile_spec as _cs
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 89 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, ts, rs_, ps = [], [], [], []
+            for k in (int(x) for x in pdf["k"]):
+                n = 4 + k % 7
+                words = [f"w{(k + 3 * i) % 20}" for i in range(n)]
+                r = k % 6
+                if r == 0:
+                    probe = ", ".join(w.upper() for w in words) + "!"
+                elif r == 2:
+                    ws = list(words)
+                    ws[k % n] = "zz"
+                    probe = " ".join(ws)
+                elif r == 4:
+                    probe = " ".join(words[:-1])
+                else:
+                    probe = " ".join(words)
+                ids.append(f"clip_{k:010d}")
+                ts.append(probe)
+                rs_.append(" ".join(words))
+                ps.append(k % 64)
+            yield pd.DataFrame({"clip_id": ids, "transcript": ts,
+                                "transcript_ref": rs_, "part_id": ps})
+
+    corpus = keys.mapInPandas(
+        gen, "clip_id string, transcript string, transcript_ref string, "
+             "part_id int")
+    suite = _cs({"type": "object", "properties": {
+        "transcript": {"x-transcript": {"max_dist": 0,
+                                        "normalize": True}}}},
+                corpus.schema)
+    [tc] = suite.transcript_checks
+    return pl.transcript_violations(
+        corpus.select("clip_id", "transcript", "part_id"),
+        corpus.select("clip_id", "transcript_ref"), tc) \
+        .select("clip_id", "part_id", "rule_id", "severity", "message")
+
+
 def _q_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IMA/DVI ADPCM payload validation (audio.py — REAL 4-bit adaptive
     # predictive codec, audioop-cross-checked). Corpus: closed-form
@@ -1634,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_distance": _q_transcript_distance,
         "wer_report": _q_wer_report,
         "transcript_rule": _q_transcript_rule,
+        "transcript_norm_rule": _q_transcript_norm_rule,
         "payload_snr": _q_payload_snr,       # oracle: injected ground truth
         "payload_certified": _q_payload_certified,  # oracle: same set
         "g711_snr": _q_g711_snr,             # oracle: injected ground truth
@@ -1718,6 +1778,9 @@ def oracle_sql() -> dict[str, str]:
         "transcript_distance": oracle.sql_transcript_distance(),
         "wer_report": oracle.sql_wer_report(),
         "transcript_rule": oracle.sql_transcript_rule(),
+        # DuckDB's own lower/regexp_replace/levenshtein recompute the
+        # normalized distances — independent of the engine end to end
+        "transcript_norm_rule": oracle.sql_transcript_norm_rule(),
         "ks_drift": oracle.sql_ks_drift(),
         # ground truth by construction over the deterministic fixture
         # corpus (oracle.sql_payload_snr); both payload plans must emit

@@ -121,6 +121,10 @@ class TranscriptCheck:
     ref_col: str = "transcript_ref"
     max_dist: int | None = None
     max_wer: float | None = None
+    # apply ASR-style normalization (lowercase, punctuation → space,
+    # collapse) to BOTH sides before measuring — "Don't stop." and
+    # "don't stop" are the same utterance to an ASR metric
+    normalize: bool = False
     severity: Severity = Severity.ERROR
 
 

@@ -715,11 +715,15 @@ class _Compiler:
                 if max_wer < 0:
                     raise SpecError(f"{path}.max_wer",
                                     f"must be >= 0, got {max_wer}")
+            normalize = xt.get("normalize", False)
+            if not isinstance(normalize, bool):
+                raise SpecError(f"{path}.normalize",
+                                f"must be a boolean, got {normalize!r}")
             self.suite.transcript_checks.append(TranscriptCheck(
                 rule_id=f"x-transcript.{column}", column=column,
                 ref_table=xt.get("ref_table", "clips_ref"),
                 ref_col=xt.get("ref_col", "transcript_ref"),
-                max_dist=max_dist, max_wer=max_wer,
+                max_dist=max_dist, max_wer=max_wer, normalize=normalize,
                 severity=Severity[xt.get("severity", "ERROR").upper()]))
         if "x-media" in sub:
             xm = sub["x-media"]

@@ -1301,6 +1301,47 @@ WHERE k % 8 = 7
 """.strip()
 
 
+def sql_transcript_norm_rule() -> str:
+    # INDEPENDENT recomputation of the normalized x-transcript gate
+    # (__spark_entry__._q_transcript_norm_rule): rebuild both
+    # transcripts by the same closed form, then apply DuckDB's OWN
+    # lower/regexp_replace/trim (the documented restatement of
+    # textops.normalize_transcript) and DuckDB's OWN levenshtein —
+    # neither the normalization nor the alignment shares code with
+    # the engine. Violations are the rows whose NORMALIZED distance
+    # is positive, message carrying that distance.
+    return """
+WITH ks AS (SELECT o_orderkey AS k, 4 + o_orderkey % 7 AS n
+            FROM orders WHERE o_orderkey % 89 = 0),
+base AS (SELECT k, n,
+    list_transform(range(0, n),
+                   i -> 'w' || CAST((k + 3*i) % 20 AS VARCHAR)) AS ws
+    FROM ks),
+probe AS (SELECT k, array_to_string(ws, ' ') AS ref_t,
+  CASE k % 6
+    WHEN 0 THEN array_to_string(
+                  list_transform(ws, w -> upper(w)), ', ') || '!'
+    WHEN 2 THEN array_to_string(list_transform(range(0, n),
+                  i -> CASE WHEN i = k % n THEN 'zz'
+                       ELSE ws[i + 1] END), ' ')
+    WHEN 4 THEN array_to_string(ws[1:n-1], ' ')
+    ELSE array_to_string(ws, ' ')
+  END AS t
+  FROM base),
+norm AS (SELECT k,
+  trim(regexp_replace(lower(t), '[^a-z0-9'']+', ' ', 'g')) AS nt,
+  trim(regexp_replace(lower(ref_t), '[^a-z0-9'']+', ' ', 'g')) AS nr
+  FROM probe)
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-transcript.transcript' AS rule_id,
+       CAST(2 AS INT) AS severity,
+       printf('edit distance %d > 0', levenshtein(nt, nr)) AS message
+FROM norm
+WHERE levenshtein(nt, nr) > 0
+""".strip()
+
+
 def sql_adpcm_snr() -> str:
     # Ground truth by construction for the IMA ADPCM gate corpus
     # (__spark_entry__._q_adpcm_snr): triangle clips on orders keys

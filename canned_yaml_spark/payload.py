@@ -512,15 +512,28 @@ def transcript_violations(clips: DataFrame, clips_ref: DataFrame,
     their reference (identity fast-path: equal strings have WER 0 —
     the same prefilter discipline as the payload decode branch), and
     an empty reference leaves WER undefined → pass.
+
+    ``check.normalize`` applies ASR-style text normalization
+    (textops.normalize_transcript: lowercase, punctuation → space,
+    collapse) to BOTH sides BEFORE any measurement — it runs as a
+    pure Column expression inside the same codegen span as the join
+    projection, so the Arrow branch sees already-normalized strings
+    and the identity fast-path gets STRONGER (case/punct-only edits
+    collapse to equality and never cross into Python).
     """
     rule_id, severity = check.rule_id, int(check.severity)
+    t_col, tr_col = F.col(check.column), F.col(check.ref_col)
+    if getattr(check, "normalize", False):
+        from canned_yaml_spark.textops import normalize_transcript
+        t_col = normalize_transcript(t_col)
+        tr_col = normalize_transcript(tr_col)
     base = clips.select(
         F.col(id_col).alias("clip_id"),
         F.col(part_col).alias("part_id"),
-        F.col(check.column).alias("_t"),
+        t_col.alias("_t"),
     ).join(
         clips_ref.select("clip_id",
-                         F.col(check.ref_col).alias("_tr")).hint(join_hint),
+                         tr_col.alias("_tr")).hint(join_hint),
         "clip_id", "inner",
     ).filter(F.col("_t").isNotNull() & F.col("_tr").isNotNull())
 

@@ -36,6 +36,22 @@ def _norm(col):
     return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
 
 
+def normalize_transcript(col):
+    """ASR-style transcript normalization, pure Column (codegen):
+    lowercase, then every run of characters outside [a-z0-9'] becomes
+    one space (punctuation dies, word boundaries survive, apostrophes
+    stay so contractions keep their identity), then trim. This is the
+    standard pre-WER normalization — "Don't stop." and "don't stop"
+    are the same utterance to an ASR metric. Non-ASCII letters are
+    treated as separators (documented choice; the corpus this engine
+    gates is ASCII-transcribed).
+
+    DuckDB-equivalent (the oracle's restatement):
+    ``trim(regexp_replace(lower(x), '[^a-z0-9'']+', ' ', 'g'))``.
+    """
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9']+", " "))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-document token counts: whitespace tokens + regex (BPE-ish)
     tokens + char length."""

@@ -312,10 +312,64 @@ def test_transcript_job_wiring(tiny, tref):
     assert job.all_violations(tiny, suite).count() == 0
 
 
+@pytest.fixture(scope="module")
+def norm_pairs(spark):
+    # cosmetic (case/punct-only) vs real word differences
+    clips = spark.createDataFrame(
+        [("n0", "Don't stop.", 0),          # cosmetic vs ref
+         ("n1", "hello world", 0),          # real word change
+         ("n2", "A, B; C!", 1)],            # cosmetic (punct+case)
+        "clip_id string, transcript string, part_id int")
+    ref = spark.createDataFrame(
+        [("n0", "don't stop"), ("n1", "goodbye world"), ("n2", "a b c")],
+        "clip_id string, transcript_ref string")
+    return clips, ref
+
+
+def test_transcript_normalize_dist(norm_pairs):
+    # raw: every pair differs byte-wise → 3 violations at max_dist=0;
+    # normalized: only the real word change survives
+    from canned_yaml_spark import payload
+    clips, ref = norm_pairs
+    raw = compile_spec(_tspec(max_dist=0), clips.schema) \
+        .transcript_checks[0]
+    assert raw.normalize is False            # default off
+    got = sorted(r.clip_id for r in
+                 payload.transcript_violations(clips, ref, raw).collect())
+    assert got == ["n0", "n1", "n2"]
+    norm = compile_spec(_tspec(max_dist=0, normalize=True),
+                        clips.schema).transcript_checks[0]
+    assert norm.normalize is True
+    got = sorted(r.clip_id for r in
+                 payload.transcript_violations(clips, ref, norm).collect())
+    assert got == ["n1"]
+
+
+def test_transcript_normalize_wer_and_stays_jvm(norm_pairs):
+    # WER over normalized words: n1 'hello world' vs 'goodbye world'
+    # → 1 word edit / 2 ref words = 0.5; cosmetic rows collapse to
+    # equality and never reach the Arrow branch
+    from canned_yaml_spark import payload
+    clips, ref = norm_pairs
+    norm = compile_spec(_tspec(max_wer=0.0, normalize=True),
+                        clips.schema).transcript_checks[0]
+    v = payload.transcript_violations(clips, ref, norm)
+    assert sorted((r.clip_id, r.message) for r in v.collect()) == \
+        [("n1", "WER 0.5 > 0.0")]
+    # the dist branch stays pure JVM with normalization applied — the
+    # regexp/lower/trim pipeline is Column-side, inside codegen
+    d = compile_spec(_tspec(max_dist=0, normalize=True),
+                     clips.schema).transcript_checks[0]
+    plan = payload.transcript_violations(clips, ref, d) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 @pytest.mark.parametrize("frag, loc", [
     ({"max_dist": -1}, "max_dist"),
     ({"max_dist": 1.5}, "max_dist"),
     ({"max_wer": -0.1}, "max_wer"),
+    ({"max_dist": 1, "normalize": "yes"}, "normalize"),
     ({}, "x-transcript"),
 ])
 def test_transcript_spec_errors(tiny, frag, loc):

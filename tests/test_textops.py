@@ -53,3 +53,24 @@ def test_fingerprint_normalization(spark):
         "doc_id long, text string")
     fps = {r.doc_id: r.fp for r in textops.fingerprint(df).collect()}
     assert fps[1] == fps[2] == fps[3]
+
+
+def test_normalize_transcript_duckdb_parity(spark):
+    # the docstring claims an exact DuckDB restatement — hold it to
+    # that: Spark Column pipeline == DuckDB SQL over an adversarial
+    # value set (case, punct runs, tabs, apostrophes, non-ASCII,
+    # empty, punct-only)
+    import duckdb
+
+    from canned_yaml_spark.textops import normalize_transcript
+    vals = ["Don't stop.", "  A,,B  c!! ", "", "x  y\tz w",
+            "UPPER lower 123 ''quoted''", "...", "Ünïcode façade"]
+    df = spark.createDataFrame([(v,) for v in vals], "t string")
+    got = [r.n for r in
+           df.select(normalize_transcript("t").alias("n")).collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        "SELECT trim(regexp_replace(lower(?), '[^a-z0-9'']+', ' ', 'g'))",
+        [v]).fetchone()[0] for v in vals]
+    assert got == want
+    assert got[0] == "don't stop" and got[1] == "a b c" and got[5] == ""

@@ -1622,6 +1622,31 @@ def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part_id", F.round("ks_stat", 4).alias("ks_stat"), "n"))
 
 
+def _q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-chi2 (categorical drift — completes the drift triad PSI/KS/χ²):
+    # Pearson goodness-of-fit of each partition's codec mix vs the
+    # spec's expected distribution. Partitions holding an injected
+    # unexpected codec ('wav'/'vorbis', derive.py rule_k 2-3) explode
+    # through the floor-fraction term (χ² ~1e6 vs ~0.1-3 clean, vs the
+    # 11.34 = χ²_{0.01,3} threshold) — the decision margin is ~5 orders
+    # of magnitude on both sides. Gate emits the full per-partition
+    # report (strictly stronger than the filtered violation rows; the
+    # spec→violation wiring is pinned in tests/test_drift.py). Rounded
+    # to 2 decimals: the exploded terms are ~1e6, so 1e-2 absolute
+    # absorbs both engines' sum-order float noise at 1e-8 relative.
+    from canned_yaml_spark.compile import compile_spec as _cs
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _cs({"type": "object",
+                 "x-chi2": {"column": "codec",
+                            "expected": {"pcm_s16le": 0.70, "flac": 0.15,
+                                         "opus": 0.10, "mp3": 0.05},
+                            "chi2_max": 11.34}}, clips.schema)
+    cc = suite.cat_drift_checks[0]
+    return (drift.chi2_per_partition(clips, cc)
+            .select("part_id", F.round("chi2", 2).alias("chi2"),
+                    F.col("n_cats").cast("int").alias("n_cats")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_violations": _q_row_violations,
@@ -1703,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lra_rule": _q_lra_rule,             # oracle: injected ground truth
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
+        "chi2_drift": _q_chi2_drift,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
         "ivf_recall": _q_ivf_recall,          # rows-only (approx path)
@@ -1718,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         "referential": oracle.sql_referential_violations(),
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),
+        "chi2_drift": oracle.sql_chi2_drift(),
         "oneof": oracle.sql_oneof_violations(),
         "anyof": oracle.sql_anyof_violations(),
         "type_duck": oracle.sql_type_duck(),

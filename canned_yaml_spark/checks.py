@@ -255,6 +255,34 @@ class AnomalyCheck:
 
 
 @dataclass(frozen=True)
+class CatDriftCheck:
+    """x-chi2: Pearson chi-squared goodness-of-fit of each partition's
+    CATEGORICAL distribution of ``column`` against an expected
+    distribution stated inline in the spec — the categorical
+    complement of x-drift's PSI/KS (which bucket numeric columns).
+
+    chi2 = Σ_c (O_c − n·e_c)² / (n·e_c) over the union of expected and
+    observed categories; a category observed but absent from
+    ``expected`` enters with the floor fraction EPS (maximal-drift
+    signal — an unexpected codec IS drift, not noise). Breach at
+    chi2 > chi2_max: the spec carries the critical value for its
+    chosen alpha and dof (e.g. χ²₀.₀₁ with 3 dof = 11.34) — computing
+    p-values engine-side would put an incomplete-gamma in the hot
+    path for no decision the threshold doesn't already make.
+
+    ``expected`` is a tuple of (category, fraction) pairs in spec
+    order (frozen dataclass; categorical distributions are small by
+    nature, so inline-in-spec is the natural home — no runtime
+    reference table to thread through)."""
+
+    rule_id: str
+    column: str
+    expected: tuple[tuple[str, float], ...]
+    chi2_max: float = 11.34
+    severity: Severity = Severity.WARN
+
+
+@dataclass(frozen=True)
 class CompletenessCheck:
     """x-completeness: the NULL fraction of ``column`` per partition
     must not exceed ``max_null_frac`` (a Deequ-style completeness
@@ -303,6 +331,7 @@ class CheckSuite:
     unique_checks: list[UniqueCheck] = field(default_factory=list)
     ref_checks: list[RefCheck] = field(default_factory=list)
     drift_checks: list[DriftCheck] = field(default_factory=list)
+    cat_drift_checks: list[CatDriftCheck] = field(default_factory=list)
     payload_checks: list[PayloadCheck] = field(default_factory=list)
     transcript_checks: list["TranscriptCheck"] = field(default_factory=list)
     media_checks: list["MediaCheck"] = field(default_factory=list)
@@ -326,7 +355,9 @@ class CheckSuite:
             lines.append(f"  {c.order:3d} {c.severity.name:5s} {c.rule_id}{tag}")
         for group, items in (
             ("unique", self.unique_checks), ("ref", self.ref_checks),
-            ("drift", self.drift_checks), ("payload", self.payload_checks),
+            ("drift", self.drift_checks),
+            ("chi2", self.cat_drift_checks),
+            ("payload", self.payload_checks),
             ("audio", self.audio_checks),
             ("loudness", self.loudness_checks),
             ("spectral", self.spectral_checks),

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from canned_yaml_spark.checks import (
-    AnomalyCheck, AudioStatsCheck, Check, CheckSuite, CompletenessCheck,
+    AnomalyCheck, AudioStatsCheck, CatDriftCheck, Check, CheckSuite,
+    CompletenessCheck,
     DriftCheck, FrequencyCheck, LoudnessCheck, PayloadCheck, QuantileCheck,
     RefCheck, MediaCheck, Severity, SpectralCheck, TranscriptCheck,
     UniqueCheck,
@@ -591,6 +592,44 @@ class _Compiler:
                     rule_id=f"x-anomaly.{col}", column=col,
                     z_max=float(xn.get("z_max", 3.5)),
                     severity=Severity[xn.get("severity", "WARN").upper()]))
+        if "x-chi2" in node:
+            xcs = node["x-chi2"]
+            if isinstance(xcs, dict):
+                xcs = [xcs]
+            for i, xc in enumerate(xcs):
+                path = f"$.x-chi2[{i}]"
+                if "column" not in xc or "expected" not in xc:
+                    raise SpecError(path, "x-chi2 needs 'column' and "
+                                          "'expected'")
+                col = xc["column"]
+                if self.schema is not None and col not in {
+                        f.name for f in self.schema.fields}:
+                    raise SpecError(path, f"column '{col}' absent from "
+                                          f"table schema")
+                exp = xc["expected"]
+                if not isinstance(exp, dict) or not exp:
+                    raise SpecError(f"{path}.expected",
+                                    "expected must be a non-empty "
+                                    "{category: fraction} map")
+                pairs = []
+                for cat, frac in exp.items():
+                    frac = float(frac)
+                    if frac <= 0.0:
+                        raise SpecError(f"{path}.expected.{cat}",
+                                        f"fraction must be > 0, got {frac}")
+                    pairs.append((str(cat), frac))
+                total = sum(f for _, f in pairs)
+                if abs(total - 1.0) > 1e-6:
+                    raise SpecError(f"{path}.expected",
+                                    f"fractions must sum to 1, got {total}")
+                chi2_max = float(xc.get("chi2_max", 11.34))
+                if chi2_max <= 0.0:
+                    raise SpecError(f"{path}.chi2_max",
+                                    f"chi2_max must be > 0, got {chi2_max}")
+                self.suite.cat_drift_checks.append(CatDriftCheck(
+                    rule_id=f"x-chi2.{col}", column=col,
+                    expected=tuple(pairs), chi2_max=chi2_max,
+                    severity=Severity[xc.get("severity", "WARN").upper()]))
         if "x-assert" in node:
             xas = node["x-assert"]
             if isinstance(xas, dict):

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from canned_yaml_spark.checks import DriftCheck
+from canned_yaml_spark.checks import CatDriftCheck, DriftCheck
 
 _EPS = 1e-6
 
@@ -333,3 +333,76 @@ def ks_violations(df: DataFrame, check: DriftCheck, reference: np.ndarray,
                              F.round(F.col("p_value"), 6).cast("string"),
                              F.lit(f" < alpha {check.ks_alpha} on {check.column}")
                              ).alias("message")))
+
+
+# ------------------------------------------------------- chi-squared
+def chi2_per_partition(df: DataFrame, check: CatDriftCheck,
+                       part_col: str = "part_id") -> DataFrame:
+    """(part_id, chi2, n_cats): Pearson chi-squared goodness-of-fit of
+    each partition's categorical distribution of check.column vs the
+    spec's expected fractions (checks.CatDriftCheck).
+
+    chi2 = Σ_c (O_c − n·e_c)² / (n·e_c) over expected ∪ observed
+    categories; observed-but-unexpected categories get the floor
+    fraction _EPS (an unexpected codec is maximal drift by
+    construction, so its term is meant to explode). NULLs are
+    excluded — the null rate is x-completeness's job, same division
+    of labor as x-frequency.
+
+    Scale shape (the PSI shape): ONE hash aggregation on
+    (part_id, category) touches the 10^12 rows — the partial agg
+    reduces each map task to ≤ parts × cardinality rows before the
+    exchange. Everything downstream (per-partition category maps, the
+    expected literal map, the fold) runs on ≤ parts rows with
+    higher-order functions: no crossJoin grid, no second scan, no
+    driver round-trips. n_cats rides along so callers can derive
+    dof = n_cats − 1 without re-reading the spec.
+    """
+    col = F.col(check.column)
+    obs = (df.filter(col.isNotNull())
+             .select(F.col(part_col).alias("part_id"), col.alias("cat"))
+             .groupBy("part_id", "cat")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    per_part = (obs.groupBy("part_id")
+                   .agg(F.map_from_entries(
+                            F.collect_list(F.struct("cat", "cnt")))
+                         .alias("omap"),
+                        F.sum("cnt").alias("part_n")))
+    # the expected distribution is a literal map — categorical
+    # distributions are small by nature (that's what makes chi2 the
+    # right test), so it compiles into the plan instead of becoming a
+    # broadcast join
+    emap = F.create_map(*[F.lit(x) for cat, frac in check.expected
+                          for x in (cat, float(frac))])
+    cats = F.array_union(
+        F.array(*[F.lit(cat) for cat, _ in check.expected]),
+        F.map_keys(F.col("omap")))
+
+    def term(acc, c):
+        o = F.coalesce(F.try_element_at(F.col("omap"), c), F.lit(0)) \
+            .cast("double")
+        e = F.coalesce(F.try_element_at(emap, c), F.lit(_EPS)) \
+            * F.col("part_n")
+        return acc + (o - e) * (o - e) / e
+
+    chi2 = F.aggregate(cats, F.lit(0.0), term)
+    return per_part.select("part_id", chi2.alias("chi2"),
+                           F.size(cats).alias("n_cats"))
+
+
+def chi2_violations(df: DataFrame, check: CatDriftCheck,
+                    part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped) for
+    partitions whose chi2 exceeds check.chi2_max."""
+    return (chi2_per_partition(df, check, part_col)
+            .filter(F.col("chi2") > check.chi2_max)
+            .select(F.lit(None).cast("string").alias("clip_id"),
+                    "part_id",
+                    F.lit(check.rule_id).alias("rule_id"),
+                    F.lit(int(check.severity)).alias("severity"),
+                    F.concat(F.lit("chi2 "),
+                             F.round(F.col("chi2"), 4).cast("string"),
+                             F.lit(f" > {check.chi2_max} on "
+                                   f"{check.column} (dof "),
+                             (F.col("n_cats") - 1).cast("string"),
+                             F.lit(")")).alias("message")))

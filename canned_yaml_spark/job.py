@@ -149,6 +149,10 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         if nc.column in clips.columns:
             out = out.unionByName(
                 dataset.anomaly_violations(clips, nc, part_col))
+    for cc in suite.cat_drift_checks:
+        if cc.column in clips.columns:
+            out = out.unionByName(
+                drift.chi2_violations(clips, cc, part_col))
     return out
 
 

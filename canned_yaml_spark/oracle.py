@@ -1934,3 +1934,36 @@ SELECT doc_id, component_id,
             THEN 'test' ELSE 'train' END AS split
 FROM lab
 """.strip()
+
+
+def sql_chi2_drift() -> str:
+    # Independent restatement of drift.chi2_per_partition over the
+    # derived corpus: Pearson chi2 per partition against the literal
+    # expected codec fractions, grid = expected ∪ observed categories,
+    # observed-but-unexpected categories at the 1e-6 floor fraction
+    # (identical _EPS). n_cats = |expected ∪ observed| per partition.
+    # Rounded to 2 decimals (exploded unexpected-category terms are
+    # ~1e6; 1e-2 absolute absorbs sum-order float noise).
+    return f"""
+WITH {clips_duckdb_cte()},
+expected AS (SELECT * FROM (VALUES
+  ('pcm_s16le', 0.70), ('flac', 0.15), ('opus', 0.10), ('mp3', 0.05))
+  t(cat, frac)),
+obs AS (
+  SELECT part_id, codec AS cat, COUNT(*) AS cnt
+  FROM clips WHERE codec IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT part_id, SUM(cnt) AS part_n FROM obs GROUP BY part_id),
+grid AS (
+  SELECT t.part_id, e.cat FROM tot t CROSS JOIN expected e
+  UNION
+  SELECT part_id, cat FROM obs)
+SELECT g.part_id,
+       ROUND(SUM(POW(COALESCE(o.cnt, 0) - t.part_n * COALESCE(e.frac, 0.000001), 2)
+                 / (t.part_n * COALESCE(e.frac, 0.000001))), 2) AS chi2,
+       CAST(COUNT(*) AS INT) AS n_cats
+FROM grid g
+LEFT JOIN obs o ON g.part_id = o.part_id AND g.cat = o.cat
+LEFT JOIN expected e ON g.cat = e.cat
+JOIN tot t ON g.part_id = t.part_id
+GROUP BY g.part_id
+""".strip()

@@ -104,3 +104,82 @@ def test_ks_jvm_matches_pandas(spark, clips_mid, suite):
         assert jvm[pid].n == pdv[pid].n
         assert abs(jvm[pid].ks_stat - pdv[pid].ks_stat) < 1e-12
         assert abs(jvm[pid].p_value - pdv[pid].p_value) < 1e-9
+
+
+# --------------------------------------------------------------- chi2
+def test_chi2_hand_computed(spark):
+    # 2 partitions, known counts; expected {a: .5, b: .5}.
+    # part 0: a=6, b=4, n=10 → chi2 = (6-5)²/5 + (4-5)²/5 = 0.4
+    # part 1: a=5, b=5 → chi2 = 0
+    from canned_yaml_spark.checks import CatDriftCheck
+    rows = [(0, "a")] * 6 + [(0, "b")] * 4 + [(1, "a")] * 5 + [(1, "b")] * 5
+    df = spark.createDataFrame(rows, "part_id int, codec string")
+    cc = CatDriftCheck(rule_id="x-chi2.codec", column="codec",
+                       expected=(("a", 0.5), ("b", 0.5)), chi2_max=3.0)
+    rep = {r.part_id: r for r in
+           drift.chi2_per_partition(df, cc).collect()}
+    assert rep[0].chi2 == pytest.approx(0.4, abs=1e-9)
+    assert rep[1].chi2 == pytest.approx(0.0, abs=1e-9)
+    assert rep[0].n_cats == rep[1].n_cats == 2
+
+
+def test_chi2_unexpected_category_explodes_and_nulls_excluded(spark):
+    # a category missing from `expected` gets the 1e-6 floor → its
+    # term is (1 - 11e-6)²/(11e-6) ≈ 9e4 ≫ any threshold; the NULL
+    # row must not count toward part_n (n=11, not 12)
+    from canned_yaml_spark.checks import CatDriftCheck
+    rows = [(0, "a")] * 5 + [(0, "b")] * 5 + [(0, "zzz"), (0, None)]
+    df = spark.createDataFrame(rows, "part_id int, codec string")
+    cc = CatDriftCheck(rule_id="x-chi2.codec", column="codec",
+                       expected=(("a", 0.5), ("b", 0.5)), chi2_max=11.34)
+    r = drift.chi2_per_partition(df, cc).collect()[0]
+    assert r.n_cats == 3
+    n, eps = 11, 1e-6
+    expect = ((5 - n * .5) ** 2 / (n * .5)) * 2 \
+        + (1 - n * eps) ** 2 / (n * eps)
+    assert r.chi2 == pytest.approx(expect, rel=1e-12)
+    v = drift.chi2_violations(df, cc).collect()
+    assert len(v) == 1 and v[0].clip_id is None
+    assert v[0].rule_id == "x-chi2.codec" and "dof 2" in v[0].message
+
+
+def test_chi2_spec_wiring_and_errors(spark, tmp_path):
+    # spec → suite → job.all_violations end-to-end, plus located errors
+    from canned_yaml_spark import job as jobmod
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+
+    clips = fixtures.clips_df(spark, 2_000, max_samples=4)
+    spec = {"type": "object",
+            "x-chi2": {"column": "codec",
+                       "expected": {"pcm_s16le": 0.70, "flac": 0.15,
+                                    "opus": 0.10, "mp3": 0.05},
+                       "chi2_max": 11.34, "severity": "WARN"}}
+    suite = compile_spec(spec, clips.schema)
+    assert len(suite.cat_drift_checks) == 1
+    cc = suite.cat_drift_checks[0]
+    assert cc.expected[0] == ("pcm_s16le", 0.70)
+    viol = jobmod.all_violations(clips, suite)
+    got = viol.filter(F.col("rule_id") == "x-chi2.codec")
+    direct = drift.chi2_violations(clips, cc)
+    assert got.count() == direct.count()
+
+    with pytest.raises(SpecError, match=r"\$\.x-chi2\[0\]\.expected"):
+        compile_spec({"type": "object",
+                      "x-chi2": {"column": "codec",
+                                 "expected": {"a": 0.5, "b": 0.4}}},
+                     clips.schema)
+    with pytest.raises(SpecError, match="fraction must be > 0"):
+        compile_spec({"type": "object",
+                      "x-chi2": {"column": "codec",
+                                 "expected": {"a": 1.0, "b": 0.0}}},
+                     clips.schema)
+    with pytest.raises(SpecError, match="absent from table schema"):
+        compile_spec({"type": "object",
+                      "x-chi2": {"column": "nope",
+                                 "expected": {"a": 1.0}}}, clips.schema)
+    with pytest.raises(SpecError, match="chi2_max"):
+        compile_spec({"type": "object",
+                      "x-chi2": {"column": "codec",
+                                 "expected": {"a": 1.0}, "chi2_max": -1}},
+                     clips.schema)

@@ -91,6 +91,18 @@ def main() -> int:
             p.count("HashAggregate") >= 2)],
           "one big-data agg; HOF fold over bucket maps; the only "
           "no-condition join broadcasts the ONE-ROW expected map")
+    from canned_yaml_spark.checks import CatDriftCheck
+    audit("drift chi2 (x-chi2 categorical)",
+          drift.chi2_per_partition(clips, CatDriftCheck(
+              rule_id="x-chi2.codec", column="codec",
+              expected=(("pcm_s16le", .7), ("flac", .15), ("opus", .1),
+                        ("mp3", .05)))),
+          [("no cartesian grid", lambda p: "CartesianProduct" not in p),
+           ("no join at all", lambda p: "Join" not in p),
+           ("single big-data agg chain", lambda p:
+            p.count("HashAggregate") >= 2)],
+          "one hash agg on (part, category); expected dist is a "
+          "literal map in the fold — no second input at all")
     audit("drift KS (weighted)",
           drift.ks_per_partition(clips, suite.drift_checks[0], ks_ref),
           [("pre-agg before python", lambda p:

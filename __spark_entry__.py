@@ -1647,6 +1647,27 @@ def _q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_cats").cast("int").alias("n_cats")))
 
 
+def _q_rule_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dead-rule / alien-rule detection (runner.rule_coverage): the
+    # full-suite violations of the derived corpus aggregated per
+    # DECLARED rule. The oracle restates the complete declared
+    # inventory (18 row rules incl. the 5 statically-elided type
+    # rules, x-unique, x-ref, x-drift.psi/.ks) AND every family's
+    # violation counts — row union, uniqueness, referential, the full
+    # PSI formula, the full KS stat+p formula — so a rule wrongly
+    # dropped from the inventory, a miscounted family, or an alien
+    # rule_id all hash-mismatch.
+    from canned_yaml_spark import job as jobmod
+    from canned_yaml_spark.runner import rule_coverage
+    clips = derive.clips_df(spark, sf_dir)
+    suite = _suite(spark, clips)
+    viol = jobmod.all_violations(
+        clips, suite, dims={"codec_dim": derive.codec_dim_df(spark)},
+        expected_hist=fixtures.reference_hist_df(spark),
+        ks_reference=fixtures.reference_dur_sample())
+    return rule_coverage(viol, suite)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_violations": _q_row_violations,
@@ -1729,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_verdicts": _q_resume_verdicts,  # oracle: full-suite verdicts
         "ks_drift": _q_ks_drift,
         "chi2_drift": _q_chi2_drift,
+        "rule_coverage": _q_rule_coverage,
         "simhash_groups": _q_simhash_groups,  # oracle: XXH64 restated in SQL
         "ann_recall": _q_ann_recall,          # rows-only (approx path)
         "ivf_recall": _q_ivf_recall,          # rows-only (approx path)
@@ -1745,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),
         "chi2_drift": oracle.sql_chi2_drift(),
+        "rule_coverage": oracle.sql_rule_coverage(),
         "oneof": oracle.sql_oneof_violations(),
         "anyof": oracle.sql_anyof_violations(),
         "type_duck": oracle.sql_type_duck(),

@@ -1967,3 +1967,124 @@ LEFT JOIN expected e ON g.cat = e.cat
 JOIN tot t ON g.part_id = t.part_id
 GROUP BY g.part_id
 """.strip()
+
+
+def sql_rule_coverage() -> str:
+    """Dead-rule / alien-rule report restated end to end: the declared
+    inventory of specs/clips.spec.yaml on the derived schema (18 row
+    rules incl. the 5 statically-elided `type` rules, x-unique, x-ref,
+    x-drift .psi/.ks) FULL-JOINed to per-rule violation counts from an
+    independent restatement of EVERY family the job runs on the
+    derived corpus: the 13-rule row union, uniqueness rows, referential
+    rows, the clamped-bucket/eps-log PSI breach, and the exact
+    two-sample KS stat + Kolmogorov p breach (same formulas as
+    sql_drift_psi / sql_resume_verdicts; decision margins around
+    psi_max=0.25 / alpha=0.01 are orders of magnitude, so float drift
+    cannot flip `fired`)."""
+    decl_rows = ", ".join(
+        f"('{rid}', {str(static).upper()})" for rid, static in [
+            ("required.clip_id", False), ("required.sr_hz", False),
+            ("required.dur_ms", False), ("required.codec", False),
+            ("required.transcript", False),
+            ("properties.clip_id.type", True),
+            ("properties.clip_id.pattern", False),
+            ("properties.sr_hz.type", True),
+            ("properties.sr_hz.minimum", False),
+            ("properties.sr_hz.maximum", False),
+            ("properties.dur_ms.type", True),
+            ("properties.dur_ms.minimum", False),
+            ("properties.dur_ms.maximum", False),
+            ("properties.codec.type", True),
+            ("properties.codec.enum", False),
+            ("properties.transcript.type", True),
+            ("properties.transcript.minLength", False),
+            ("properties.transcript.maxLength", False),
+            ("x-unique.clip_id", False), ("x-ref.codec", False),
+            ("x-drift.dur_ms.psi", False), ("x-drift.dur_ms.ks", False),
+        ])
+    theta_w = "exp(-pi()*pi()/8.0/(t*t))"
+    return f"""
+WITH {clips_duckdb_cte()}, {codec_dim_duckdb_cte()}, {_hist_values_cte()},
+decl AS (SELECT * FROM (VALUES {decl_rows}) t(rule_id, static_ok)),
+hist AS (
+  SELECT part_id,
+         CAST(LEAST(GREATEST(FLOOR(dur_ms / 600.0), 0), 19) AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part_id FROM hist),
+buckets AS (SELECT DISTINCT bucket FROM expected),
+tot AS (SELECT part_id, SUM(cnt) AS part_n FROM hist GROUP BY part_id),
+grid AS (SELECT p.part_id, b.bucket FROM parts p CROSS JOIN buckets b),
+psi AS (
+  SELECT g.part_id,
+         SUM((COALESCE(h.cnt, 0) * 1.0 / t.part_n - e.expected_frac)
+             * LN((COALESCE(h.cnt, 0) * 1.0 / t.part_n + 0.000001)
+                  / (e.expected_frac + 0.000001))) AS psi
+  FROM grid g
+  LEFT JOIN hist h ON g.part_id = h.part_id AND g.bucket = h.bucket
+  JOIN expected e ON g.bucket = e.bucket
+  JOIN tot t ON g.part_id = t.part_id
+  GROUP BY g.part_id),
+ka AS (
+  SELECT part_id, CAST(dur_ms AS DOUBLE) AS v, COUNT(*) AS c
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+kan AS (SELECT part_id, SUM(c) AS n FROM ka GROUP BY 1),
+kb AS (SELECT 200.0 + range AS v FROM range(0, 9801)),
+ku AS (
+  SELECT part_id, v, SUM(c) AS c FROM (
+    SELECT part_id, v, c FROM ka
+    UNION ALL
+    SELECT kan.part_id, kb.v, 0 AS c FROM kan CROSS JOIN kb
+  ) GROUP BY 1, 2),
+ke AS (
+  SELECT part_id, v,
+         SUM(c) OVER (PARTITION BY part_id ORDER BY v) AS cum_a
+  FROM ku),
+kstat AS (
+  SELECT ke.part_id,
+         MAX(ABS(cum_a * 1.0 / kan.n
+                 - LEAST(GREATEST(v - 199.0, 0), 9801) / 9801.0)) AS d,
+         MAX(kan.n) AS n
+  FROM ke JOIN kan USING (part_id) GROUP BY ke.part_id),
+kt AS (
+  SELECT part_id,
+         (sqrt(n * 9801.0 / (n + 9801.0)) + 0.12
+          + 0.11 / sqrt(n * 9801.0 / (n + 9801.0))) * d AS t
+  FROM kstat),
+kp AS (
+  SELECT part_id,
+         CASE WHEN t < 1e-9 THEN 1.0
+              WHEN t < 1.18 THEN
+                1.0 - sqrt(2 * pi()) / t
+                * ({theta_w} + pow({theta_w}, 9) + pow({theta_w}, 25))
+              ELSE 2.0 * list_sum(list_transform(range(1, 101),
+                j -> pow(-1.0, j - 1) * exp(-2.0 * (j * t) * (j * t))))
+         END AS p
+  FROM kt),
+dup AS (SELECT clip_id FROM clips GROUP BY clip_id HAVING COUNT(*) > 1),
+allv AS (
+  SELECT rule_id, part_id FROM ({violations_union('duckdb')}) rowv
+  UNION ALL
+  SELECT 'x-unique.clip_id' AS rule_id, c.part_id
+  FROM clips c JOIN dup ON c.clip_id = dup.clip_id
+  UNION ALL
+  SELECT 'x-ref.codec' AS rule_id, c.part_id
+  FROM clips c
+  WHERE c.codec IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM codec_dim d WHERE d.codec = c.codec)
+  UNION ALL
+  SELECT 'x-drift.dur_ms.psi' AS rule_id, part_id FROM psi WHERE psi > 0.25
+  UNION ALL
+  SELECT 'x-drift.dur_ms.ks' AS rule_id, part_id FROM kp WHERE p < 0.01),
+agg AS (
+  SELECT rule_id, COUNT(*) AS n_violations,
+         COUNT(DISTINCT part_id) AS n_parts
+  FROM allv GROUP BY rule_id)
+SELECT COALESCE(d.rule_id, a.rule_id) AS rule_id,
+       CAST(COALESCE(a.n_violations, 0) AS BIGINT) AS n_violations,
+       CAST(COALESCE(a.n_parts, 0) AS BIGINT) AS n_parts,
+       COALESCE(a.n_violations, 0) > 0 AS fired,
+       COALESCE(d.static_ok, FALSE) AS static_ok,
+       d.rule_id IS NOT NULL AS declared
+FROM decl d FULL JOIN agg a ON d.rule_id = a.rule_id
+""".strip()

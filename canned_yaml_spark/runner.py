@@ -125,3 +125,70 @@ def merge_verdicts(row_verdicts_df: DataFrame,
                     F.when(F.col("max_severity") < 0, F.lit(None))
                      .otherwise(F.col("max_severity")))
     )
+
+
+def suite_rule_ids(suite: CheckSuite) -> list[tuple[str, bool]]:
+    """The suite's declared rule inventory: (rule_id, static_ok) for
+    every rule any violations function can emit, in reporting order —
+    row checks first (including statically-elided ones: they are
+    DECLARED even though they can never fire on this schema), then
+    each table-check family. x-drift declares two ids (.psi / .ks),
+    matching drift.psi_violations / ks_violations emission.
+
+    Note the inventory is what the spec DECLARES, not what a given run
+    executed: callers of rule_coverage scope the violations frame to
+    the families they actually ran (e.g. payload checks need a
+    reference table; KS needs a reference sample)."""
+    decl = [(c.rule_id, bool(c.static_ok))
+            for c in sorted(suite.row_checks, key=lambda c: c.order)]
+    for c in list(suite.unique_checks) + list(suite.ref_checks):
+        decl.append((c.rule_id, False))
+    for c in suite.drift_checks:
+        decl += [(c.rule_id + ".psi", False), (c.rule_id + ".ks", False)]
+    for fam in (suite.cat_drift_checks, suite.payload_checks,
+                suite.transcript_checks, suite.media_checks,
+                suite.audio_checks, suite.loudness_checks,
+                suite.spectral_checks, suite.quantile_checks,
+                suite.completeness_checks, suite.frequency_checks,
+                suite.anomaly_checks):
+        decl += [(c.rule_id, False) for c in fam]
+    return decl
+
+
+def rule_coverage(viol: DataFrame, suite: CheckSuite) -> DataFrame:
+    """Dead-rule / alien-rule detection: per declared rule, how often
+    it fired across the corpus.
+
+    (rule_id, n_violations, n_parts, fired, static_ok, declared):
+    - fired=false on a rule a spec author expects to catch real data
+      means the rule is vacuous (or the corpus is cleaner than
+      believed) — at 10^12 rows a never-firing ERROR rule is the
+      first thing to audit after a suspiciously green run;
+    - static_ok=true rows are declared-but-unfireable on this schema
+      (e.g. `type` checks elided on a typed column) — expected dead;
+    - declared=false rows are ALIEN: violation rows whose rule_id the
+      suite never declared, which indicates an engine bug or a stale
+      violations table from another spec version.
+
+    Scale shape: one hash aggregation over the violations frame
+    (already ≪ corpus; the partial agg reduces map output to
+    ≤ |rules| rows per task) full-outer-joined to the spec-sized
+    declared inventory — Spark broadcasts the inventory side; nothing
+    here rescans the corpus."""
+    spark = viol.sparkSession
+    ddf = spark.createDataFrame(suite_rule_ids(suite),
+                                "rule_id string, static_ok boolean")
+    agg = (viol.groupBy("rule_id")
+               .agg(F.count(F.lit(1)).alias("n_violations"),
+                    F.countDistinct("part_id").alias("n_parts")))
+    return (ddf.join(agg, "rule_id", "full")
+               .select("rule_id",
+                       F.coalesce("n_violations", F.lit(0))
+                        .alias("n_violations"),
+                       F.coalesce("n_parts", F.lit(0)).cast("long")
+                        .alias("n_parts"),
+                       (F.coalesce("n_violations", F.lit(0)) > 0)
+                       .alias("fired"),
+                       F.coalesce("static_ok", F.lit(False))
+                        .alias("static_ok"),
+                       F.col("static_ok").isNotNull().alias("declared")))

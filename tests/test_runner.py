@@ -79,3 +79,41 @@ def test_violation_order_matches_reference_walk(spark, suite):
         < orders["properties.sr_hz.maximum"]
     assert orders["properties.codec.type"] < orders["properties.codec.enum"]
     assert orders["required.clip_id"] < orders["properties.clip_id.pattern"]
+
+
+def test_rule_coverage_dead_static_and_alien(spark, clips, suite):
+    from canned_yaml_spark.runner import rule_coverage, suite_rule_ids
+
+    decl = suite_rule_ids(suite)
+    assert ("x-drift.dur_ms.psi", False) in decl
+    assert ("x-drift.dur_ms.ks", False) in decl
+    static_ids = {rid for rid, s in decl if s}
+    assert static_ids and all(".type" in rid for rid in static_ids)
+
+    viol = row_violations(clips, suite)
+    # inject an ALIEN violation row (a rule_id the suite never
+    # declared — stale table / engine bug) to exercise declared=false
+    alien = spark.createDataFrame(
+        [("clip_x", 0, "properties.ghost.never", 2, "m")],
+        "clip_id string, part_id int, rule_id string, severity int, "
+        "message string")
+    cov = {r.rule_id: r for r in
+           rule_coverage(viol.unionByName(alien), suite).collect()}
+
+    assert len(cov) == len(decl) + 1
+    ghost = cov["properties.ghost.never"]
+    assert ghost.fired and not ghost.declared and not ghost.static_ok
+    # statically-elided rules: declared, dead by construction
+    for rid in static_ids:
+        assert cov[rid].declared and not cov[rid].fired
+    # a rule the fixture corpus injects must agree with the raw counts
+    direct = {r.rule_id: r.n for r in viol.groupBy("rule_id")
+              .agg(F.count("*").alias("n")).collect()}
+    for rid, n in direct.items():
+        assert cov[rid].n_violations == n and cov[rid].fired
+    # row-family rules never emitted stay declared+dead with 0 counts
+    for rid, _ in decl:
+        if rid not in direct and rid in cov:
+            if rid.startswith(("required.", "properties.")):
+                assert cov[rid].n_violations == 0
+                assert cov[rid].n_parts == 0

@@ -86,6 +86,20 @@ def _q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part_id", F.round("psi", 4).alias("psi")))
 
 
+def _q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wasserstein-1 drift: the transport-distance complement of PSI/KS —
+    # linear in how FAR the histogram mass moved, so the drifted rule_k=1
+    # partitions (dur_ms compressed into the low buckets, derive.py)
+    # separate from clean partitions by the distance of the shift itself
+    # (~thousands of ms vs ~tens for sampling noise). Full per-partition
+    # report; threshold wiring (w1_max) is pinned in tests/test_drift.py.
+    clips = derive.clips_df(spark, sf_dir)
+    dc = _suite(spark, clips).drift_checks[0]
+    exp = fixtures.reference_hist_df(spark)
+    return (drift.w1_per_partition(clips, dc, exp)
+            .select("part_id", F.round("w1", 4).alias("w1")))
+
+
 def _q_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     spec = {"type": "object", "properties": {"dur_ms": {"oneOf": [
@@ -1677,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential": _q_referential,
         "column_stats": _q_column_stats,
         "drift_psi": _q_drift_psi,
+        "w1_drift": _q_w1_drift,
         "oneof": _q_oneof,
         "anyof": _q_anyof,
         "type_duck": _q_type_duck,
@@ -1766,6 +1781,7 @@ def oracle_sql() -> dict[str, str]:
         "referential": oracle.sql_referential_violations(),
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),
+        "w1_drift": oracle.sql_w1_drift(),
         "chi2_drift": oracle.sql_chi2_drift(),
         "rule_coverage": oracle.sql_rule_coverage(),
         "oneof": oracle.sql_oneof_violations(),

@@ -83,6 +83,11 @@ class DriftCheck:
     hi: float = 12000.0
     psi_max: float = 0.25
     ks_alpha: float = 0.01
+    #: Wasserstein-1 (earth mover's) ceiling in the column's own units
+    #: (e.g. ms for dur_ms); None disables the W1 bound. Complements
+    #: PSI (relative per-bucket shifts) and KS (worst single CDF gap)
+    #: with a metric linear in how far the mass moved.
+    w1_max: float | None = None
     severity: Severity = Severity.WARN
 
 

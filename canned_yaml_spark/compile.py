@@ -531,12 +531,18 @@ class _Compiler:
 
         if "x-drift" in node:
             xd = node["x-drift"]
+            if (xd.get("w1_max") is not None
+                    and float(xd["w1_max"]) <= 0):
+                raise SpecError("$.x-drift.w1_max",
+                                f"w1_max must be > 0, got {xd['w1_max']}")
             self.suite.drift_checks.append(DriftCheck(
                 rule_id=f"x-drift.{xd['column']}", column=xd["column"],
                 buckets=int(xd.get("buckets", 20)),
                 lo=float(xd.get("lo", 0.0)), hi=float(xd.get("hi", 12000.0)),
                 psi_max=float(xd.get("psi_max", 0.25)),
                 ks_alpha=float(xd.get("ks_alpha", 0.01)),
+                w1_max=(float(xd["w1_max"])
+                        if xd.get("w1_max") is not None else None),
                 severity=Severity[xd.get("severity", "WARN").upper()]))
         if "x-quantile" in node:
             xqs = node["x-quantile"]

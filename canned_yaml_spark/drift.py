@@ -65,6 +65,22 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
     no crossJoin grid, no broadcast builds, no driver round-trips,
     so the whole check adds exactly two stage barriers.
     """
+    joined = _hist_vs_expected(df, check, expected, part_col)
+    psi = F.aggregate(
+        F.sequence(F.lit(0), F.lit(check.buckets - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc + _psi_term(b))
+    return joined.select("part_id", psi.alias("psi"))
+
+
+def _hist_vs_expected(df: DataFrame, check: DriftCheck,
+                      expected: DataFrame | None,
+                      part_col: str) -> DataFrame:
+    """Shared front half of the histogram drift metrics (PSI, W1): one
+    row per partition carrying (hist map, part_n, emap) — the partition's
+    sparse bucket histogram joined against the broadcast expected
+    distribution. Everything downstream of bucketize's single big agg
+    runs on ≤ parts×buckets rows."""
     hist = bucketize(df, check, part_col)
     # per-partition sparse histogram as a map, folded in one agg
     per_part = (hist.groupBy("part_id")
@@ -106,12 +122,7 @@ def psi_per_partition(df: DataFrame, check: DriftCheck,
                                                             "expected_frac")))
                                  .alias("emap")))
 
-    joined = per_part.join(F.broadcast(exp_map))
-    psi = F.aggregate(
-        F.sequence(F.lit(0), F.lit(check.buckets - 1)),
-        F.lit(0.0),
-        lambda acc, b: acc + _psi_term(b))
-    return joined.select("part_id", psi.alias("psi"))
+    return per_part.join(F.broadcast(exp_map))
 
 
 def _psi_term(b):
@@ -136,6 +147,70 @@ def psi_violations(df: DataFrame, check: DriftCheck,
                     F.concat(F.lit("PSI "),
                              F.round(F.col("psi"), 4).cast("string"),
                              F.lit(f" > {check.psi_max} on {check.column}")
+                             ).alias("message")))
+
+
+# --------------------------------------------------- Wasserstein-1 (EMD)
+def w1_per_partition(df: DataFrame, check: DriftCheck,
+                     expected: DataFrame | None = None,
+                     part_col: str = "part_id") -> DataFrame:
+    """(part_id, w1): first Wasserstein (earth mover's) distance of each
+    partition's bucketed ``check.column`` histogram vs the expected
+    distribution, in the column's own units (ms for dur_ms).
+
+    Over a shared bucket grid the transport metric collapses to the
+    L1 distance between CDFs scaled by the bucket width:
+
+        W1 = width · Σ_b |Σ_{b'≤b} (p_{b'} − e_{b'})|
+
+    Why a third numeric-drift metric: PSI's log-ratio terms weight
+    *relative* per-bucket changes, so a small mass shift smeared across
+    many adjacent buckets (a slow drift of the whole distribution) stays
+    under psi_max long after the mean has moved; KS sees only the single
+    worst CDF gap. W1 integrates the full CDF gap and is linear in how
+    FAR the mass moved — the natural alarm for "durations are gradually
+    getting longer". Same scale shape as PSI: ONE big-data hash agg
+    (bucketize), then a per-partition higher-order fold over
+    ≤ parts×buckets rows; the expected histogram is a broadcast.
+    """
+    joined = _hist_vs_expected(df, check, expected, part_col)
+    width = (check.hi - check.lo) / check.buckets
+    # fold carries (cum = running Σ(p−e), tot = running Σ|cum|); the
+    # final cum is 0 up to float noise (both sides sum to 1), so
+    # including the last bucket's term is harmless and keeps the grid
+    # identical to PSI's.
+    w1 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(check.buckets - 1)),
+        F.struct(F.lit(0.0).alias("cum"), F.lit(0.0).alias("tot")),
+        lambda acc, b: F.struct(
+            (acc["cum"] + _pe_diff(b)).alias("cum"),
+            (acc["tot"] + F.abs(acc["cum"] + _pe_diff(b))).alias("tot")),
+        lambda acc: acc["tot"] * F.lit(width))
+    return joined.select("part_id", w1.alias("w1"))
+
+
+def _pe_diff(b):
+    """p_b − e_b for bucket `b` over (hist map, part_n, emap)."""
+    p = F.coalesce(F.element_at(F.col("hist"), b.cast("int")), F.lit(0)) \
+        / F.col("part_n")
+    e = F.coalesce(F.element_at(F.col("emap"), b.cast("int")), F.lit(0.0))
+    return p - e
+
+
+def w1_violations(df: DataFrame, check: DriftCheck,
+                  expected: DataFrame | None = None,
+                  part_col: str = "part_id") -> DataFrame:
+    """Long-form violation rows (clip_id NULL — partition-scoped) for
+    partitions whose W1 distance exceeds check.w1_max."""
+    return (w1_per_partition(df, check, expected, part_col)
+            .filter(F.col("w1") > check.w1_max)
+            .select(F.lit(None).cast("string").alias("clip_id"),
+                    "part_id",
+                    F.lit(check.rule_id + ".w1").alias("rule_id"),
+                    F.lit(int(check.severity)).alias("severity"),
+                    F.concat(F.lit("W1 "),
+                             F.round(F.col("w1"), 4).cast("string"),
+                             F.lit(f" > {check.w1_max} on {check.column}")
                              ).alias("message")))
 
 

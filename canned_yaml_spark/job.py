@@ -91,6 +91,9 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
     for dc in suite.drift_checks:
         out = out.unionByName(
             drift.psi_violations(clips, dc, expected_hist, part_col))
+        if dc.w1_max is not None:
+            out = out.unionByName(
+                drift.w1_violations(clips, dc, expected_hist, part_col))
         if ks_reference is not None:
             out = out.unionByName(
                 drift.ks_violations(clips, dc, ks_reference, part_col))

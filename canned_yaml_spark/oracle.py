@@ -166,6 +166,35 @@ GROUP BY g.part_id
 """.strip()
 
 
+def sql_w1_drift() -> str:
+    # mirrors drift.w1_per_partition: W1 over a shared bucket grid is
+    # the L1 distance between CDFs × bucket width. The window running
+    # sum adds (p−e) in the same bucket order as the Spark fold, so cum
+    # values are bit-identical; the final Σ|cum| reorders at most a few
+    # ulps, absorbed by the 4-decimal round.
+    return f"""
+WITH {clips_duckdb_cte()}, {_hist_values_cte()},
+hist AS (
+  SELECT part_id,
+         CAST(LEAST(GREATEST(FLOOR(dur_ms / 600.0), 0), 19) AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM clips WHERE dur_ms IS NOT NULL GROUP BY 1, 2),
+parts AS (SELECT DISTINCT part_id FROM hist),
+tot AS (SELECT part_id, SUM(cnt) AS part_n FROM hist GROUP BY part_id),
+grid AS (SELECT p.part_id, e.bucket, e.expected_frac
+         FROM parts p CROSS JOIN expected e),
+cums AS (
+  SELECT g.part_id,
+         SUM(COALESCE(h.cnt, 0) * 1.0 / t.part_n - g.expected_frac)
+           OVER (PARTITION BY g.part_id ORDER BY g.bucket) AS cum
+  FROM grid g
+  LEFT JOIN hist h ON g.part_id = h.part_id AND g.bucket = h.bucket
+  JOIN tot t ON g.part_id = t.part_id)
+SELECT part_id, ROUND(SUM(ABS(cum)) * 600.0, 4) AS w1
+FROM cums GROUP BY part_id
+""".strip()
+
+
 def sql_oneof_violations() -> str:
     # three overlapping branches → exercises the 0-match and >1-match
     # outcomes (canner.cc:540-559)

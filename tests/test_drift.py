@@ -183,3 +183,86 @@ def test_chi2_spec_wiring_and_errors(spark, tmp_path):
                       "x-chi2": {"column": "codec",
                                  "expected": {"a": 1.0}, "chi2_max": -1}},
                      clips.schema)
+
+
+# ------------------------------------------------------- Wasserstein-1
+def test_w1_fires_only_on_drift_part(spark, clips_mid, suite):
+    # the drifted partition's dur_ms mass sits far from the clean
+    # reference — W1 measures THAT distance in ms, so it dwarfs the
+    # clean partitions' sampling noise by orders of magnitude
+    dc = suite.drift_checks[0]
+    exp = fixtures.reference_hist_df(spark)
+    w1 = {r.part_id: r.w1 for r in
+          drift.w1_per_partition(clips_mid, dc, exp).collect()}
+    assert len(w1) == 64
+    clean = [v for p, v in w1.items() if p != DRIFT_PART]
+    assert w1[DRIFT_PART] > 10 * max(clean)
+    assert all(v >= 0 for v in w1.values())
+
+
+def test_w1_matches_numpy_reference(spark, clips_mid, suite):
+    # engine fold vs an independent numpy cumsum over the same
+    # histograms — exact arithmetic restatement, not a separation bound
+    dc = suite.drift_checks[0]
+    exp = fixtures.reference_hist(dc.buckets, dc.lo, dc.hi)
+    e = exp.sort_values("bucket")["expected_frac"].to_numpy()
+    hist = drift.bucketize(clips_mid, dc).collect()
+    parts = {}
+    for r in hist:
+        parts.setdefault(r.part_id, np.zeros(dc.buckets))[r.bucket] = r.cnt
+    width = (dc.hi - dc.lo) / dc.buckets
+    want = {p: float(np.abs(np.cumsum(h / h.sum() - e)).sum() * width)
+            for p, h in parts.items()}
+    got = {r.part_id: r.w1 for r in
+           drift.w1_per_partition(clips_mid, dc,
+                                  fixtures.reference_hist_df(spark))
+                .collect()}
+    assert got.keys() == want.keys()
+    for p in want:
+        assert got[p] == pytest.approx(want[p], abs=1e-9)
+
+
+def test_w1_is_shift_distance(spark):
+    # all mass in bucket 2 vs expected all in bucket 0 → W1 is exactly
+    # the transport distance 2 buckets × 600 ms (the linearity PSI
+    # lacks: PSI of ANY disjoint pair saturates identically)
+    from canned_yaml_spark.checks import DriftCheck
+    dc = DriftCheck(rule_id="t", column="dur_ms")
+    df = spark.createDataFrame([(0, 1500.0)] * 4, "part_id int, dur_ms double")
+    exp = spark.createDataFrame([(0, 1.0)] + [(b, 0.0) for b in range(1, 20)],
+                                "bucket int, expected_frac double")
+    (row,) = drift.w1_per_partition(df, dc, exp).collect()
+    assert row.w1 == pytest.approx(1200.0)
+    # matching distributions → 0 (self-reference blend on one partition)
+    (zero,) = drift.w1_per_partition(df, dc, None).collect()
+    assert zero.w1 == pytest.approx(0.0)
+
+
+def test_w1_spec_wiring_and_errors(spark, clips_mid, suite):
+    # w1_max knob: spec → DriftCheck → job.all_violations union;
+    # unset → disabled (no .w1 rows from the stock suite)
+    from canned_yaml_spark import job as jobmod
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+
+    assert suite.drift_checks[0].w1_max is None       # stock spec: off
+    spec = {"type": "object",
+            "x-drift": {"column": "dur_ms", "buckets": 20, "lo": 0,
+                        "hi": 12000, "psi_max": 0.25, "w1_max": 800,
+                        "severity": "WARN"}}
+    s2 = compile_spec(spec, clips_mid.schema)
+    dc = s2.drift_checks[0]
+    assert dc.w1_max == 800.0
+    exp = fixtures.reference_hist_df(spark)
+    v = drift.w1_violations(clips_mid, dc, exp).collect()
+    assert {r.part_id for r in v} == {DRIFT_PART}
+    assert all(r.rule_id == "x-drift.dur_ms.w1" for r in v)
+    wired = (jobmod.all_violations(clips_mid.withColumn(
+                 "clip_id", F.lit("x")), s2, expected_hist=exp)
+             .filter(F.col("rule_id").endswith(".w1")))
+    assert {r.part_id for r in wired.collect()} == {DRIFT_PART}
+
+    with pytest.raises(SpecError, match="w1_max"):
+        compile_spec({"type": "object",
+                      "x-drift": {"column": "dur_ms", "w1_max": -5}},
+                     clips_mid.schema)

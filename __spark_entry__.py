@@ -100,6 +100,18 @@ def _q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part_id", F.round("w1", 4).alias("w1")))
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reconciliation between two ingest versions of one keyed table:
+    # O(churn) report of added / removed / changed keys with the exact
+    # changed-column list (null-safe). The pinned churn pattern
+    # (derive.snapshot_select moduli) exercises every class including
+    # multi-column changes. digest=False here (metadata-width table);
+    # digest==value equivalence is pinned in tests/test_dataset.py.
+    old = derive.snapshot_df(spark, sf_dir, "old")
+    new = derive.snapshot_df(spark, sf_dir, "new")
+    return dataset.snapshot_diff(old, new, "clip_id")
+
+
 def _q_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     spec = {"type": "object", "properties": {"dur_ms": {"oneOf": [
@@ -1692,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": _q_column_stats,
         "drift_psi": _q_drift_psi,
         "w1_drift": _q_w1_drift,
+        "snapshot_diff": _q_snapshot_diff,
         "oneof": _q_oneof,
         "anyof": _q_anyof,
         "type_duck": _q_type_duck,
@@ -1782,6 +1795,7 @@ def oracle_sql() -> dict[str, str]:
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),
         "w1_drift": oracle.sql_w1_drift(),
+        "snapshot_diff": oracle.sql_snapshot_diff(),
         "chi2_drift": oracle.sql_chi2_drift(),
         "rule_coverage": oracle.sql_rule_coverage(),
         "oneof": oracle.sql_oneof_violations(),

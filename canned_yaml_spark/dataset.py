@@ -524,3 +524,59 @@ def anomaly_violations(df: DataFrame, check,
                                       F.lit("inf")),
                            F.lit(f" exceeds z_max {check.z_max}"))
                         .alias("message")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str = "clip_id",
+                  compare_cols: list[str] | None = None,
+                  digest: bool = False) -> DataFrame:
+    """Reconciliation report between two snapshots of the same table:
+    one row per key that was added, removed, or changed.
+
+    Output: (key_col, change∈{added,removed,changed}, changed_cols) —
+    changed_cols a comma-joined sorted list of differing column names
+    ('' for added/removed). Unchanged keys emit nothing, so the report
+    is O(churn), not O(table). Null-safe comparison throughout: a
+    value→NULL transition IS a change, NULL→NULL is not.
+
+    Precondition: ``key_col`` is unique within each snapshot (run the
+    uniqueness check first — a duplicated key would fan the join out).
+
+    digest=True replaces each compared column with xxhash64(column) on
+    BOTH sides before the join, so payload-sized columns (audio bytes)
+    never enter the shuffle — the classifier then sees 8-byte digests.
+    Same digest-vs-byte-exact tradeoff as the payload fast path (false
+    'unchanged' ≤ 2⁻⁶⁴ per cell on non-adversarial data); keep the
+    default for metadata-width tables.
+
+    Scale shape: ONE full-outer join on the key — zero-exchange when
+    both snapshots are bucketed by the key (the production posture for
+    ingest versions of the same table); otherwise each side shuffles
+    once, carrying only key + compared columns (or their digests).
+    """
+    cols = (compare_cols if compare_cols is not None
+            else sorted(c for c in old.columns
+                        if c != key_col and c in new.columns))
+    if digest:
+        def dig(df):
+            return df.select(
+                key_col, *[F.xxhash64(c).alias(c) for c in cols])
+        old, new = dig(old), dig(new)
+    else:
+        old = old.select(key_col, *cols)
+        new = new.select(key_col, *cols)
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col(f"o.{key_col}") == F.col(f"n.{key_col}"),
+               "full_outer")
+    changed = F.concat_ws(",", *[
+        F.when(~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}")), F.lit(c))
+        for c in cols])
+    change = (F.when(F.col(f"o.{key_col}").isNull(), F.lit("added"))
+               .when(F.col(f"n.{key_col}").isNull(), F.lit("removed"))
+               .when(changed != F.lit(""), F.lit("changed")))
+    return (j.select(
+                F.coalesce(F.col(f"o.{key_col}"), F.col(f"n.{key_col}"))
+                 .alias(key_col),
+                change.alias("change"),
+                F.when(change == "changed", changed).otherwise(F.lit(""))
+                 .alias("changed_cols"))
+             .filter(F.col("change").isNotNull()))

@@ -259,3 +259,57 @@ def codec_dim_duckdb_cte() -> str:
     vals = ", ".join(f"('{c}', {str(l).lower()}, {m})"
                      for c, l, m in CODEC_DIM_ROWS)
     return f"codec_dim AS (SELECT * FROM (VALUES {vals}) t(codec, lossy, max_sr_hz))"
+
+
+def snapshot_select(dialect: str, which: str,
+                    orders_rel: str = "orders") -> str:
+    """Deterministic two-snapshot pair for the reconciliation gate
+    (dataset.snapshot_diff): 'old' and 'new' are versions of one keyed
+    table derived from the SAME orders keys with pinned churn —
+
+      added   (new only):  k % 89 = 3
+      removed (old only):  k % 97 = 11
+      changed sr_hz:       k % 101 = 5   (doubled)
+      changed transcript:  k % 103 = 7   ('_edited' suffix)
+      changed codec:       k % 107 = 9   ('opus_v2', never a base value)
+
+    moduli pairwise coprime, so every overlap class (e.g. a key both
+    added AND changed) occurs at large enough sf. Same two-dialect
+    discipline as clips_select: identical arithmetic in Spark and
+    DuckDB."""
+    if dialect == "spark":
+        fmt = "format_string"
+    elif dialect == "duckdb":
+        fmt = "printf"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    if which not in ("old", "new"):  # pragma: no cover
+        raise ValueError(which)
+    sr = "CAST(8000 + 100 * ((k * 40503 + 17) % 5) AS INT)"
+    tr = f"{fmt}('t_%d', (k * 104729) % 997)"
+    codec = ("CASE (k * 7919) % 4 WHEN 0 THEN 'pcm_s16le' "
+             "WHEN 1 THEN 'flac' WHEN 2 THEN 'opus' ELSE 'mp3' END")
+    if which == "new":
+        sr = f"CASE WHEN k % 101 = 5 THEN 2 * {sr} ELSE {sr} END"
+        tr = (f"CASE WHEN k % 103 = 7 THEN concat({tr}, '_edited') "
+              f"ELSE {tr} END")
+        codec = f"CASE WHEN k % 107 = 9 THEN 'opus_v2' ELSE {codec} END"
+        keep = "k % 97 <> 11"
+    else:
+        keep = "k % 89 <> 3"
+    return f"""
+SELECT {fmt}('snap_%010d', k) AS clip_id,
+       {sr} AS sr_hz,
+       CAST(200 + (k * 2654435761 + 1) % 9801 AS INT) AS dur_ms,
+       {codec} AS codec,
+       {tr} AS transcript
+FROM (SELECT o_orderkey AS k FROM {orders_rel})
+WHERE {keep}
+""".strip()
+
+
+def snapshot_df(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """Spark side of snapshot_select (scan prunes to o_orderkey)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+         .createOrReplaceTempView("orders")
+    return spark.sql(snapshot_select("spark", which))

@@ -195,6 +195,35 @@ FROM cums GROUP BY part_id
 """.strip()
 
 
+def sql_snapshot_diff() -> str:
+    # mirrors dataset.snapshot_diff over the derive.snapshot_select
+    # pair: full-outer key join, null-safe per-column comparison,
+    # changed_cols joined in sorted column order (codec, dur_ms,
+    # sr_hz, transcript) exactly as the operator sorts compare_cols
+    from canned_yaml_spark.derive import snapshot_select
+    cells = "\n              ".join(
+        f"CASE WHEN o.{c} IS DISTINCT FROM n.{c} THEN '{c}' END,"
+        for c in ("codec", "dur_ms", "sr_hz", "transcript")).rstrip(",")
+    return f"""
+WITH oldsnap AS ({snapshot_select('duckdb', 'old')}),
+newsnap AS ({snapshot_select('duckdb', 'new')})
+SELECT COALESCE(o.clip_id, n.clip_id) AS clip_id,
+       CASE WHEN o.clip_id IS NULL THEN 'added'
+            WHEN n.clip_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       CASE WHEN o.clip_id IS NULL OR n.clip_id IS NULL THEN ''
+            ELSE concat_ws(',',
+              {cells})
+       END AS changed_cols
+FROM oldsnap o FULL OUTER JOIN newsnap n ON o.clip_id = n.clip_id
+WHERE o.clip_id IS NULL OR n.clip_id IS NULL
+   OR o.codec IS DISTINCT FROM n.codec
+   OR o.dur_ms IS DISTINCT FROM n.dur_ms
+   OR o.sr_hz IS DISTINCT FROM n.sr_hz
+   OR o.transcript IS DISTINCT FROM n.transcript
+""".strip()
+
+
 def sql_oneof_violations() -> str:
     # three overlapping branches → exercises the 0-match and >1-match
     # outcomes (canner.cc:540-559)

@@ -217,3 +217,53 @@ def test_x_quantile_bucketed_mode(spark, clips):
         mk({"buckets": 0})
     with pytest.raises(SpecError, match="lo < hi"):
         mk({"buckets": 10, "lo": 5, "hi": 5})
+
+
+# ------------------------------------------------------- snapshot diff
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y"), ("c", None, "z"), ("e", 5, "v")],
+        "k string, v int, w string")
+    new = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 3, "y"), ("c", None, None), ("d", 9, "q")],
+        "k string, v int, w string")
+    got = {r.k: (r.change, r.changed_cols) for r in
+           dataset.snapshot_diff(old, new, "k").collect()}
+    # a unchanged → absent; b value change; c value→NULL IS a change
+    # (null-safe); d added; e removed
+    assert got == {"b": ("changed", "v"),
+                   "c": ("changed", "w"),
+                   "d": ("added", ""),
+                   "e": ("removed", "")}
+    # NULL→NULL (c.v) did NOT flag; multi-column change lists both,
+    # sorted by column name
+    new2 = new.withColumn("v", F.when(F.col("k") == "c", 7)
+                                .otherwise(F.col("v")))
+    got2 = {r.k: r.changed_cols for r in
+            dataset.snapshot_diff(old, new2, "k").collect()}
+    assert got2["c"] == "v,w"
+
+
+def test_snapshot_diff_key_only_and_digest(spark):
+    from canned_yaml_spark import derive
+    old = derive.snapshot_df(spark, "/root/testdata/sf0.001", "old")
+    new = derive.snapshot_df(spark, "/root/testdata/sf0.001", "new")
+    # digest mode must reproduce the value-mode report exactly on the
+    # derived churn corpus (8-byte xxhash64 cells cross the join
+    # instead of the columns themselves)
+    val = sorted(map(tuple, dataset.snapshot_diff(old, new).collect()))
+    dig = sorted(map(tuple,
+                     dataset.snapshot_diff(old, new, digest=True).collect()))
+    assert val == dig
+    assert len(val) > 0
+    # every pinned churn class occurs (derive.snapshot_select moduli)
+    kinds = {(r[1], r[2]) for r in val}
+    assert ("added", "") in kinds and ("removed", "") in kinds
+    assert ("changed", "sr_hz") in kinds
+    assert ("changed", "transcript") in kinds
+    assert ("changed", "codec") in kinds
+    # compare_cols=[] → membership-only diff: added/removed survive,
+    # changed rows vanish
+    ko = dataset.snapshot_diff(old, new, compare_cols=[])
+    assert set(ko.select("change").distinct().toPandas()["change"]) \
+        == {"added", "removed"}

@@ -112,6 +112,25 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.snapshot_diff(old, new, "clip_id")
 
 
+def _q_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # draft-07 applicators the reference's generator lacks (it stops at
+    # anyOf/oneOf — canner.cc:469-559): root if/then is a CROSS-COLUMN
+    # conditional ("lossy codec ⇒ sr_hz ≤ 22050" — fires on ~2/5 of the
+    # opus/mp3 share), allOf[0] catches the injected sr_hz=3000 rows,
+    # `not` bans the injected 'vorbis' codec. All compile into the same
+    # single codegen span as the rest of the row suite.
+    spec = {"type": "object",
+            "properties": {
+                "sr_hz": {"allOf": [{"minimum": 8000}, {"maximum": 48000}]},
+                "codec": {"not": {"enum": ["vorbis"]}}},
+            "if": {"properties": {"codec": {"enum": ["opus", "mp3"]}},
+                   "required": ["codec"]},
+            "then": {"properties": {"sr_hz": {"maximum": 22050}}}}
+    clips = derive.clips_df(spark, sf_dir)
+    suite = compile_spec(spec, clips.schema)
+    return row_violations(clips, suite).select(*_VCOLS)
+
+
 def _q_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     spec = {"type": "object", "properties": {"dur_ms": {"oneOf": [
@@ -1719,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_codec_counts": _q_salted_codec_counts,
         "codec_median": _q_codec_median,
         "closed_world": _q_closed_world,
+        "conditional_rules": _q_conditional_rules,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -1812,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_codec_counts": oracle.sql_salted_codec_counts(),
         "codec_median": oracle.sql_codec_median(),
         "closed_world": oracle.sql_closed_world(),
+        "conditional_rules": oracle.sql_conditional_rules(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),

@@ -49,6 +49,7 @@ _KW_ORDER = {
     "properties": 7, "required": 7,
     "minItems": 8, "maxItems": 9, "items": 10,
     "anyOf": 11, "oneOf": 12, "enum": 13,
+    "allOf": 14, "not": 15, "if": 16,
 }
 
 _ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
@@ -98,6 +99,10 @@ def _and_all(oks: list[StaticOrCol]) -> StaticOrCol:
     if not cols:
         return True
     return reduce(and_, cols)
+
+
+def _negate(ok: StaticOrCol) -> StaticOrCol:
+    return (not ok) if isinstance(ok, bool) else ~ok
 
 
 def _or_all(oks: list[StaticOrCol]) -> StaticOrCol:
@@ -265,6 +270,42 @@ class _Compiler:
                     .otherwise(F.concat(F.lit("oneOf: "), matches.cast("string"),
                                         F.lit(f" of {n} branches matched")))
             add(_Pred("oneOf", f"{path}.oneOf", ok, msg, sev))
+
+        if "allOf" in node:
+            # draft-07 applicator the reference lacks (its generator
+            # stops at anyOf/oneOf — canner.cc:469-559); one located
+            # predicate per branch, so a violation names WHICH branch
+            for i, sub in enumerate(node["allOf"]):
+                ok = self._node_ok(sub, expr, dtype, f"{path}.allOf[{i}]")
+                add(_Pred("allOf", f"{path}.allOf[{i}]", ok,
+                          f"allOf: branch {i} did not match", sev))
+
+        if "not" in node:
+            ok = self._node_ok(node["not"], expr, dtype, f"{path}.not")
+            add(_Pred("not", f"{path}.not", _negate(ok),
+                      "not: forbidden schema matched", sev))
+
+        if "if" in node:
+            # (if → then) ∧ (¬if → else); absent then/else validate.
+            # The useful root form is the cross-column conditional —
+            # compile_root lifts these keywords over a whole-row struct.
+            cond = self._node_ok(node["if"], expr, dtype, f"{path}.if")
+            then_ok = (self._node_ok(node["then"], expr, dtype,
+                                     f"{path}.then")
+                       if "then" in node else True)
+            else_ok = (self._node_ok(node["else"], expr, dtype,
+                                     f"{path}.else")
+                       if "else" in node else True)
+            ok = _and_all([_or_all([_negate(cond), then_ok]),
+                           _or_all([cond, else_ok])])
+            if isinstance(cond, Column):
+                msg: Column | str = F.when(
+                    cond, F.lit("conditional: 'then' schema failed")) \
+                    .otherwise(F.lit("conditional: 'else' schema failed"))
+            else:
+                msg = ("conditional: 'then' schema failed" if cond
+                       else "conditional: 'else' schema failed")
+            add(_Pred("if", f"{path}.if", ok, msg, sev))
 
         if "enum" in node:
             add(_Pred("enum", f"{path}.enum",
@@ -510,6 +551,36 @@ class _Compiler:
                     violation=violation, message=p.message,
                     order=self._next_order(), column=k))
             self._extensions(k, sub)
+
+        if any(kw in node for kw in ("allOf", "if", "not")):
+            # Root-level applicators = CROSS-COLUMN rules ("if codec is
+            # opus then sr_hz ≤ 24000"): evaluate the sub-schemas over a
+            # whole-row struct, so their `properties` resolve to table
+            # columns through the ordinary struct path (_object_preds).
+            # Pure Column algebra — the conditional compiles into the
+            # same single codegen span as every other row check. NULL
+            # columns inside a branch validate (absent property passes,
+            # draft-07); gate a branch on presence with `required`.
+            if self.schema is None:
+                raise SpecError("$", "root allOf/if/not need a table "
+                                     "schema (cross-column rules)")
+            row = F.struct(*[F.col(f.name) for f in self.schema.fields])
+            sub = {k: node[k] for k in ("allOf", "if", "then", "else",
+                                        "not") if k in node}
+            for p in self.value_preds(sub, row, self.schema, "$"):
+                if p.ok is True:
+                    violation: Column = F.lit(False)
+                elif p.ok is False:
+                    violation = F.lit(True)
+                else:
+                    # residual NULL outcomes (e.g. an ungated duck check
+                    # on a NULL) count as pass — only a definite False
+                    # flags the row
+                    violation = ~F.coalesce(p.ok, F.lit(True))
+                self.suite.row_checks.append(Check(
+                    rule_id=p.rule_id, severity=p.severity,
+                    violation=violation, message=p.message,
+                    order=self._next_order(), column=""))
 
         if node.get("x-closed-world") and self.schema is not None:
             # The reference implements BOTH worlds: canner.cc:741-756

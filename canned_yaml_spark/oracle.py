@@ -224,6 +224,29 @@ WHERE o.clip_id IS NULL OR n.clip_id IS NULL
 """.strip()
 
 
+def sql_conditional_rules() -> str:
+    # restates the draft-07 applicator gate: root if/then cross-column
+    # conditional + per-property allOf branches + not. NULL semantics
+    # mirror the compiler: property checks inside branches pass on NULL
+    # (absent property validates), value rules only fire on non-NULL.
+    return f"""
+WITH {clips_duckdb_cte()}
+SELECT clip_id, part_id, '$.if' AS rule_id, CAST(2 AS INT) AS severity
+FROM clips
+WHERE codec IS NOT NULL AND codec IN ('opus', 'mp3')
+  AND sr_hz IS NOT NULL AND sr_hz > 22050
+UNION ALL
+SELECT clip_id, part_id, 'properties.sr_hz.allOf[0]', 2 FROM clips
+WHERE sr_hz IS NOT NULL AND sr_hz < 8000
+UNION ALL
+SELECT clip_id, part_id, 'properties.sr_hz.allOf[1]', 2 FROM clips
+WHERE sr_hz IS NOT NULL AND sr_hz > 48000
+UNION ALL
+SELECT clip_id, part_id, 'properties.codec.not', 2 FROM clips
+WHERE codec = 'vorbis'
+""".strip()
+
+
 def sql_oneof_violations() -> str:
     # three overlapping branches → exercises the 0-match and >1-match
     # outcomes (canner.cc:540-559)

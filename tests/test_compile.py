@@ -284,3 +284,91 @@ def test_closed_world_flags_undeclared_columns(spark):
         "clip_id": {"type": "string"}}}, df.schema)
     assert not any(c.rule_id.startswith("closed-world")
                    for c in suite_open.row_checks)
+
+
+# ------------------------------------------- draft-07 applicators (r5)
+def test_allof_per_branch_rule_ids(spark):
+    # each allOf branch compiles to its OWN located predicate, so a
+    # violation names which branch failed (the reference's generator
+    # stops at anyOf/oneOf — canner.cc:469-559)
+    sch = _schema(T.StructField("v", T.IntegerType()))
+    spec = {"type": "object", "properties": {"v": {
+        "allOf": [{"minimum": 10}, {"maximum": 20}]}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("lo", 0, 5), ("ok", 0, 15), ("hi", 0, 25), ("nul", 0, None)])
+    assert v == {("lo", "properties.v.allOf[0]"),
+                 ("hi", "properties.v.allOf[1]")}
+
+
+def test_not_inverts_subschema(spark):
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {
+        "not": {"enum": ["banned", "worse"]}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "fine"), ("b", 0, "banned"), ("c", 0, "worse"),
+        ("n", 0, None)])
+    # NULL: enum-match is NULL -> negation stays NULL -> pass (absent
+    # property validates; presence is `required`'s job)
+    assert v == {("b", "properties.v.not"), ("c", "properties.v.not")}
+
+
+def test_root_if_then_else_cross_column(spark):
+    # the load-bearing root form: a CROSS-COLUMN conditional evaluated
+    # over a whole-row struct so branch `properties` bind table columns
+    sch = _schema(T.StructField("codec", T.StringType()),
+                  T.StructField("sr_hz", T.IntegerType()))
+    spec = {"type": "object",
+            "if": {"properties": {"codec": {"enum": ["opus"]}},
+                   "required": ["codec"]},
+            "then": {"properties": {"sr_hz": {"maximum": 22050}}},
+            "else": {"properties": {"sr_hz": {"minimum": 8000}}}}
+    v, suite = _viols(spark, spec, sch, [
+        ("opus_hi", 0, "opus", 48000),   # cond true, then fails
+        ("opus_ok", 0, "opus", 16000),   # cond true, then passes
+        ("flac_lo", 0, "flac", 3000),    # cond false, else fails
+        ("flac_ok", 0, "flac", 16000),   # cond false, else passes
+        ("null_lo", 0, None, 3000),      # required gates cond -> else arm
+    ])
+    assert v == {("opus_hi", "$.if"), ("flac_lo", "$.if"),
+                 ("null_lo", "$.if")}
+    # the violation message names the branch that actually failed
+    from canned_yaml_spark.runner import row_violations
+    df = spark.createDataFrame(
+        [("opus_hi", 0, "opus", 48000), ("flac_lo", 0, "flac", 3000)], sch)
+    msgs = {r.clip_id: r.message for r in row_violations(df, suite)
+            .collect()}
+    assert "then" in msgs["opus_hi"] and "else" in msgs["flac_lo"]
+
+
+def test_root_if_without_else_passes_nonmatching(spark):
+    sch = _schema(T.StructField("codec", T.StringType()),
+                  T.StructField("sr_hz", T.IntegerType()))
+    spec = {"type": "object",
+            "if": {"properties": {"codec": {"enum": ["opus"]}},
+                   "required": ["codec"]},
+            "then": {"properties": {"sr_hz": {"maximum": 22050}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("flac_any", 0, "flac", 96000), ("opus_hi", 0, "opus", 48000)])
+    assert v == {("opus_hi", "$.if")}
+
+
+def test_root_applicators_need_schema(spark):
+    from canned_yaml_spark.errors import SpecError
+    with pytest.raises(SpecError):
+        compile_spec({"type": "object",
+                      "if": {"properties": {"a": {"minimum": 1}}},
+                      "then": {"properties": {"b": {"minimum": 2}}}})
+
+
+def test_root_allof_and_not(spark):
+    sch = _schema(T.StructField("sr_hz", T.IntegerType()),
+                  T.StructField("codec", T.StringType()))
+    spec = {"type": "object",
+            "allOf": [{"properties": {"sr_hz": {"minimum": 8000}}}],
+            "not": {"properties": {"codec": {"enum": ["vorbis"]}},
+                    "required": ["codec"]}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, 3000, "flac"),      # allOf[0] fails
+        ("b", 0, 16000, "vorbis"),   # not fails
+        ("c", 0, 16000, "flac")])
+    assert v == {("a", "$.allOf[0]"), ("b", "$.not")}

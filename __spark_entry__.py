@@ -131,6 +131,63 @@ def _q_conditional_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_violations(clips, suite).select(*_VCOLS)
 
 
+def _q_draft07_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the draft-07 completion batch over the nested corpus: uniqueItems
+    # (rule-0 duplicate injection), not∘contains∘const (rule-2 BAD42),
+    # contains+type-duck (rule-4 no-integer pair), min/maxProperties +
+    # propertyNames on the attrs map (k%11 empty / k%7 four keys /
+    # k%5 'Bad Key!'), and a root if(const)→then(multipleOf) condition
+    # on the string-staged val_num. Same single codegen span as every
+    # other row check — the object keywords are size/forall algebra,
+    # never an explode.
+    spec = {"type": "object",
+            "properties": {
+                "tags": {"uniqueItems": True,
+                         "not": {"contains": {"const": "BAD42"}}},
+                "pair": {"contains": {"type": "integer"}},
+                "attrs": {"minProperties": 1, "maxProperties": 3,
+                          "propertyNames": {"pattern": "^[a-z_]+$"}}},
+            "if": {"properties": {"val_bool": {"const": "yes"}},
+                   "required": ["val_bool"]},
+            "then": {"properties": {"val_num": {"multipleOf": 7}}}}
+    t = derive.clips_nested_df(spark, sf_dir)
+    suite = compile_spec(spec, t.schema)
+    return row_violations(t, suite).select(*_VCOLS)
+
+
+def _q_pattern_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # patternProperties + additionalProperties, both binding modes:
+    # map-level = RUNTIME key matching (one forall over map_entries —
+    # no explode); root-level = COMPILE-TIME column-name matching (the
+    # plan carries only per-column value checks, no runtime regex over
+    # names). Fires: attrs 'd'→digits slot (k%7), attrs 'Bad Key!'
+    # ban (k%5), n_tags=0 injection (rule 1).
+    spec = {"type": "object",
+            "properties": {
+                "attrs": {
+                    "properties": {"a": {}, "b": {}, "c": {}},
+                    "patternProperties": {
+                        "^[ad]$": {"pattern": "^[a-z]+$"}},
+                    "additionalProperties": False}},
+            "patternProperties": {"^n_": {"minimum": 1}}}
+    t = derive.clips_nested_df(spark, sf_dir)
+    suite = compile_spec(spec, t.schema)
+    return row_violations(t, suite).select(*_VCOLS)
+
+
+def _q_dependent_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dependentRequired (array form) + schema-form dependencies: codec
+    # present ⇒ transcript required (rule-6 NULL injection fires);
+    # transcript present ⇒ dur_ms ≥ 1 (rule-1 zero-duration fires).
+    spec = {"type": "object",
+            "dependentRequired": {"codec": ["transcript"]},
+            "dependencies": {"transcript": {
+                "properties": {"dur_ms": {"minimum": 1}}}}}
+    clips = derive.clips_df(spark, sf_dir)
+    suite = compile_spec(spec, clips.schema)
+    return row_violations(clips, suite).select(*_VCOLS)
+
+
 def _q_oneof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     spec = {"type": "object", "properties": {"dur_ms": {"oneOf": [
@@ -1739,6 +1796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_median": _q_codec_median,
         "closed_world": _q_closed_world,
         "conditional_rules": _q_conditional_rules,
+        "draft07_completion": _q_draft07_completion,
+        "dependent_rules": _q_dependent_rules,
+        "pattern_props": _q_pattern_props,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -1833,6 +1893,9 @@ def oracle_sql() -> dict[str, str]:
         "codec_median": oracle.sql_codec_median(),
         "closed_world": oracle.sql_closed_world(),
         "conditional_rules": oracle.sql_conditional_rules(),
+        "draft07_completion": oracle.sql_draft07_completion(),
+        "dependent_rules": oracle.sql_dependent_rules(),
+        "pattern_props": oracle.sql_pattern_props(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),

@@ -22,6 +22,8 @@ reference's redundant-guard elision (canner.cc:613-623,726-731).
 
 from __future__ import annotations
 
+import re as _re
+
 from functools import reduce
 from operator import and_, or_
 from typing import Any, Union
@@ -50,6 +52,9 @@ _KW_ORDER = {
     "minItems": 8, "maxItems": 9, "items": 10,
     "anyOf": 11, "oneOf": 12, "enum": 13,
     "allOf": 14, "not": 15, "if": 16,
+    # draft-07 completion keywords (reference lacks all of these)
+    "multipleOf": 3, "const": 13, "uniqueItems": 10, "contains": 10,
+    "minProperties": 7, "maxProperties": 7, "propertyNames": 7,
 }
 
 _ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
@@ -217,7 +222,9 @@ class _Compiler:
                       if scalar_ok else False,
                       f"length > maxLength {node['maxLength']}", sev))
 
-        if "properties" in node or "required" in node:
+        if any(kw in node for kw in ("properties", "required",
+                                     "patternProperties",
+                                     "additionalProperties")):
             preds.extend(self._object_preds(node, expr, dtype, path, sev))
 
         is_arr = _dt(dtype, T.ArrayType) or dtype is None
@@ -313,6 +320,107 @@ class _Compiler:
                       f"value not in enum {node['enum']!r} "
                       f"(reference: canner.cc:564-605)", sev))
 
+        if "const" in node:
+            # draft-07 const ≡ single-element enum (same deep equality)
+            add(_Pred("const", f"{path}.const",
+                      self._enum_ok([node["const"]], expr, dtype, path),
+                      f"value != const {node['const']!r}", sev))
+
+        if "multipleOf" in node:
+            d = node["multipleOf"]
+            if not isinstance(d, (int, float)) or isinstance(d, bool) \
+                    or d <= 0:
+                raise SpecError(f"{path}.multipleOf",
+                                "multipleOf must be a positive number")
+            if num is None:
+                ok = False
+            elif isinstance(d, int):
+                ok = num % F.lit(d) == 0
+            else:
+                # float divisor: integrality of the quotient, with an
+                # epsilon for binary representation (0.3 / 0.1)
+                q = num / F.lit(float(d))
+                ok = F.abs(q - F.round(q)) < F.lit(1e-9)
+            add(_Pred("multipleOf", f"{path}.multipleOf", ok,
+                      f"value is not a multiple of {d}", sev))
+
+        if node.get("uniqueItems"):
+            add(_Pred("uniqueItems", f"{path}.uniqueItems",
+                      (F.size(F.array_distinct(expr)) == F.size(expr))
+                      if is_arr else False,
+                      "array elements are not unique", sev))
+
+        if "contains" in node:
+            sub = node["contains"]
+            if not is_arr:
+                ok = False
+            else:
+                elem_t = (dtype.elementType if _dt(dtype, T.ArrayType)
+                          else None)
+
+                def _contains_elem_ok(x: Column) -> Column:
+                    r = self._node_ok(sub, x, elem_t, f"{path}.contains")
+                    return F.lit(r) if isinstance(r, bool) else r
+
+                # 3-valued exists: any TRUE → pass; no TRUE and a NULL
+                # outcome → NULL → pass at the gated top level (an
+                # unjudgeable element never convicts the row)
+                ok = F.exists(expr, _contains_elem_ok)
+            add(_Pred("contains", f"{path}.contains", ok,
+                      "no array element matches the contains schema", sev))
+
+        if "minProperties" in node or "maxProperties" in node:
+            nprops: Column | None
+            if _dt(dtype, T.MapType):
+                nprops = F.size(expr)
+            elif _dt(dtype, T.StructType):
+                # struct: a field counts as present when non-NULL (the
+                # same column↔key convention as required/closed-world)
+                nprops = reduce(
+                    lambda a, b: a + b,
+                    [expr.getField(f.name).isNotNull().cast("int")
+                     for f in dtype.fields], F.lit(0))
+            else:
+                self.warn(f"{path}: min/maxProperties on non-object value; "
+                          f"statically violated")
+                nprops = None
+            if "minProperties" in node:
+                add(_Pred("minProperties", f"{path}.minProperties",
+                          False if nprops is None
+                          else nprops >= F.lit(node["minProperties"]),
+                          f"fewer than minProperties "
+                          f"{node['minProperties']} keys", sev))
+            if "maxProperties" in node:
+                add(_Pred("maxProperties", f"{path}.maxProperties",
+                          False if nprops is None
+                          else nprops <= F.lit(node["maxProperties"]),
+                          f"more than maxProperties "
+                          f"{node['maxProperties']} keys", sev))
+
+        if "propertyNames" in node:
+            sub = node["propertyNames"]
+            if _dt(dtype, T.MapType):
+
+                def _key_ok(k: Column) -> Column:
+                    r = self._node_ok(sub, k, dtype.keyType,
+                                      f"{path}.propertyNames")
+                    return F.lit(r) if isinstance(r, bool) else r
+
+                ok = F.forall(F.map_keys(expr), _key_ok)
+            elif _dt(dtype, T.StructType):
+                # field names are compile-time constants; Catalyst
+                # constant-folds each literal check to true/false
+                ok = _and_all([
+                    self._node_ok(sub, F.lit(f.name), T.StringType(),
+                                  f"{path}.propertyNames")
+                    for f in dtype.fields])
+            else:
+                self.warn(f"{path}.propertyNames on non-object value; "
+                          f"statically violated")
+                ok = False
+            add(_Pred("propertyNames", f"{path}.propertyNames", ok,
+                      "a key violates the propertyNames schema", sev))
+
         preds.sort(key=lambda p: _KW_ORDER.get(p.keyword, 99))
         return preds
 
@@ -354,6 +462,46 @@ class _Compiler:
                         (child.isNull() | p.ok)
                     preds.append(_Pred("properties", p.rule_id, gated,
                                        p.message, p.severity))
+            # patternProperties / additionalProperties on a struct:
+            # field names are compile-time constants, so pattern
+            # matching happens at compile time and each covered field
+            # gets its own located predicates (no runtime regex).
+            pat_rxs = list(node.get("patternProperties", {}))
+            for rx, sub in node.get("patternProperties", {}).items():
+                for k, ftype in fields.items():
+                    if not _re.search(rx, k):
+                        continue
+                    child = expr.getField(k)
+                    for p in self.value_preds(
+                            sub, child, ftype,
+                            f"{path}.patternProperties.{rx}.{k}"):
+                        gated = p.ok if isinstance(p.ok, bool) else \
+                            (child.isNull() | p.ok)
+                        preds.append(_Pred("patternProperties", p.rule_id,
+                                           gated, p.message, p.severity))
+            if "additionalProperties" in node:
+                ap = node["additionalProperties"]
+                declared = set(node.get("properties", {}))
+                extras = [k for k in fields if k not in declared
+                          and not any(_re.search(rx, k) for rx in pat_rxs)]
+                for k in extras:
+                    child = expr.getField(k)
+                    if ap is False:
+                        # present ⇔ non-NULL, the engine-wide convention
+                        preds.append(_Pred(
+                            "additionalProperties",
+                            f"{path}.additionalProperties.{k}",
+                            child.isNull(),
+                            f"undeclared key '{k}' present", sev))
+                    elif isinstance(ap, dict):
+                        for p in self.value_preds(
+                                ap, child, fields[k],
+                                f"{path}.additionalProperties.{k}"):
+                            gated = p.ok if isinstance(p.ok, bool) else \
+                                (child.isNull() | p.ok)
+                            preds.append(_Pred("additionalProperties",
+                                               p.rule_id, gated,
+                                               p.message, p.severity))
         elif _dt(dtype, T.MapType):
             for k in node.get("required", []):
                 preds.append(_Pred("required", f"{path}.required.{k}",
@@ -367,6 +515,68 @@ class _Compiler:
                         (child.isNull() | p.ok)
                     preds.append(_Pred("properties", p.rule_id, gated,
                                        p.message, p.severity))
+            # patternProperties / additionalProperties on a map: keys
+            # are runtime values — one forall over map_entries per
+            # rule, the same no-explode algebra as uniform items.
+            # A NULL entry VALUE validates (absent-property semantics;
+            # key presence is `required`'s job), matching the gated
+            # struct path above.
+            pat_rxs = list(node.get("patternProperties", {}))
+            vt = dtype.valueType
+            def _pat_pred(rx: str, sub: dict) -> _Pred:
+                # factory so each forall lambda closes over its own
+                # (rx, sub) — PySpark HOF lambdas must take exactly the
+                # element argument, no defaulted closure params
+                rpath = f"{path}.patternProperties.{rx}"
+
+                def _entry_ok(e: Column) -> Column:
+                    v = e.getField("value")
+                    r = self._node_ok(sub, v, vt, rpath)
+                    rr = F.lit(r) if isinstance(r, bool) else r
+                    return (~e.getField("key").rlike(rx)
+                            | v.isNull() | rr)
+
+                return _Pred(
+                    "patternProperties", rpath,
+                    F.forall(F.map_entries(expr), _entry_ok),
+                    f"a value under a key matching /{rx}/ violates its "
+                    f"schema", sev)
+
+            for rx, sub in node.get("patternProperties", {}).items():
+                preds.append(_pat_pred(rx, sub))
+            if "additionalProperties" in node:
+                ap = node["additionalProperties"]
+                declared = sorted(node.get("properties", {}))
+
+                def _covered(k: Column) -> Column:
+                    c = (k.isin(declared) if declared
+                         else F.lit(False))
+                    for rx in pat_rxs:
+                        c = c | k.rlike(rx)
+                    return c
+
+                if ap is False:
+                    preds.append(_Pred(
+                        "additionalProperties",
+                        f"{path}.additionalProperties",
+                        F.forall(F.map_keys(expr), _covered),
+                        "an undeclared key is present "
+                        "(additionalProperties: false)", sev))
+                elif isinstance(ap, dict):
+                    apath = f"{path}.additionalProperties"
+
+                    def _extra_entry_ok(e: Column) -> Column:
+                        v = e.getField("value")
+                        r = self._node_ok(ap, v, vt, apath)
+                        rr = F.lit(r) if isinstance(r, bool) else r
+                        return (_covered(e.getField("key"))
+                                | v.isNull() | rr)
+
+                    preds.append(_Pred(
+                        "additionalProperties", apath,
+                        F.forall(F.map_entries(expr), _extra_entry_ok),
+                        "a value under an undeclared key violates the "
+                        "additionalProperties schema", sev))
         else:
             # 'object' keywords on a non-object value: the reference
             # guards with is_object_type (canner.cc:726-731) and the
@@ -552,6 +762,65 @@ class _Compiler:
                     order=self._next_order(), column=k))
             self._extensions(k, sub)
 
+        root_pat_rxs = list(node.get("patternProperties", {}))
+        if root_pat_rxs or "additionalProperties" in node:
+            # Root patternProperties / additionalProperties: table
+            # columns ARE the properties, and column names are static —
+            # pattern matching happens at compile time, so the runtime
+            # plan carries only the per-column value checks (no regex
+            # over names, no schema introspection at runtime).
+            if self.schema is None:
+                raise SpecError("$", "root patternProperties/"
+                                     "additionalProperties need a table "
+                                     "schema")
+
+        def _root_value_checks(k: str, sub: dict, rpath: str) -> None:
+            col = F.col(k)
+            for p in self.value_preds(sub, col, fields[k], rpath):
+                if p.ok is True:
+                    violation: Column = F.lit(False)
+                elif p.ok is False:
+                    violation = col.isNotNull()
+                else:
+                    violation = col.isNotNull() & ~p.ok
+                self.suite.row_checks.append(Check(
+                    rule_id=p.rule_id, severity=p.severity,
+                    violation=violation, message=p.message,
+                    order=self._next_order(), column=k,
+                    static_ok=(p.ok is True)))
+
+        for rx, sub in node.get("patternProperties", {}).items():
+            hit = False
+            for k in fields:
+                if _re.search(rx, k):
+                    hit = True
+                    _root_value_checks(k, sub,
+                                       f"patternProperties.{rx}.{k}")
+            if not hit:
+                self.warn(f"$.patternProperties.{rx}: no column matches; "
+                          f"rule is dead at this schema")
+
+        if "additionalProperties" in node:
+            ap = node["additionalProperties"]
+            declared = set(node.get("properties", {}))
+            extras = [k for k in fields if k not in declared
+                      and not any(_re.search(rx, k)
+                                  for rx in root_pat_rxs)]
+            for k in extras:
+                if ap is False:
+                    # the spec-standard closed world (ERROR), alongside
+                    # the reference-parity x-closed-world WARN variant
+                    # (text.cpp:178-181)
+                    self.suite.row_checks.append(Check(
+                        rule_id=f"additionalProperties.{k}",
+                        severity=Severity.ERROR,
+                        violation=F.col(k).isNotNull(),
+                        message=F.lit(f"undeclared column '{k}' present "
+                                      f"(additionalProperties: false)"),
+                        order=self._next_order(), column=k))
+                elif isinstance(ap, dict):
+                    _root_value_checks(k, ap, f"additionalProperties.{k}")
+
         if any(kw in node for kw in ("allOf", "if", "not")):
             # Root-level applicators = CROSS-COLUMN rules ("if codec is
             # opus then sr_hz ≤ 24000"): evaluate the sub-schemas over a
@@ -581,6 +850,50 @@ class _Compiler:
                     rule_id=p.rule_id, severity=p.severity,
                     violation=violation, message=p.message,
                     order=self._next_order(), column=""))
+
+        deps_node: dict = {}
+        deps_node.update(node.get("dependencies", {}))
+        deps_node.update(node.get("dependentRequired", {}))
+        for col, deps in deps_node.items():
+            # draft-07 dependentRequired / dependencies: presence of one
+            # column obliges others (column present ⇔ non-NULL, the
+            # engine-wide convention). Array form compiles to one
+            # located check per (col, dep) pair; the schema form is
+            # sugar for a root conditional and reuses the struct lift.
+            if self.schema is not None and col not in fields:
+                self.warn(f"$.dependentRequired.{col}: column absent from "
+                          f"table; skipped (open-world)")
+                continue
+            if isinstance(deps, dict):
+                if self.schema is None:
+                    raise SpecError(f"$.dependencies.{col}",
+                                    "schema-form dependencies need a table "
+                                    "schema (cross-column rule)")
+                row = F.struct(*[F.col(f.name) for f in self.schema.fields])
+                lifted = {"if": {"required": [col]}, "then": deps}
+                for p in self.value_preds(lifted, row, self.schema,
+                                          f"$.dependencies.{col}"):
+                    viol = (F.lit(not p.ok) if isinstance(p.ok, bool)
+                            else ~F.coalesce(p.ok, F.lit(True)))
+                    self.suite.row_checks.append(Check(
+                        rule_id=p.rule_id, severity=p.severity,
+                        violation=viol, message=p.message,
+                        order=self._next_order(), column=""))
+                continue
+            missing = [d for d in deps
+                       if self.schema is not None and d not in fields]
+            if missing:
+                raise SpecError(f"$.dependentRequired.{col}",
+                                f"dependent columns {missing} absent from "
+                                f"the table schema {sorted(fields)}")
+            for dep in deps:
+                self.suite.row_checks.append(Check(
+                    rule_id=f"$.dependentRequired.{col}.{dep}",
+                    severity=Severity.ERROR,
+                    violation=F.col(col).isNotNull() & F.col(dep).isNull(),
+                    message=F.lit(f"column '{dep}' is required when "
+                                  f"'{col}' is present"),
+                    order=self._next_order(), column=dep))
 
         if node.get("x-closed-world") and self.schema is not None:
             # The reference implements BOTH worlds: canner.cc:741-756

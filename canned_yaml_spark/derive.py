@@ -174,10 +174,12 @@ def clips_nested_select(dialect: str, orders_rel: str = "orders") -> str:
         fmt, idiv, arr = "format_string", "div", "array"
         flt = "filter"
         meta = "named_struct('lang', t0, 'n', n_tags)"
+        mapfn = "map_from_arrays"
     elif dialect == "duckdb":
         fmt, idiv, arr = "printf", "//", "list_value"
         flt = "list_filter"
         meta = "struct_pack(lang := t0, n := n_tags)"
+        mapfn = "map"
     else:  # pragma: no cover
         raise ValueError(dialect)
 
@@ -224,7 +226,15 @@ SELECT clip_id, part_id,
   CASE WHEN inject AND rule_k = 6 THEN 'abc' ELSE num_s END AS val_num,
   CASE WHEN inject AND rule_k = 7 THEN 'yes' ELSE bool_s END AS val_bool,
   CAST(n_tags0 AS INT) AS n_tags,
-  {meta} AS meta
+  {meta} AS meta,
+  CASE
+    WHEN k % 11 = 0 THEN {mapfn}({flt}({arr}('a'), x -> 1 = 0),
+                                 {flt}({arr}(t0), x -> 1 = 0))
+    WHEN k % 7 = 0 THEN {mapfn}({arr}('a', 'b', 'c', 'd'),
+                                {arr}(t0, t1, t2, num_s))
+    WHEN k % 5 = 0 THEN {mapfn}({arr}('a', 'Bad Key!'), {arr}(t0, t1))
+    ELSE {mapfn}({arr}('a', 'b'), {arr}(t0, t1))
+  END AS attrs
 FROM elems
 """.strip()
 

@@ -247,6 +247,95 @@ WHERE codec = 'vorbis'
 """.strip()
 
 
+def sql_draft07_completion() -> str:
+    # restates the draft-07 completion-batch gate over the nested
+    # corpus: uniqueItems / not-contains-const / contains-type on
+    # arrays, min/maxProperties + propertyNames on the attrs map, and
+    # a root if(const)→then(multipleOf) cross-column conditional.
+    # Spark's array_distinct keeps ONE null (null==null is a dup);
+    # DuckDB's list_distinct drops nulls entirely — the +has_null term
+    # restates the engine's semantics exactly.
+    int_rx = "^\\s*[+-]?[0-9]+\\s*$"
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.tags.uniqueItems",
+    "tags IS NOT NULL AND NOT (len(list_distinct(tags)) "
+    "+ CASE WHEN len(list_filter(tags, x -> x IS NULL)) > 0 "
+    "THEN 1 ELSE 0 END = len(tags))")}
+UNION ALL
+{_nested_select(
+    "properties.tags.not",
+    "tags IS NOT NULL AND len(list_filter(tags, x -> x = 'BAD42')) > 0")}
+UNION ALL
+{_nested_select(
+    "properties.pair.contains",
+    "pair IS NOT NULL AND NOT ("
+    f"len(list_filter(pair, x -> x IS NOT NULL "
+    f"AND regexp_matches(x, '{int_rx}'))) > 0 "
+    "OR len(list_filter(pair, x -> x IS NULL)) > 0)")}
+UNION ALL
+{_nested_select("properties.attrs.minProperties",
+                "attrs IS NOT NULL AND NOT (cardinality(attrs) >= 1)")}
+UNION ALL
+{_nested_select("properties.attrs.maxProperties",
+                "attrs IS NOT NULL AND NOT (cardinality(attrs) <= 3)")}
+UNION ALL
+{_nested_select(
+    "properties.attrs.propertyNames",
+    "attrs IS NOT NULL AND len(list_filter(map_keys(attrs), "
+    "k -> NOT regexp_matches(k, '^[a-z_]+$'))) > 0")}
+UNION ALL
+{_nested_select(
+    "$.if",
+    "val_bool IS NOT NULL AND val_bool = 'yes' "
+    "AND NOT (TRY_CAST(val_num AS DOUBLE) % 7 = 0)")}
+""".strip()
+
+
+def sql_pattern_props() -> str:
+    # restates the patternProperties / additionalProperties gate:
+    # map-level runtime key matching on attrs (values under keys
+    # matching ^[ad]$ must be lowercase words → the k%7 'd'→digits
+    # slot fires; keys outside {a,b,c}∪/^[ad]$/ are banned → the k%5
+    # 'Bad Key!' slot fires) and root compile-time column matching
+    # (^n_ binds n_tags; the rule-1 zero fires).
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.attrs.patternProperties.^[ad]$",
+    "attrs IS NOT NULL AND len(list_filter(map_entries(attrs), "
+    "e -> regexp_matches(e.key, '^[ad]$') AND e.value IS NOT NULL "
+    "AND NOT regexp_matches(e.value, '^[a-z]+$'))) > 0")}
+UNION ALL
+{_nested_select(
+    "properties.attrs.additionalProperties",
+    "attrs IS NOT NULL AND len(list_filter(map_keys(attrs), "
+    "k -> k NOT IN ('a', 'b', 'c') "
+    "AND NOT regexp_matches(k, '^[ad]$'))) > 0")}
+UNION ALL
+{_nested_select("patternProperties.^n_.n_tags.minimum",
+                "n_tags IS NOT NULL AND NOT (n_tags >= 1)")}
+""".strip()
+
+
+def sql_dependent_rules() -> str:
+    # dependentRequired: presence of codec obliges transcript (fires on
+    # the rule-6 NULL-transcript injection); schema-form dependencies
+    # compile to a root conditional — transcript present ⇒ dur_ms ≥ 1
+    # (fires on the rule-1 zero-duration injection).
+    return f"""
+WITH {clips_duckdb_cte()}
+SELECT clip_id, part_id,
+       '$.dependentRequired.codec.transcript' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips WHERE codec IS NOT NULL AND transcript IS NULL
+UNION ALL
+SELECT clip_id, part_id, '$.dependencies.transcript.if', 2
+FROM clips WHERE transcript IS NOT NULL AND NOT (dur_ms >= 1)
+""".strip()
+
+
 def sql_oneof_violations() -> str:
     # three overlapping branches → exercises the 0-match and >1-match
     # outcomes (canner.cc:540-559)

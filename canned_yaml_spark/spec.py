@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 from typing import Any
 
 from canned_yaml_spark.errors import SpecError
@@ -168,13 +169,75 @@ def validate_spec(node: Any, path: str) -> None:
         else:
             raise SpecError(f"{path}.items", "must be a map or a list of maps")
 
-    for comb in ("anyOf", "oneOf"):
+    for comb in ("anyOf", "oneOf", "allOf"):
         if comb in node:
             subs = node[comb]
             if not isinstance(subs, list) or not subs:
                 raise SpecError(f"{path}.{comb}", "must be a non-empty list")
             for i, sub in enumerate(subs):
                 validate_spec(sub, f"{path}.{comb}[{i}]")
+
+    for kw in ("not", "if", "then", "else", "contains", "propertyNames"):
+        if kw in node:
+            if not isinstance(node[kw], dict):
+                raise SpecError(f"{path}.{kw}", "must be a schema map")
+            validate_spec(node[kw], f"{path}.{kw}")
+
+    if "multipleOf" in node:
+        v = node["multipleOf"]
+        if not _is_num(v) or v <= 0:
+            raise SpecError(f"{path}.multipleOf",
+                            f"must be a positive number, got {v!r}")
+
+    if "uniqueItems" in node and not isinstance(node["uniqueItems"], bool):
+        raise SpecError(f"{path}.uniqueItems", "must be a boolean")
+
+    for kw in ("minProperties", "maxProperties"):
+        if kw in node:
+            v = node[kw]
+            if not _is_int(v) or v < 0:
+                raise SpecError(f"{path}.{kw}",
+                                f"must be a non-negative integer, got {v!r}")
+    if ("minProperties" in node and "maxProperties" in node
+            and node["minProperties"] > node["maxProperties"]):
+        raise SpecError(f"{path}.minProperties",
+                        f"minProperties ({node['minProperties']}) > "
+                        f"maxProperties ({node['maxProperties']})")
+
+    if "patternProperties" in node:
+        pp = node["patternProperties"]
+        if not isinstance(pp, dict):
+            raise SpecError(f"{path}.patternProperties",
+                            "must be a map of regex -> schema")
+        for rx, sub in pp.items():
+            try:
+                _re.compile(rx)
+            except _re.error as e:
+                raise SpecError(f"{path}.patternProperties.{rx}",
+                                f"invalid regex: {e}") from None
+            validate_spec(sub, f"{path}.patternProperties.{rx}")
+
+    if "additionalProperties" in node:
+        ap = node["additionalProperties"]
+        if isinstance(ap, dict):
+            validate_spec(ap, f"{path}.additionalProperties")
+        elif not isinstance(ap, bool):
+            raise SpecError(f"{path}.additionalProperties",
+                            "must be a boolean or a schema map")
+
+    for kw in ("dependentRequired", "dependencies"):
+        if kw in node:
+            deps = node[kw]
+            if not isinstance(deps, dict):
+                raise SpecError(f"{path}.{kw}", "must be a map")
+            for col, dv in deps.items():
+                if isinstance(dv, dict):
+                    validate_spec(dv, f"{path}.{kw}.{col}")
+                elif not (isinstance(dv, list)
+                          and all(isinstance(d, str) for d in dv)):
+                    raise SpecError(
+                        f"{path}.{kw}.{col}",
+                        "must be a list of column names or a schema map")
 
     if "$ref" in node:
         ref = node["$ref"]

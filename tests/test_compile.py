@@ -372,3 +372,246 @@ def test_root_allof_and_not(spark):
         ("b", 0, 16000, "vorbis"),   # not fails
         ("c", 0, 16000, "flac")])
     assert v == {("a", "$.allOf[0]"), ("b", "$.not")}
+
+
+# --------------------------------------- draft-07 completion batch (r5)
+def test_const_deep_equality(spark):
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object", "properties": {"v": {"const": "fixed"}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "fixed"), ("b", 0, "other"), ("n", 0, None)])
+    assert v == {("b", "properties.v.const")}
+
+
+def test_multiple_of_int_and_float(spark):
+    sch = _schema(T.StructField("i", T.IntegerType()),
+                  T.StructField("f", T.DoubleType()))
+    spec = {"type": "object", "properties": {
+        "i": {"multipleOf": 100},
+        "f": {"multipleOf": 0.1}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, 400, 0.3),    # both multiples (0.3/0.1 needs the eps)
+        ("b", 0, 450, 0.35),   # both violate
+        ("n", 0, None, None)])
+    assert v == {("b", "properties.i.multipleOf"),
+                 ("b", "properties.f.multipleOf")}
+
+
+def test_multiple_of_rejects_nonpositive():
+    from canned_yaml_spark.errors import SpecError
+    sch = _schema(T.StructField("i", T.IntegerType()))
+    with pytest.raises(SpecError):
+        compile_spec({"type": "object",
+                      "properties": {"i": {"multipleOf": 0}}}, sch)
+
+
+def test_unique_items(spark):
+    sch = _schema(T.StructField("tags", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"tags": {"uniqueItems": True}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ["x", "y"]), ("b", 0, ["x", "x"]),
+        ("c", 0, []), ("d", 0, [None, None]),  # null==null counts as dup
+        ("n", 0, None)])
+    assert v == {("b", "properties.tags.uniqueItems"),
+                 ("d", "properties.tags.uniqueItems")}
+
+
+def test_contains_exists_semantics(spark):
+    sch = _schema(T.StructField("xs", T.ArrayType(T.IntegerType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "contains": {"minimum": 100}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, [1, 2, 150]),   # one element matches
+        ("b", 0, [1, 2, 3]),     # none match
+        ("c", 0, []),            # empty: no element matches
+        ("d", 0, [5, None]),     # no TRUE + a NULL outcome -> pass (3VL)
+        ("n", 0, None)])
+    assert v == {("b", "properties.xs.contains"),
+                 ("c", "properties.xs.contains")}
+
+
+def test_min_max_properties_on_map(spark):
+    sch = _schema(T.StructField("m", T.MapType(T.StringType(),
+                                               T.StringType())))
+    spec = {"type": "object", "properties": {"m": {
+        "minProperties": 1, "maxProperties": 3}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, {"k": "v"}),
+        ("b", 0, {}),                                  # too few
+        ("c", 0, {"a": "1", "b": "2", "c": "3", "d": "4"}),  # too many
+        ("n", 0, None)])
+    assert v == {("b", "properties.m.minProperties"),
+                 ("c", "properties.m.maxProperties")}
+
+
+def test_min_properties_on_struct_counts_non_null(spark):
+    # struct: present ⇔ non-NULL, the engine-wide column↔key convention
+    inner = T.StructType([T.StructField("x", T.StringType()),
+                          T.StructField("y", T.StringType())])
+    sch = _schema(T.StructField("s", inner))
+    spec = {"type": "object", "properties": {"s": {"minProperties": 2}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ("1", "2")), ("b", 0, ("1", None)), ("n", 0, None)])
+    assert v == {("b", "properties.s.minProperties")}
+
+
+def test_property_names_pattern(spark):
+    sch = _schema(T.StructField("m", T.MapType(T.StringType(),
+                                               T.StringType())))
+    spec = {"type": "object", "properties": {"m": {
+        "propertyNames": {"pattern": "^[a-z_]+$"}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, {"good_key": "v"}),
+        ("b", 0, {"Bad Key!": "v"}),
+        ("c", 0, {}),               # vacuously true
+        ("n", 0, None)])
+    assert v == {("b", "properties.m.propertyNames")}
+
+
+def test_dependent_required(spark):
+    sch = _schema(T.StructField("codec", T.StringType()),
+                  T.StructField("bitrate", T.IntegerType()))
+    spec = {"type": "object",
+            "dependentRequired": {"codec": ["bitrate"]}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "opus", 64000),
+        ("b", 0, "opus", None),     # codec present, bitrate missing
+        ("c", 0, None, None),       # codec absent: no obligation
+        ("d", 0, None, 64000)])
+    assert v == {("b", "$.dependentRequired.codec.bitrate")}
+
+
+def test_dependent_required_missing_column_raises():
+    from canned_yaml_spark.errors import SpecError
+    sch = _schema(T.StructField("codec", T.StringType()))
+    with pytest.raises(SpecError):
+        compile_spec({"type": "object",
+                      "dependentRequired": {"codec": ["bitrate"]}}, sch)
+
+
+def test_dependencies_schema_form(spark):
+    # schema-form dependencies = sugar for a root if/then conditional
+    sch = _schema(T.StructField("codec", T.StringType()),
+                  T.StructField("sr_hz", T.IntegerType()))
+    spec = {"type": "object",
+            "dependencies": {"codec": {
+                "properties": {"sr_hz": {"minimum": 8000}}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "opus", 16000),
+        ("b", 0, "opus", 3000),     # codec present, sr_hz below floor
+        ("c", 0, None, 3000)])      # codec absent: schema not applied
+    assert v == {("b", "$.dependencies.codec.if")}
+
+
+# -------------------- patternProperties / additionalProperties (r5)
+def test_root_pattern_properties_compile_time(spark):
+    # column names are static → the rule binds matching columns at
+    # compile time; the plan carries only per-column value checks
+    sch = _schema(T.StructField("n_a", T.IntegerType()),
+                  T.StructField("n_b", T.IntegerType()),
+                  T.StructField("other", T.IntegerType()))
+    spec = {"type": "object",
+            "patternProperties": {"^n_": {"minimum": 1}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, 5, 0, -7),    # n_b=0 fires; other exempt
+        ("b", 0, 0, 2, 1),     # n_a=0 fires
+        ("n", 0, None, None, None)])
+    assert v == {("a", "patternProperties.^n_.n_b.minimum"),
+                 ("b", "patternProperties.^n_.n_a.minimum")}
+
+
+def test_root_additional_properties_false_is_error_closed_world(spark):
+    sch = _schema(T.StructField("extra", T.StringType()))
+    spec = {"type": "object",
+            "properties": {"clip_id": {"type": "string"},
+                           "part_id": {"type": "integer"}},
+            "additionalProperties": False}
+    suite = compile_spec(spec, sch)
+    from canned_yaml_spark.checks import Severity
+    ap = [c for c in suite.row_checks
+          if c.rule_id == "additionalProperties.extra"]
+    assert len(ap) == 1 and ap[0].severity == Severity.ERROR
+    v, _ = _viols(spark, spec, sch, [("a", 0, "x"), ("b", 0, None)])
+    assert v == {("a", "additionalProperties.extra")}
+
+
+def test_root_additional_properties_schema_and_pattern_exemption(spark):
+    # extras = not declared AND not matched by any patternProperties
+    sch = _schema(T.StructField("n_x", T.IntegerType()),
+                  T.StructField("free", T.IntegerType()))
+    spec = {"type": "object",
+            "properties": {"clip_id": {}, "part_id": {}},
+            "patternProperties": {"^n_": {}},
+            "additionalProperties": {"maximum": 10}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, 99, 5),     # n_x exempt from the ap schema
+        ("b", 0, 1, 99)])    # free violates maximum
+    assert v == {("b", "additionalProperties.free.maximum")}
+
+
+def test_map_pattern_properties_runtime_keys(spark):
+    sch = _schema(T.StructField("m", T.MapType(T.StringType(),
+                                               T.StringType())))
+    spec = {"type": "object", "properties": {"m": {
+        "patternProperties": {"^v": {"pattern": "^[0-9]+$"}}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, {"v1": "42", "other": "text"}),   # matched key ok
+        ("b", 0, {"v1": "oops"}),                  # matched key violates
+        ("c", 0, {"other": "oops"}),               # unmatched key exempt
+        ("d", 0, {"v2": None}),                    # NULL value validates
+        ("n", 0, None)])
+    assert v == {("b", "properties.m.patternProperties.^v")}
+
+
+def test_map_additional_properties_false(spark):
+    sch = _schema(T.StructField("m", T.MapType(T.StringType(),
+                                               T.StringType())))
+    spec = {"type": "object", "properties": {"m": {
+        "properties": {"a": {}},
+        "patternProperties": {"^p_": {}},
+        "additionalProperties": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, {"a": "1", "p_x": "2"}),
+        ("b", 0, {"a": "1", "rogue": "2"}),
+        ("c", 0, {})])
+    assert v == {("b", "properties.m.additionalProperties")}
+
+
+def test_map_additional_properties_schema(spark):
+    sch = _schema(T.StructField("m", T.MapType(T.StringType(),
+                                               T.StringType())))
+    spec = {"type": "object", "properties": {"m": {
+        "properties": {"a": {}},
+        "additionalProperties": {"type": "integer"}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, {"a": "free", "x": "42"}),   # declared key exempt
+        ("b", 0, {"x": "not_int"}),
+        ("c", 0, {"x": None})])               # NULL value validates
+    assert v == {("b", "properties.m.additionalProperties")}
+
+
+def test_struct_pattern_and_additional_properties(spark):
+    inner = T.StructType([T.StructField("v_num", T.StringType()),
+                          T.StructField("extra", T.StringType())])
+    sch = _schema(T.StructField("s", inner))
+    spec = {"type": "object", "properties": {"s": {
+        "patternProperties": {"^v_": {"type": "integer"}},
+        "additionalProperties": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ("42", None)),     # matches pattern, parses; no extra
+        ("b", 0, ("xx", None)),     # pattern-matched field violates
+        ("c", 0, ("42", "rogue"))])  # extra present (non-NULL)
+    assert v == {("b", "properties.s.patternProperties.^v_.v_num.type"),
+                 ("c", "properties.s.additionalProperties.extra")}
+
+
+def test_pattern_properties_spec_validation():
+    from canned_yaml_spark.errors import SpecError
+    with pytest.raises(SpecError) as e:
+        compile_spec({"type": "object",
+                      "patternProperties": {"[unclosed": {}}},
+                     _schema())
+    assert "patternProperties" in e.value.path
+    with pytest.raises(SpecError):
+        compile_spec({"type": "object", "additionalProperties": 3},
+                     _schema())

@@ -72,6 +72,16 @@ def _canon_list(a):
     return "|".join("<N>" if x is None else str(x) for x in a)
 
 
+def _canon_map(m):
+    # Spark toPandas gives a plain dict; DuckDB fetchdf gives the
+    # columnar {'key': [...], 'value': [...]} representation
+    if set(m.keys()) == {"key", "value"} and isinstance(m["key"], list):
+        pairs = zip(m["key"], m["value"])
+    else:
+        pairs = m.items()
+    return "|".join(f"{k}={v}" for k, v in sorted(pairs))
+
+
 def test_nested_identical(both_nested):
     sdf, ddf = both_nested
     assert len(sdf) == len(ddf) > 0
@@ -80,6 +90,8 @@ def test_nested_identical(both_nested):
         a, b = sdf[c], ddf[c]
         if c in ("tags", "pair"):
             assert (a.apply(_canon_list) == b.apply(_canon_list)).all(), c
+        elif c == "attrs":
+            assert (a.apply(_canon_map) == b.apply(_canon_map)).all(), c
         elif a.dtype == object:
             assert (a.fillna("\0") == b.fillna("\0")).all(), c
         else:
@@ -97,3 +109,9 @@ def test_nested_injections_present(both_nested):
     assert (sdf.val_bool == "yes").sum() > 0
     assert sdf.pair.apply(lambda p: str(p[0]).startswith("x")).sum() > 0
     assert sdf.pair.apply(lambda p: p[1] == "maybe").sum() > 0
+    # attrs map injections (draft-07 object-keyword corpus): empty map
+    # (minProperties), 4-key map (maxProperties), bad key (propertyNames)
+    nkeys = sdf["attrs"].apply(len)   # NB: sdf.attrs is pandas metadata
+    assert (nkeys == 0).sum() > 0
+    assert (nkeys == 4).sum() > 0
+    assert sdf["attrs"].apply(lambda m: "Bad Key!" in m).sum() > 0

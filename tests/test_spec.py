@@ -115,3 +115,34 @@ def test_spectral_spec_validation():
         check("{type: object, properties: {b: {x-spectral: 4}}}")
     check("{type: object, properties: "
           "{b: {x-spectral: {min_rolloff95_hz: 300}}}}")
+
+
+# --------------------------------------- draft-07 completion keywords (r5)
+@pytest.mark.parametrize("node, loc", [
+    ({"allOf": []}, ".allOf"),
+    ({"not": ["x"]}, ".not"),
+    ({"if": "x"}, ".if"),
+    ({"contains": 3}, ".contains"),
+    ({"propertyNames": []}, ".propertyNames"),
+    ({"multipleOf": 0}, ".multipleOf"),
+    ({"multipleOf": -2}, ".multipleOf"),
+    ({"uniqueItems": "yes"}, ".uniqueItems"),
+    ({"minProperties": -1}, ".minProperties"),
+    ({"minProperties": 3, "maxProperties": 1}, ".minProperties"),
+    ({"dependentRequired": ["a"]}, ".dependentRequired"),
+    ({"dependentRequired": {"a": [1]}}, ".dependentRequired.a"),
+    ({"dependencies": {"a": "b"}}, ".dependencies.a"),
+])
+def test_completion_keywords_located_errors(node, loc):
+    spec = {"type": "object", "properties": {"v": node}}
+    with pytest.raises(SpecError) as e:
+        load_spec(spec)
+    assert e.value.path.endswith(loc), (e.value.path, loc)
+
+
+def test_completion_keywords_recurse():
+    # a malformed node INSIDE an if/contains branch is caught eagerly
+    with pytest.raises(SpecError) as e:
+        load_spec({"type": "object", "properties": {"v": {
+            "contains": {"enum": []}}}})
+    assert "contains.enum" in e.value.path

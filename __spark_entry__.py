@@ -24,6 +24,7 @@ from canned_yaml_spark import (
     compile_spec, dataset, dedup, derive, drift, fixtures, oracle, payload,
     sampling, similarity, textops,
 )
+from canned_yaml_spark import runner
 from canned_yaml_spark.runner import row_verdicts, row_violations
 
 SPEC = "specs/clips.spec.yaml"
@@ -153,6 +154,29 @@ def _q_draft07_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = derive.clips_nested_df(spark, sf_dir)
     suite = compile_spec(spec, t.schema)
     return row_violations(t, suite).select(*_VCOLS)
+
+
+def _q_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded violation report: exact per-rule counts (one exchange-free
+    # conditional-sum scan, no explode) + 3 deterministic examples per
+    # rule (smallest XXH64(clip_id) — unbiased, stable across cluster
+    # sizes; skew-proof hash-threshold prefilter keeps the per-rule
+    # window input O(boost·K) however hot the rule). At sf0.01 each
+    # fired rule has ~190 violations > boost·K = 24, so the gate
+    # exercises the SAMPLED path; the oracle ranks by the same XXH64
+    # restated in SQL (the simhash machinery), so example VALUES are
+    # checked, not just counts. part_id.minimum never fires → the n=0
+    # NULL-example row shape is covered too.
+    spec = {"type": "object",
+            "required": ["transcript"],
+            "properties": {
+                "sr_hz": {"minimum": 8000},
+                "dur_ms": {"minimum": 1},
+                "clip_id": {"pattern": "^clip_[0-9]{10}$"},
+                "part_id": {"minimum": 0}}}
+    clips = derive.clips_df(spark, sf_dir)
+    suite = compile_spec(spec, clips.schema)
+    return runner.violation_report(clips, suite, examples_per_rule=3)
 
 
 def _q_pattern_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1799,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "draft07_completion": _q_draft07_completion,
         "dependent_rules": _q_dependent_rules,
         "pattern_props": _q_pattern_props,
+        "violation_report": _q_violation_report,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -1896,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
         "draft07_completion": oracle.sql_draft07_completion(),
         "dependent_rules": oracle.sql_dependent_rules(),
         "pattern_props": oracle.sql_pattern_props(),
+        "violation_report": oracle.sql_violation_report(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),

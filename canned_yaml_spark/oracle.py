@@ -293,6 +293,71 @@ UNION ALL
 """.strip()
 
 
+def sql_violation_report() -> str:
+    """Full restatement of runner.violation_report over the gate spec:
+    per-rule counts by plain aggregation, example SELECTION by ranking
+    on the same XXH64(seed 42, clip_id) the engine uses — restated in
+    SQL via xxh64_stages (clip_ids are < 32 bytes, the pinned domain
+    bound), signed like Spark's BIGINT so the order matches exactly.
+    The never-firing part_id rule contributes the n=0 NULL-example
+    row shape."""
+    ctes, final = xxh64_stages("tbytes")
+    return f"""
+WITH {clips_duckdb_cte()},
+viol AS (
+  SELECT clip_id, 'required.transcript' AS rule_id FROM clips
+  WHERE transcript IS NULL
+  UNION ALL
+  SELECT clip_id, 'properties.sr_hz.minimum' FROM clips
+  WHERE sr_hz IS NOT NULL AND NOT (sr_hz >= 8000)
+  UNION ALL
+  SELECT clip_id, 'properties.dur_ms.minimum' FROM clips
+  WHERE dur_ms IS NOT NULL AND NOT (dur_ms >= 1)
+  UNION ALL
+  SELECT clip_id, 'properties.clip_id.pattern' FROM clips
+  WHERE clip_id IS NOT NULL
+    AND NOT regexp_matches(clip_id, '^clip_[0-9]{{10}}$')
+),
+counts AS (SELECT rule_id, COUNT(*) AS n FROM viol GROUP BY 1),
+dict AS (SELECT DISTINCT clip_id AS w FROM viol),
+tb AS (SELECT w, hex(encode(w)) AS hx,
+              CAST(octet_length(encode(w)) AS BIGINT) AS n FROM dict),
+tbytes AS (
+  SELECT w, n,
+         list_transform(range(0, n), i ->
+           ((strpos('0123456789ABCDEF',
+                    substring(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+            + strpos('0123456789ABCDEF',
+                     substring(hx, CAST(2*i+2 AS INT), 1)) - 1
+           )::HUGEINT) AS bs
+  FROM tb),
+{ctes},
+hashed AS (
+  SELECT v.rule_id, v.clip_id,
+         CAST(CASE WHEN h.h_final >= 9223372036854775808
+                   THEN h.h_final - {_M64} ELSE h.h_final END
+              AS BIGINT) AS h
+  FROM viol v JOIN {final} h ON v.clip_id = h.w),
+ranked AS (
+  SELECT rule_id, clip_id,
+         row_number() OVER (PARTITION BY rule_id
+                            ORDER BY h, clip_id) AS rn
+  FROM hashed),
+decl(rule_id, severity) AS (VALUES
+  ('required.transcript', 2),
+  ('properties.sr_hz.minimum', 2),
+  ('properties.dur_ms.minimum', 2),
+  ('properties.clip_id.pattern', 2),
+  ('properties.part_id.minimum', 2))
+SELECT d.rule_id, CAST(d.severity AS INT) AS severity,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_violations,
+       CAST(r.rn AS INT) AS ex_rank, r.clip_id AS ex_clip_id
+FROM decl d
+LEFT JOIN counts c USING (rule_id)
+LEFT JOIN (SELECT * FROM ranked WHERE rn <= 3) r USING (rule_id)
+""".strip()
+
+
 def sql_pattern_props() -> str:
     # restates the patternProperties / additionalProperties gate:
     # map-level runtime key matching on attrs (values under keys

@@ -192,3 +192,112 @@ def rule_coverage(viol: DataFrame, suite: CheckSuite) -> DataFrame:
                        F.coalesce("static_ok", F.lit(False))
                         .alias("static_ok"),
                        F.col("static_ok").isNotNull().alias("declared")))
+
+
+def violation_report(df: DataFrame, suite: CheckSuite,
+                     examples_per_rule: int = 3,
+                     id_col: str = "clip_id",
+                     part_col: str = "part_id",
+                     _sample_boost: int = 8) -> DataFrame:
+    """Bounded violation report: exact per-rule counts + K deterministic
+    example ids per rule — the surface an operator actually reads at
+    10^12 rows, where the long-form violations table is itself
+    petabyte-scale and `collect`ing or even eyeballing it is off the
+    table.
+
+    Output (one row per (rule, example); rules that never fired get a
+    single row with NULL example columns):
+      (rule_id, severity, n_violations, ex_rank, ex_clip_id)
+
+    Scale shape, by construction:
+    - **Counts** come from ONE exchange-free aggregate over the raw
+      table — every active rule contributes a conditional-sum slot to
+      a single partially-aggregated scan (map output: one row per
+      task). No explode, no shuffle of violation rows.
+    - **Examples** are the K violations with the smallest
+      XXH64(clip_id) per rule — a deterministic UNIFORM sample.
+      (Lexicographically-first ids would all come from the first
+      partition of a sorted table; hash order is unbiased and stable
+      across runs/cluster sizes.)
+    - **Skew-proof selection**: a rule that fires on ~every row would
+      make `row_number() OVER (PARTITION BY rule_id)` shuffle the
+      whole corpus into one reducer. Instead, pass-A counts set a
+      per-rule hash threshold at rate boost·K/n, so the window's
+      input is O(rules · boost · K) rows no matter how hot a rule is.
+      The top-K-by-hash is provably inside the filtered set whenever
+      ≥K rows survive; the (astronomically rare, and detected) shortfall
+      falls back to an exact unfiltered top-K scoped to the deficient
+      rules — results are exact and deterministic either way.
+    - Driver materialization is rules × K — bounded by the spec, not
+      the data (the same contract as verdicts).
+    """
+    K = int(examples_per_rule)
+    if K < 0:
+        raise ValueError("examples_per_rule must be >= 0")
+    spark = df.sparkSession
+    checks = sorted(suite.row_checks, key=lambda c: c.order)
+
+    # ---- pass A: exact counts, one scan, no explode
+    live = [(i, c) for i, c in enumerate(checks) if not c.static_ok]
+    sev = {c.rule_id: int(c.severity) for c in checks}
+    counts = {c.rule_id: 0 for c in checks}   # static rules stay 0
+    if live:
+        row = df.agg(*[
+            F.sum(F.when(c.violation, 1).otherwise(0)).alias(f"c{i}")
+            for i, c in live]).collect()[0]
+        for (i, c), n in zip(live, row):
+            counts[c.rule_id] += int(n or 0)
+
+    # ---- pass B: K smallest-XXH64(clip_id) examples per fired rule
+    examples: dict[str, list[str]] = {r: [] for r in counts}
+    if K > 0 and any(counts.values()):
+        viol = (row_violations(df, suite, id_col, part_col)
+                .select("rule_id", "clip_id")
+                .withColumn("h", F.xxhash64("clip_id")))
+        thr_pairs: list[Column] = []
+        for rid, n in counts.items():
+            if n > _sample_boost * K:
+                rate = (_sample_boost * K) / n
+                t = -(1 << 63) + int(rate * (1 << 64))
+                thr_pairs += [F.lit(rid), F.lit(t)]
+        if thr_pairs:
+            tmap = F.create_map(*thr_pairs)
+            viol = viol.filter(F.coalesce(
+                F.col("h") < F.element_at(tmap, F.col("rule_id")),
+                F.lit(True)))
+
+        def _topk(v: DataFrame) -> list:
+            from pyspark.sql.window import Window
+            w = Window.partitionBy("rule_id").orderBy("h", "clip_id")
+            return (v.withColumn("rn", F.row_number().over(w))
+                     .filter(F.col("rn") <= K)
+                     .select("rule_id", "clip_id", "rn").collect())
+
+        for r in _topk(viol):
+            examples[r.rule_id].append(r.clip_id)
+        deficient = [rid for rid, n in counts.items()
+                     if len(examples[rid]) < min(K, n)]
+        if deficient:   # sampling shortfall: exact pass, deficient only
+            viol2 = (row_violations(df, suite, id_col, part_col)
+                     .select("rule_id", "clip_id")
+                     .filter(F.col("rule_id").isin(deficient))
+                     .withColumn("h", F.xxhash64("clip_id")))
+            for rid in deficient:
+                examples[rid] = []
+            for r in _topk(viol2):
+                examples[r.rule_id].append(r.clip_id)
+
+    out = []
+    for c in checks:
+        rid = c.rule_id
+        if rid in (row[0] for row in out):
+            continue    # one report block per rule_id
+        exs = examples.get(rid, [])
+        if exs:
+            out += [(rid, sev[rid], counts[rid], i + 1, e)
+                    for i, e in enumerate(exs)]
+        else:
+            out.append((rid, sev[rid], counts[rid], None, None))
+    return spark.createDataFrame(
+        out, "rule_id string, severity int, n_violations long, "
+             "ex_rank int, ex_clip_id string")

@@ -117,3 +117,64 @@ def test_rule_coverage_dead_static_and_alien(spark, clips, suite):
             if rid.startswith(("required.", "properties.")):
                 assert cov[rid].n_violations == 0
                 assert cov[rid].n_parts == 0
+
+
+# ----------------------------------------------- violation_report (r5)
+def test_violation_report_counts_and_examples(spark, clips, suite):
+    from canned_yaml_spark.runner import violation_report
+    rep = violation_report(clips, suite, examples_per_rule=3)
+    rows = rep.collect()
+    # counts agree with the exploded long form, rule by rule
+    golden = _counts(row_violations(clips, suite))
+    got = {r.rule_id: r.n_violations for r in rows}
+    for rid, n in golden.items():
+        assert got[rid] == n, rid
+    # never-fired rules appear with n=0 and a NULL example
+    zero = [r for r in rows if r.n_violations == 0]
+    assert zero and all(r.ex_rank is None and r.ex_clip_id is None
+                        for r in zero)
+    # examples: exactly min(K, n) per fired rule, ranked 1..m, and each
+    # example really is a violator of that rule
+    viol = {(r.clip_id, r.rule_id)
+            for r in row_violations(clips, suite).collect()}
+    by_rule = {}
+    for r in rows:
+        if r.ex_rank is not None:
+            by_rule.setdefault(r.rule_id, []).append(r)
+    for rid, exs in by_rule.items():
+        assert [e.ex_rank for e in sorted(exs, key=lambda e: e.ex_rank)] \
+            == list(range(1, len(exs) + 1))
+        assert len(exs) == min(3, golden[rid])
+        for e in exs:
+            assert (e.ex_clip_id, rid) in viol
+
+
+def test_violation_report_examples_are_exact_topk_by_hash(spark, clips,
+                                                          suite):
+    # the sampled selection must equal the exact (unfiltered) top-K —
+    # provable when >=K survive, and guaranteed by the fallback
+    from canned_yaml_spark.runner import violation_report
+    from pyspark.sql.window import Window
+    exact = (row_violations(clips, suite)
+             .withColumn("h", F.xxhash64("clip_id"))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("rule_id").orderBy("h", "clip_id")))
+             .filter(F.col("rn") <= 3)
+             .select("rule_id", "clip_id", "rn").collect())
+    want = {(r.rule_id, r.rn): r.clip_id for r in exact}
+    rep = violation_report(clips, suite, examples_per_rule=3).collect()
+    got = {(r.rule_id, r.ex_rank): r.ex_clip_id for r in rep
+           if r.ex_rank is not None}
+    assert got == want
+
+
+def test_violation_report_fallback_path_is_exact(spark, clips, suite):
+    # force the sampling threshold so low that (almost) nothing
+    # survives: the deficiency fallback must reproduce the exact
+    # result anyway. _sample_boost=0 -> rate 0 for every fired rule.
+    from canned_yaml_spark.runner import violation_report
+    a = violation_report(clips, suite, examples_per_rule=2).collect()
+    b = violation_report(clips, suite, examples_per_rule=2,
+                         _sample_boost=0).collect()
+    key = lambda r: (r.rule_id, r.ex_rank or 0)
+    assert sorted(a, key=key) == sorted(b, key=key)

@@ -179,6 +179,28 @@ def _q_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runner.violation_report(clips, suite, examples_per_rule=3)
 
 
+def _q_format_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # draft-07 `format` assertion profile (opt-in via x-assert-formats:
+    # true — annotation-only otherwise, per §7). Six formats over the
+    # deterministic formats corpus, every 7th row carrying one defect
+    # cycling through the columns. All six predicates are pure Column
+    # regex + arithmetic in ONE codegen span (no UDF); the date defect
+    # is Feb 30 — regex-valid, caught only by the calendar-validity
+    # conjunct (proleptic-Gregorian leap years), which the oracle
+    # restates identically.
+    spec = {"type": "object", "x-assert-formats": True,
+            "properties": {
+                "ip4": {"format": "ipv4"},
+                "uuid_s": {"format": "uuid"},
+                "date_s": {"format": "date"},
+                "email_s": {"format": "email"},
+                "uri_s": {"format": "uri"},
+                "dur_s": {"format": "duration"}}}
+    t = derive.clips_formats_df(spark, sf_dir)
+    suite = compile_spec(spec, t.schema)
+    return row_violations(t, suite).select(*_VCOLS)
+
+
 def _q_pattern_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     # patternProperties + additionalProperties, both binding modes:
     # map-level = RUNTIME key matching (one forall over map_entries —
@@ -1823,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "draft07_completion": _q_draft07_completion,
         "dependent_rules": _q_dependent_rules,
         "pattern_props": _q_pattern_props,
+        "format_assert": _q_format_assert,
         "violation_report": _q_violation_report,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -1921,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "draft07_completion": oracle.sql_draft07_completion(),
         "dependent_rules": oracle.sql_dependent_rules(),
         "pattern_props": oracle.sql_pattern_props(),
+        "format_assert": oracle.sql_format_assert(),
         "violation_report": oracle.sql_violation_report(),
         "token_stats": oracle.sql_token_stats(),
         "quality_score": oracle.sql_quality_score(),

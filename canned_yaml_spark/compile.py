@@ -39,6 +39,7 @@ from canned_yaml_spark.checks import (
     RefCheck, MediaCheck, Severity, SpectralCheck, TranscriptCheck,
     UniqueCheck,
 )
+from canned_yaml_spark import formats as _formats
 from canned_yaml_spark.errors import SpecError
 from canned_yaml_spark.spec import load_spec, resolve_ref
 
@@ -55,6 +56,7 @@ _KW_ORDER = {
     # draft-07 completion keywords (reference lacks all of these)
     "multipleOf": 3, "const": 13, "uniqueItems": 10, "contains": 10,
     "minProperties": 7, "maxProperties": 7, "propertyNames": 7,
+    "format": 4,
 }
 
 _ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
@@ -126,6 +128,9 @@ class _Compiler:
         self.suite = CheckSuite()
         self._order = 0
         self._ref_stack: list[str] = []
+        # draft-07 §7: format is annotation-only unless the
+        # implementation's assertion profile is opted into.
+        self.assert_formats = bool(root.get("x-assert-formats", False))
 
     # ---------------------------------------------------------- helpers
     def _next_order(self) -> int:
@@ -210,6 +215,27 @@ class _Compiler:
                 ok = expr.cast("string").rlike(node["pattern"])
             add(_Pred("pattern", f"{path}.pattern", ok,
                       f"value does not match pattern {node['pattern']!r}", sev))
+
+        if "format" in node:
+            fmt = node["format"]
+            if not isinstance(fmt, str):
+                raise SpecError(f"{path}.format", "format must be a string")
+            if not self.assert_formats:
+                # draft-07 default: annotation only — no predicate
+                self.warn(f"{path}.format: '{fmt}' is annotation-only "
+                          f"(set root x-assert-formats: true to assert)")
+            elif fmt not in _formats.FORMATS:
+                self.warn(f"{path}.format: unknown format {fmt!r} ignored "
+                          f"(draft-07 §7.1: SHOULD ignore)")
+            elif not (_dt(dtype, T.StringType) or dtype is None):
+                # format constrains string instances only; any other
+                # type passes vacuously (draft-07 §7.3) — elide
+                self.warn(f"{path}.format: non-string value; statically "
+                          f"passes (format applies to strings)")
+            else:
+                add(_Pred("format", f"{path}.format",
+                          _formats.format_ok_column(fmt, expr),
+                          f"value is not a valid {fmt}", sev))
 
         if "minLength" in node:
             add(_Pred("minLength", f"{path}.minLength",

@@ -251,6 +251,75 @@ def clips_nested_duckdb_cte() -> str:
     return f"clips_nested AS ({clips_nested_select('duckdb')})"
 
 
+def clips_formats_select(dialect: str, orders_rel: str = "orders") -> str:
+    """Formats corpus for the draft-07 `format` assertion profile: six
+    string columns shaped like ipv4 / uuid / date / email / uri /
+    duration values, derived (like every gate corpus) by pure integer
+    arithmetic + printf from ``o_orderkey`` so Spark and DuckDB build
+    bit-identical rows. Every 7th key carries exactly one defect,
+    cycling through the six columns: an out-of-range ipv4 octet, a 'g'
+    in the uuid hex, Feb 30th (regex-shaped but calendar-invalid — the
+    date_valid conjunct, not the regex, must catch it), a dot-less
+    email domain, a '%zz' bad percent-encoding in an otherwise-legal
+    uri, and the empty duration 'P'."""
+    if dialect == "spark":
+        fmt = "format_string"
+        idiv = "div"
+    elif dialect == "duckdb":
+        fmt = "printf"
+        idiv = "//"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    return f"""
+WITH keyed AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 7 = 0) AS inject,
+         (o_orderkey {idiv} 7) % 6 AS rule_k
+  FROM {orders_rel}
+)
+SELECT
+  {fmt}('clip_%010d', k) AS clip_id,
+  CAST(k % {N_PARTS} AS INT) AS part_id,
+  CASE WHEN inject AND rule_k = 0
+       THEN {fmt}('%d.%d.%d.300', k % 224, (k * 7) % 256, (k * 13) % 256)
+       ELSE {fmt}('%d.%d.%d.%d', k % 224, (k * 7) % 256, (k * 13) % 256,
+                  (k * 31) % 250 + 1) END AS ip4,
+  CASE WHEN inject AND rule_k = 1
+       THEN {fmt}('%08x-%04x-%04x-%04x-%011xg', k % 4294967296,
+                  k % 65536, (k * 3) % 65536, (k * 5) % 65536,
+                  (k * 2654435761) % 17592186044416)
+       ELSE {fmt}('%08x-%04x-%04x-%04x-%012x', k % 4294967296,
+                  k % 65536, (k * 3) % 65536, (k * 5) % 65536,
+                  (k * 2654435761) % 281474976710656) END AS uuid_s,
+  CASE WHEN inject AND rule_k = 2
+       THEN {fmt}('%04d-02-30', 1970 + k % 100)
+       ELSE {fmt}('%04d-%02d-%02d', 1970 + k % 100, 1 + k % 12,
+                  1 + (k * 5) % 28) END AS date_s,
+  CASE WHEN inject AND rule_k = 3
+       THEN {fmt}('user%d@example', k)
+       ELSE {fmt}('user%d@example%d.com', k, k % 100) END AS email_s,
+  CASE WHEN inject AND rule_k = 4
+       THEN {fmt}('https://example.com/%%zz/%d', k)
+       ELSE {fmt}('https://example.com/p/%d?x=%d', k, k % 997) END AS uri_s,
+  CASE WHEN inject AND rule_k = 5
+       THEN 'P'
+       ELSE {fmt}('P%dDT%dH%dM', k % 30 + 1, k % 24, k % 60) END AS dur_s
+FROM keyed
+""".strip()
+
+
+def clips_formats_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of clips_formats_select (scan prunes to o_orderkey;
+    all six format columns are one codegen span)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+         .createOrReplaceTempView("orders")
+    return spark.sql(clips_formats_select("spark"))
+
+
+def clips_formats_duckdb_cte() -> str:
+    return f"clips_formats AS ({clips_formats_select('duckdb')})"
+
+
 # ---------------------------------------------------------------- codec dim
 CODEC_DIM_ROWS = [
     ("pcm_s16le", False, 48000),

@@ -358,6 +358,30 @@ LEFT JOIN (SELECT * FROM ranked WHERE rn <= 3) r USING (rule_id)
 """.strip()
 
 
+def sql_format_assert() -> str:
+    """Restates the draft-07 format assertion gate: each of the six
+    format predicates rendered by formats.format_ok_sql — the SAME
+    regex text the Spark plan compiles, plus the same extra conjuncts
+    (calendar validity, percent-encoding, non-empty duration) — over
+    the shared formats corpus. The Feb-30 injection is regex-shaped on
+    purpose: only the calendar-validity arithmetic catches it, so a
+    regex-only reimplementation would hash-mismatch here."""
+    from canned_yaml_spark.derive import clips_formats_duckdb_cte
+    from canned_yaml_spark.formats import format_ok_sql
+    arms = []
+    for col, fmt in (("ip4", "ipv4"), ("uuid_s", "uuid"),
+                     ("date_s", "date"), ("email_s", "email"),
+                     ("uri_s", "uri"), ("dur_s", "duration")):
+        arms.append(
+            f"SELECT clip_id, part_id,\n"
+            f"       'properties.{col}.format' AS rule_id,\n"
+            f"       CAST(2 AS INT) AS severity\n"
+            f"FROM clips_formats\n"
+            f"WHERE {col} IS NOT NULL AND NOT {format_ok_sql(fmt, col)}")
+    return (f"WITH {clips_formats_duckdb_cte()}\n"
+            + "\nUNION ALL\n".join(arms))
+
+
 def sql_pattern_props() -> str:
     # restates the patternProperties / additionalProperties gate:
     # map-level runtime key matching on attrs (values under keys

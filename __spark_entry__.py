@@ -181,20 +181,25 @@ def _q_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_format_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # draft-07 `format` assertion profile (opt-in via x-assert-formats:
-    # true — annotation-only otherwise, per §7). Six formats over the
-    # deterministic formats corpus, every 7th row carrying one defect
-    # cycling through the columns. All six predicates are pure Column
-    # regex + arithmetic in ONE codegen span (no UDF); the date defect
-    # is Feb 30 — regex-valid, caught only by the calendar-validity
-    # conjunct (proleptic-Gregorian leap years), which the oracle
-    # restates identically.
+    # true — annotation-only otherwise, per §7). ALL 11 registry
+    # formats over the deterministic formats corpus, every 7th row
+    # carrying one defect cycling through the columns. All predicates
+    # are pure Column regex + arithmetic in ONE codegen span (no UDF);
+    # the date defect is Feb 30 — regex-valid, caught only by the
+    # calendar-validity conjunct (proleptic-Gregorian leap years),
+    # which the oracle restates identically.
     spec = {"type": "object", "x-assert-formats": True,
             "properties": {
                 "ip4": {"format": "ipv4"},
+                "ip6": {"format": "ipv6"},
                 "uuid_s": {"format": "uuid"},
                 "date_s": {"format": "date"},
+                "time_s": {"format": "time"},
+                "dt_s": {"format": "date-time"},
+                "host_s": {"format": "hostname"},
                 "email_s": {"format": "email"},
                 "uri_s": {"format": "uri"},
+                "ptr_s": {"format": "json-pointer"},
                 "dur_s": {"format": "duration"}}}
     t = derive.clips_formats_df(spark, sf_dir)
     suite = compile_spec(spec, t.schema)

@@ -252,16 +252,17 @@ def clips_nested_duckdb_cte() -> str:
 
 
 def clips_formats_select(dialect: str, orders_rel: str = "orders") -> str:
-    """Formats corpus for the draft-07 `format` assertion profile: six
-    string columns shaped like ipv4 / uuid / date / email / uri /
-    duration values, derived (like every gate corpus) by pure integer
-    arithmetic + printf from ``o_orderkey`` so Spark and DuckDB build
-    bit-identical rows. Every 7th key carries exactly one defect,
-    cycling through the six columns: an out-of-range ipv4 octet, a 'g'
-    in the uuid hex, Feb 30th (regex-shaped but calendar-invalid — the
-    date_valid conjunct, not the regex, must catch it), a dot-less
-    email domain, a '%zz' bad percent-encoding in an otherwise-legal
-    uri, and the empty duration 'P'."""
+    """Formats corpus for the draft-07 `format` assertion profile: one
+    string column per registry format (all 11), derived (like every
+    gate corpus) by pure integer arithmetic + printf from
+    ``o_orderkey`` so Spark and DuckDB build bit-identical rows. Every
+    7th key carries exactly one defect, cycling through the columns:
+    an out-of-range ipv4 octet, a triple-colon ipv6, a 'g' in the uuid
+    hex, Feb 30th (regex-shaped but calendar-invalid — the date_valid
+    conjunct, not the regex, must catch it), minute 61, hour 24 in the
+    date-time, a leading-hyphen hostname label, a dot-less email
+    domain, a '%zz' bad percent-encoding in an otherwise-legal uri, a
+    '~2' escape in the json-pointer, and the empty duration 'P'."""
     if dialect == "spark":
         fmt = "format_string"
         idiv = "div"
@@ -274,7 +275,7 @@ def clips_formats_select(dialect: str, orders_rel: str = "orders") -> str:
 WITH keyed AS (
   SELECT o_orderkey AS k,
          (o_orderkey % 7 = 0) AS inject,
-         (o_orderkey {idiv} 7) % 6 AS rule_k
+         (o_orderkey {idiv} 7) % 11 AS rule_k
   FROM {orders_rel}
 )
 SELECT
@@ -285,23 +286,43 @@ SELECT
        ELSE {fmt}('%d.%d.%d.%d', k % 224, (k * 7) % 256, (k * 13) % 256,
                   (k * 31) % 250 + 1) END AS ip4,
   CASE WHEN inject AND rule_k = 1
+       THEN {fmt}('2001:db8:%x:::%x', k % 65536, (k * 7) % 65536)
+       ELSE {fmt}('2001:db8:%x:%x::%x', k % 65536, (k * 3) % 65536,
+                  (k * 7) % 65536) END AS ip6,
+  CASE WHEN inject AND rule_k = 2
        THEN {fmt}('%08x-%04x-%04x-%04x-%011xg', k % 4294967296,
                   k % 65536, (k * 3) % 65536, (k * 5) % 65536,
                   (k * 2654435761) % 17592186044416)
        ELSE {fmt}('%08x-%04x-%04x-%04x-%012x', k % 4294967296,
                   k % 65536, (k * 3) % 65536, (k * 5) % 65536,
                   (k * 2654435761) % 281474976710656) END AS uuid_s,
-  CASE WHEN inject AND rule_k = 2
+  CASE WHEN inject AND rule_k = 3
        THEN {fmt}('%04d-02-30', 1970 + k % 100)
        ELSE {fmt}('%04d-%02d-%02d', 1970 + k % 100, 1 + k % 12,
                   1 + (k * 5) % 28) END AS date_s,
-  CASE WHEN inject AND rule_k = 3
+  CASE WHEN inject AND rule_k = 4
+       THEN {fmt}('%02d:61:00Z', k % 24)
+       ELSE {fmt}('%02d:%02d:%02d+%02d:%02d', k % 24, (k * 7) % 60,
+                  (k * 13) % 60, k % 14, (k * 3) % 60) END AS time_s,
+  CASE WHEN inject AND rule_k = 5
+       THEN {fmt}('%04d-%02d-%02dT24:00:00Z', 1970 + k % 100,
+                  1 + k % 12, 1 + (k * 5) % 28)
+       ELSE {fmt}('%04d-%02d-%02dT%02d:%02d:%02dZ', 1970 + k % 100,
+                  1 + k % 12, 1 + (k * 5) % 28, k % 24, (k * 7) % 60,
+                  (k * 13) % 60) END AS dt_s,
+  CASE WHEN inject AND rule_k = 6
+       THEN {fmt}('-host%d.example.org', k % 1000)
+       ELSE {fmt}('host-%d.example%d.org', k % 1000, k % 50) END AS host_s,
+  CASE WHEN inject AND rule_k = 7
        THEN {fmt}('user%d@example', k)
        ELSE {fmt}('user%d@example%d.com', k, k % 100) END AS email_s,
-  CASE WHEN inject AND rule_k = 4
+  CASE WHEN inject AND rule_k = 8
        THEN {fmt}('https://example.com/%%zz/%d', k)
        ELSE {fmt}('https://example.com/p/%d?x=%d', k, k % 997) END AS uri_s,
-  CASE WHEN inject AND rule_k = 5
+  CASE WHEN inject AND rule_k = 9
+       THEN {fmt}('/clips/%d/~2', k)
+       ELSE {fmt}('/clips/%d/meta~0x', k) END AS ptr_s,
+  CASE WHEN inject AND rule_k = 10
        THEN 'P'
        ELSE {fmt}('P%dDT%dH%dM', k % 30 + 1, k % 24, k % 60) END AS dur_s
 FROM keyed

@@ -369,9 +369,12 @@ def sql_format_assert() -> str:
     from canned_yaml_spark.derive import clips_formats_duckdb_cte
     from canned_yaml_spark.formats import format_ok_sql
     arms = []
-    for col, fmt in (("ip4", "ipv4"), ("uuid_s", "uuid"),
-                     ("date_s", "date"), ("email_s", "email"),
-                     ("uri_s", "uri"), ("dur_s", "duration")):
+    for col, fmt in (("ip4", "ipv4"), ("ip6", "ipv6"),
+                     ("uuid_s", "uuid"), ("date_s", "date"),
+                     ("time_s", "time"), ("dt_s", "date-time"),
+                     ("host_s", "hostname"), ("email_s", "email"),
+                     ("uri_s", "uri"), ("ptr_s", "json-pointer"),
+                     ("dur_s", "duration")):
         arms.append(
             f"SELECT clip_id, part_id,\n"
             f"       'properties.{col}.format' AS rule_id,\n"

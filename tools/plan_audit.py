@@ -58,6 +58,25 @@ def main() -> int:
            ("bytes pruned", lambda p: "bytes" not in p.split("ReadSchema")[-1]
             if "ReadSchema" in p else True)],
           "single FileScan; all checks one codegen span")
+    from canned_yaml_spark import derive as _derive
+    _fmt_t = _derive.clips_formats_df(spark, sf)
+    _fmt_suite = compile_spec(
+        {"type": "object", "x-assert-formats": True,
+         "properties": {c: {"format": f} for c, f in
+                        (("ip4", "ipv4"), ("ip6", "ipv6"),
+                         ("uuid_s", "uuid"), ("date_s", "date"),
+                         ("time_s", "time"), ("dt_s", "date-time"),
+                         ("host_s", "hostname"), ("email_s", "email"),
+                         ("uri_s", "uri"), ("ptr_s", "json-pointer"),
+                         ("dur_s", "duration"))}}, _fmt_t.schema)
+    audit("format assertions (11 formats)",
+          row_violations(_fmt_t, _fmt_suite),
+          [("no exchange", lambda p: "Exchange" not in p),
+           ("no python/arrow", lambda p: "Python" not in p),
+           ("scan pruned to o_orderkey",
+            lambda p: "struct<o_orderkey:bigint>" in p)],
+          "all 11 format predicates (regex + calendar/pct/length "
+          "algebra) ride the exchange-free row-suite scan; no UDF")
     audit("row_verdicts",
           row_verdicts(clips, suite),
           [("partial+final agg", lambda p: p.count("HashAggregate") >= 2)],

@@ -385,6 +385,14 @@ def _q_quality_score(spark, sf_dir):
     return textops.quality_score(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark, sf_dir):
+    # Gopher-style duplicate n-gram fractions (n=1,2,3): split →
+    # sequence/transform/slice → array_distinct, one codegen
+    # projection per doc — no explode, no shuffle, no UDF. Oracle
+    # restates the identical tokenization + list algebra in DuckDB.
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_lang_id(spark, sf_dir):
     return textops.lang_id(_docs(spark, sf_dir))
 
@@ -1853,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_assert": _q_format_assert,
         "violation_report": _q_violation_report,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1952,6 +1961,7 @@ def oracle_sql() -> dict[str, str]:
         "format_assert": oracle.sql_format_assert(),
         "violation_report": oracle.sql_violation_report(),
         "token_stats": oracle.sql_token_stats(),
+        "repetition_stats": oracle.sql_repetition_stats(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),
         "fingerprint": oracle.sql_fingerprint(),

@@ -785,6 +785,41 @@ FROM norm
 """.strip()
 
 
+def sql_repetition_stats() -> str:
+    """Restates textops.repetition_stats: duplicate n-gram fractions
+    (n = 1, 2, 3) over the same `_NORM` whitespace tokenization.
+    DuckDB list_slice is inclusive-inclusive and range(a, b) is
+    end-exclusive, so n-grams for n are list_slice(words, i, i+n-1)
+    for i in range(1, len(words)-n+2). Integer-to-double division of
+    identical integers is IEEE-identical in both engines."""
+    def ng(n: int) -> str:
+        if n == 1:
+            return "words"
+        return (f"CASE WHEN len(words) >= {n} THEN "
+                f"list_transform(range(1, len(words) - {n - 2}), "
+                f"i -> array_to_string(list_slice(words, i, i + {n - 1}),"
+                f" ' ')) ELSE []::VARCHAR[] END")
+
+    def dup(col: str, alias: str) -> str:
+        return (f"CASE WHEN len({col}) > 0 THEN "
+                f"(len({col}) - len(list_distinct({col}))) "
+                f"/ CAST(len({col}) AS DOUBLE) ELSE 0.0 END AS {alias}")
+
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+w AS (SELECT doc_id,
+             CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
+g AS (SELECT doc_id, words, {ng(2)} AS ng2, {ng(3)} AS ng3 FROM w)
+SELECT doc_id, len(words) AS n_words,
+       {dup('words', 'dup_frac_1')},
+       {dup('ng2', 'dup_frac_2')},
+       {dup('ng3', 'dup_frac_3')}
+FROM g
+""".strip()
+
+
 def sql_quality_score() -> str:
     en, _, _ = _from_textops()
     stop_list = ", ".join(f"'{w}'" for w in en)

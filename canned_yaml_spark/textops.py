@@ -116,6 +116,48 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(*out)
 
 
+def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)
+                     ) -> DataFrame:
+    """Gopher-style repetition signals: the fraction of duplicate
+    n-grams per document, for each n in ``ns`` — the standard
+    training-data quality measure for boilerplate / degenerate
+    repetition (a doc that is one sentence pasted 50 times scores
+    dup_frac_2 ≈ 1; clean prose scores near 0 beyond unigrams).
+
+    ``dup_frac_n = 1 − distinct(n-grams)/count(n-grams)`` over the
+    shared whitespace tokenization (`_norm`); 0.0 when the doc has
+    fewer than n tokens. Everything is Column HOF algebra — split →
+    sequence/transform/slice → array_distinct — ONE codegen
+    projection per doc, no explode, no shuffle, no UDF: at 10^12 docs
+    this is pure scan bandwidth, and the n-gram arrays live only
+    inside the projection (never materialized to a shuffle).
+    """
+    t = _norm(F.col("text"))
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+             .otherwise(F.split(t, " "))
+    nw = F.size(words)
+    cols = [F.col("doc_id"), nw.alias("n_words")]
+
+    def _grams(n: int):
+        # NB: the transform lambda must take exactly ONE parameter —
+        # pyspark treats a second parameter as the element index.
+        return F.transform(F.sequence(F.lit(1), nw - (n - 1)),
+                           lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+    for n in ns:
+        if n == 1:
+            ng = words
+        else:
+            ng = F.when(nw >= n, _grams(n)) \
+                 .otherwise(F.array().cast("array<string>"))
+        total = F.size(ng)
+        dup = F.when(total > 0,
+                     (total - F.size(F.array_distinct(ng)))
+                     / total.cast("double")).otherwise(F.lit(0.0))
+        cols.append(dup.alias(f"dup_frac_{n}"))
+    return docs.select(*cols)
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 of normalized text.
     (md5 rather than xxhash64 so the oracle computes the identical

@@ -74,3 +74,49 @@ def test_normalize_transcript_duckdb_parity(spark):
         [v]).fetchone()[0] for v in vals]
     assert got == want
     assert got[0] == "don't stop" and got[1] == "a b c" and got[5] == ""
+
+
+# ------------------------------------------------ repetition_stats (r5)
+def test_repetition_stats_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),        # 5 words, 2 distinct
+         (2, "x"),                # 1 word: bigrams/trigrams empty
+         (3, ""),                 # empty: everything 0
+         (4, "Hello,  hello\nHELLO hello"),  # norm: 4 x "hello,"? no —
+         (5, "one two three four")],         # all distinct
+        "doc_id long, text string")
+    r = {row.doc_id: row for row in
+         textops.repetition_stats(docs).collect()}
+
+    # doc 1: unigrams (5-2)/5; bigrams [ab,ba,ab,ba] (4-2)/4;
+    # trigrams [aba,bab,aba] (3-2)/3
+    assert r[1].n_words == 5
+    assert abs(r[1].dup_frac_1 - 3 / 5) < 1e-12
+    assert abs(r[1].dup_frac_2 - 2 / 4) < 1e-12
+    assert abs(r[1].dup_frac_3 - 1 / 3) < 1e-12
+
+    # doc 2: single word -> no n>=2 grams, fractions 0 by convention
+    assert (r[2].n_words, r[2].dup_frac_1,
+            r[2].dup_frac_2, r[2].dup_frac_3) == (1, 0.0, 0.0, 0.0)
+
+    # doc 3: empty text tokenizes to zero words
+    assert (r[3].n_words, r[3].dup_frac_1) == (0, 0.0)
+
+    # doc 4: _norm lowercases + collapses whitespace but keeps
+    # punctuation, so tokens are [hello,, hello, hello, hello] ->
+    # 2 distinct of 4
+    assert r[4].n_words == 4
+    assert abs(r[4].dup_frac_1 - 2 / 4) < 1e-12
+
+    # doc 5: clean prose, no repetition at any n
+    assert (r[5].dup_frac_1, r[5].dup_frac_2, r[5].dup_frac_3) \
+        == (0.0, 0.0, 0.0)
+
+
+def test_repetition_stats_plan_is_one_projection(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textops.repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan          # no explode
+    assert "Python" not in plan            # no UDF

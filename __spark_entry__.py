@@ -385,6 +385,22 @@ def _q_quality_score(spark, sf_dir):
     return textops.quality_score(_docs(spark, sf_dir))
 
 
+def _q_repetition_rule(spark, sf_dir):
+    # x-repetition as a VALUE keyword: duplicate-bigram fraction
+    # ceiling 0.05 over documents.text (corpus spans 0-0.10, median
+    # 0.028 — the threshold splits it ~half/half). The predicate rides
+    # the row suite's single codegen span; NULL text is
+    # absent-not-validated like every value rule. Oracle restates the
+    # identical tokenization + list algebra + threshold.
+    spec = {"type": "object",
+            "properties": {
+                "text": {"x-repetition": {"n": 2, "max_frac": 0.05}}}}
+    docs = _docs(spark, sf_dir)
+    suite = compile_spec(spec, docs.schema)
+    return (row_violations(docs, suite, id_col="doc_id",
+                           part_col="source").select(*_VCOLS))
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style duplicate n-gram fractions (n=1,2,3): split →
     # sequence/transform/slice → array_distinct, one codegen
@@ -1862,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_report": _q_violation_report,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
+        "repetition_rule": _q_repetition_rule,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1962,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_report": oracle.sql_violation_report(),
         "token_stats": oracle.sql_token_stats(),
         "repetition_stats": oracle.sql_repetition_stats(),
+        "repetition_rule": oracle.sql_repetition_rule(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),
         "fingerprint": oracle.sql_fingerprint(),

@@ -56,7 +56,7 @@ _KW_ORDER = {
     # draft-07 completion keywords (reference lacks all of these)
     "multipleOf": 3, "const": 13, "uniqueItems": 10, "contains": 10,
     "minProperties": 7, "maxProperties": 7, "propertyNames": 7,
-    "format": 4,
+    "format": 4, "x-repetition": 6,
 }
 
 _ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
@@ -236,6 +236,34 @@ class _Compiler:
                 add(_Pred("format", f"{path}.format",
                           _formats.format_ok_column(fmt, expr),
                           f"value is not a valid {fmt}", sev))
+
+        if "x-repetition" in node:
+            # extension rule: duplicate n-gram fraction ceiling — the
+            # Gopher-style degenerate-repetition gate as a VALUE
+            # keyword, composing into the row suite's codegen span
+            # like pattern/length (textops.dup_ngram_frac is pure
+            # Column HOF algebra).
+            xr = node["x-repetition"]
+            if not isinstance(xr, dict) or "max_frac" not in xr:
+                raise SpecError(f"{path}.x-repetition",
+                                "x-repetition needs {max_frac, n?}")
+            rep_n = xr.get("n", 2)
+            if not isinstance(rep_n, int) or rep_n < 1:
+                raise SpecError(f"{path}.x-repetition.n",
+                                "n must be an integer >= 1")
+            mf = xr["max_frac"]
+            if not isinstance(mf, (int, float)) or not 0.0 <= mf <= 1.0:
+                raise SpecError(f"{path}.x-repetition.max_frac",
+                                "max_frac must be in [0, 1]")
+            if not (_dt(dtype, T.StringType) or dtype is None):
+                self.warn(f"{path}.x-repetition: non-string value; "
+                          f"statically passes")
+            else:
+                from canned_yaml_spark import textops as _textops
+                add(_Pred("x-repetition", f"{path}.x-repetition",
+                          _textops.dup_ngram_frac(expr, rep_n)
+                          <= F.lit(float(mf)),
+                          f"duplicate {rep_n}-gram fraction > {mf}", sev))
 
         if "minLength" in node:
             add(_Pred("minLength", f"{path}.minLength",

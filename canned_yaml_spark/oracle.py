@@ -820,6 +820,35 @@ FROM g
 """.strip()
 
 
+def sql_repetition_rule() -> str:
+    """Restates the x-repetition gate: duplicate-bigram fraction
+    > 0.05 over documents.text — same tokenization, same list algebra
+    as sql_repetition_stats, same NULL-excluded value-rule semantics
+    (a NULL text is absent-not-validated, like pattern/minLength)."""
+    return f"""
+WITH norm AS (SELECT doc_id, source, text, {_NORM} AS t FROM documents),
+w AS (SELECT doc_id, source, text,
+             CASE WHEN length(t) = 0 THEN []::VARCHAR[]
+                  ELSE string_split(t, ' ') END AS words
+      FROM norm),
+g AS (SELECT doc_id, source, text,
+             CASE WHEN len(words) >= 2 THEN
+               list_transform(range(1, len(words)),
+                 i -> array_to_string(list_slice(words, i, i + 1), ' '))
+             ELSE []::VARCHAR[] END AS ng2
+      FROM w),
+d AS (SELECT doc_id, source, text,
+             CASE WHEN len(ng2) > 0 THEN
+               (len(ng2) - len(list_distinct(ng2)))
+               / CAST(len(ng2) AS DOUBLE) ELSE 0.0 END AS d2
+      FROM g)
+SELECT doc_id AS clip_id, source AS part_id,
+       'properties.text.x-repetition' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM d WHERE text IS NOT NULL AND NOT (d2 <= 0.05)
+""".strip()
+
+
 def sql_quality_score() -> str:
     en, _, _ = _from_textops()
     stop_list = ", ".join(f"'{w}'" for w in en)

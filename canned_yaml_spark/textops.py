@@ -116,6 +116,32 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(*out)
 
 
+def dup_ngram_frac(col, n: int):
+    """Duplicate n-gram fraction of ONE string Column — the building
+    block behind repetition_stats and the `x-repetition` spec rule.
+    0.0 for docs shorter than n tokens; pure Column HOF algebra (no
+    explode, no UDF), so it composes into the row suite's single
+    codegen span like any other value predicate."""
+    t = _norm(col)
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+             .otherwise(F.split(t, " "))
+    nw = F.size(words)
+    if n == 1:
+        ng = words
+    else:
+        # NB: the transform lambda must take exactly ONE parameter —
+        # pyspark treats a second parameter as the element index.
+        ng = F.when(
+            nw >= n,
+            F.transform(F.sequence(F.lit(1), nw - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+    total = F.size(ng)
+    return F.when(total > 0,
+                  (total - F.size(F.array_distinct(ng)))
+                  / total.cast("double")).otherwise(F.lit(0.0))
+
+
 def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)
                      ) -> DataFrame:
     """Gopher-style repetition signals: the fraction of duplicate
@@ -135,26 +161,11 @@ def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)
     t = _norm(F.col("text"))
     words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
              .otherwise(F.split(t, " "))
-    nw = F.size(words)
-    cols = [F.col("doc_id"), nw.alias("n_words")]
-
-    def _grams(n: int):
-        # NB: the transform lambda must take exactly ONE parameter —
-        # pyspark treats a second parameter as the element index.
-        return F.transform(F.sequence(F.lit(1), nw - (n - 1)),
-                           lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-
+    cols = [F.col("doc_id"), F.size(words).alias("n_words")]
     for n in ns:
-        if n == 1:
-            ng = words
-        else:
-            ng = F.when(nw >= n, _grams(n)) \
-                 .otherwise(F.array().cast("array<string>"))
-        total = F.size(ng)
-        dup = F.when(total > 0,
-                     (total - F.size(F.array_distinct(ng)))
-                     / total.cast("double")).otherwise(F.lit(0.0))
-        cols.append(dup.alias(f"dup_frac_{n}"))
+        # identical subtrees (the tokenization) are CSE'd by Catalyst
+        cols.append(dup_ngram_frac(F.col("text"), n)
+                    .alias(f"dup_frac_{n}"))
     return docs.select(*cols)
 
 

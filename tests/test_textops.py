@@ -120,3 +120,40 @@ def test_repetition_stats_plan_is_one_projection(spark):
     assert "Exchange" not in plan
     assert "Generate" not in plan          # no explode
     assert "Python" not in plan            # no UDF
+
+
+def test_x_repetition_spec_rule(spark):
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        [(1, "stop stop stop stop"),     # bigrams 3, distinct 1 -> 2/3
+         (2, "one two three four"),      # 0
+         (3, None)],                     # NULL: absent-not-validated
+        "doc_id long, text string")
+    spec = {"type": "object",
+            "properties": {"text": {"x-repetition":
+                                    {"n": 2, "max_frac": 0.5}}}}
+    suite = compile_spec(spec, docs.schema)
+    (check,) = suite.row_checks
+    assert check.rule_id == "properties.text.x-repetition"
+    bad = docs.filter(check.violation).collect()
+    assert [r.doc_id for r in bad] == [1]
+
+    # located SpecErrors for malformed rules
+    for bad_spec in (
+        {"properties": {"text": {"x-repetition": {"n": 2}}}},
+        {"properties": {"text": {"x-repetition": {"max_frac": 1.5}}}},
+        {"properties": {"text": {"x-repetition":
+                                 {"n": 0, "max_frac": 0.5}}}},
+    ):
+        with _pytest.raises(SpecError):
+            compile_spec({"type": "object", **bad_spec}, docs.schema)
+
+    # non-string column: statically passes with a warning
+    suite2 = compile_spec(
+        {"type": "object",
+         "properties": {"doc_id": {"x-repetition": {"max_frac": 0.5}}}},
+        docs.schema)
+    assert not suite2.row_checks
+    assert any("non-string" in w for w in suite2.warnings)

@@ -168,3 +168,49 @@ def test_format_non_string_spec_value_raises(spark):
         compile_spec({"type": "object",
                       "properties": {"v": {"format": 7}}},
                      spark.createDataFrame([("x",)], "v string").schema)
+
+
+def test_format_parity_fuzz_spark_vs_duckdb(spark, duck):
+    # dialect-drift guard: on ~600 adversarial strings (seeded PRNG
+    # mutations of valid examples + random charset soup), Spark's Java
+    # regex and DuckDB's RE2 must agree for EVERY format — no hand
+    # labels, pure engine agreement. Any Java/RE2 semantic divergence
+    # in the regex subset formats.py promises would surface here.
+    import random
+    rng = random.Random(42)
+    alphabet = list("abcdef0123456789.:-TZ+%/~@ PYMDHSW")
+    pool = []
+    for valid, invalid in CASES.values():
+        pool += valid + invalid
+    vals = []
+    for s in pool:
+        vals.append(s)
+        if s:
+            # single-char mutation, deletion, duplication
+            i = rng.randrange(len(s))
+            vals.append(s[:i] + rng.choice(alphabet) + s[i + 1:])
+            vals.append(s[:i] + s[i + 1:])
+            vals.append(s + s[i])
+    for _ in range(120):
+        vals.append("".join(rng.choice(alphabet)
+                            for _ in range(rng.randrange(1, 40))))
+    vals = sorted(set(vals))
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sel = [F.coalesce(formats.format_ok_column(f, F.col("v")),
+                      F.lit(False)).alias(f"f{i}")
+           for i, f in enumerate(sorted(formats.FORMATS))]
+    spark_rows = {r[0]: r[1:] for r in
+                  df.select("v", *sel).collect()}
+
+    frags = ", ".join(
+        "COALESCE(" + formats.format_ok_sql(f, "v") + ", FALSE)"
+        for f in sorted(formats.FORMATS))
+    for v in vals:
+        duck_row = tuple(duck.execute(
+            f"SELECT {frags} FROM (SELECT ?::VARCHAR AS v)",
+            [v]).fetchone())
+        assert duck_row == spark_rows[v], (
+            f"engine disagreement on {v!r}: "
+            f"duck={duck_row} spark={spark_rows[v]} "
+            f"(formats={sorted(formats.FORMATS)})")

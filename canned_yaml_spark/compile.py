@@ -255,6 +255,10 @@ class _Compiler:
             if not isinstance(mf, (int, float)) or not 0.0 <= mf <= 1.0:
                 raise SpecError(f"{path}.x-repetition.max_frac",
                                 "max_frac must be in [0, 1]")
+            # severity may ride inside the rule dict (like the other
+            # x- extension rules) or fall back to the node's x-severity
+            rep_sev = (Severity[xr["severity"].upper()]
+                       if "severity" in xr else sev)
             if not (_dt(dtype, T.StringType) or dtype is None):
                 self.warn(f"{path}.x-repetition: non-string value; "
                           f"statically passes")
@@ -263,7 +267,8 @@ class _Compiler:
                 add(_Pred("x-repetition", f"{path}.x-repetition",
                           _textops.dup_ngram_frac(expr, rep_n)
                           <= F.lit(float(mf)),
-                          f"duplicate {rep_n}-gram fraction > {mf}", sev))
+                          f"duplicate {rep_n}-gram fraction > {mf}",
+                          rep_sev))
 
         if "minLength" in node:
             add(_Pred("minLength", f"{path}.minLength",

@@ -394,3 +394,10 @@ def test_deep_spec_carries_x_loudness():
     assert lc.max_lra_lu == 20.0
     assert lc.sr_col == "sr_hz"
     assert int(lc.severity) == int(Severity.WARN)
+
+
+def test_deep_spec_carries_x_repetition():
+    suite = compile_spec(open("specs/clips_deep.spec.yaml").read())
+    [rc] = [c for c in suite.row_checks
+            if c.rule_id == "properties.transcript.x-repetition"]
+    assert int(rc.severity) == int(Severity.WARN)

@@ -507,3 +507,40 @@ def test_stream_window_chunking_matches_batch(spark, tmp_path):
     key = ["clip_id", "win_idx", "win_start", "win_end"]
     assert got.count() == want.count() > 0
     assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_stream_new_vocabulary_matches_batch(spark, tmp_path):
+    # round-5 vocabulary (format assertion + x-repetition) composes
+    # onto streams unchanged: both are pure Column row checks, so
+    # stream_violations routes them through the same violation array.
+    from canned_yaml_spark import derive
+    src = str(tmp_path / "src_fmt")
+    out = str(tmp_path / "viol_fmt")
+    chk = str(tmp_path / "chk_fmt")
+
+    t = derive.clips_formats_df(spark, "/root/testdata/sf0.001") \
+              .withColumn("transcript",
+                          F.concat(F.lit("go go go go stop x"),
+                                   F.col("part_id").cast("string")))
+    from canned_yaml_spark.compile import compile_spec
+    spec = {"type": "object", "x-assert-formats": True,
+            "properties": {
+                "ip4": {"format": "ipv4"},
+                "date_s": {"format": "date"},
+                "transcript": {"x-repetition": {"n": 2, "max_frac": 0.3}}}}
+    suite = compile_spec(spec, t.schema)
+    t.write.parquet(src)
+
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    q = (streaming.validate_stream(stream, suite, out, chk)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = row_violations(t, suite)
+    assert want.filter(F.col("rule_id").contains("format")).count() > 0
+    assert want.filter(F.col("rule_id").contains("x-repetition")).count() > 0
+    key = ["clip_id", "rule_id"]
+    assert got.count() == want.count()
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0

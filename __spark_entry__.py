@@ -67,6 +67,20 @@ def _q_unique_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.unique_violations(clips, uc).select(*_VCOLS)
 
 
+def _q_composite_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite-key uniqueness via the root x-unique-together spec
+    # keyword: (clip_id, codec) duplicates exist where the rule-5
+    # clip_id-copy injection happens to land on a matching codec (the
+    # 0.70 pcm hot key makes that common). Same one-shuffle group +
+    # tiny-side join-back plan as single-column x-unique.
+    clips = derive.clips_df(spark, sf_dir)
+    suite = compile_spec(
+        {"type": "object", "x-unique-together": ["clip_id", "codec"]},
+        clips.schema)
+    [uc] = suite.unique_checks
+    return dataset.unique_violations(clips, uc).select(*_VCOLS)
+
+
 def _q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     rc = _suite(spark, clips).ref_checks[0]
@@ -1851,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verdicts": _q_verdicts,
         "duplicate_keys": _q_duplicate_keys,
         "unique_violations": _q_unique_violations,
+        "composite_unique": _q_composite_unique,
         "referential": _q_referential,
         "column_stats": _q_column_stats,
         "drift_psi": _q_drift_psi,
@@ -1950,6 +1965,7 @@ def oracle_sql() -> dict[str, str]:
         "verdicts": oracle.sql_verdicts(),
         "duplicate_keys": oracle.sql_duplicate_keys(),
         "unique_violations": oracle.sql_unique_violations(),
+        "composite_unique": oracle.sql_composite_unique(),
         "referential": oracle.sql_referential_violations(),
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),

@@ -52,11 +52,18 @@ class Check:
 
 @dataclass(frozen=True)
 class UniqueCheck:
-    """x-unique: values of ``column`` must be globally unique (#18)."""
+    """x-unique: values of ``column`` must be globally unique (#18).
+    ``column`` may be one name or a tuple of names (composite key —
+    the root `x-unique-together` spec keyword)."""
 
     rule_id: str
-    column: str
+    column: str | tuple[str, ...]
     severity: Severity = Severity.ERROR
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return ((self.column,) if isinstance(self.column, str)
+                else tuple(self.column))
 
 
 @dataclass(frozen=True)

@@ -1079,6 +1079,34 @@ class _Compiler:
                     rule_id=f"x-chi2.{col}", column=col,
                     expected=tuple(pairs), chi2_max=chi2_max,
                     severity=Severity[xc.get("severity", "WARN").upper()]))
+        if "x-unique-together" in node:
+            # composite-key uniqueness: a list of column groups (or one
+            # group as sugar). Same one-shuffle plan as x-unique, keyed
+            # on the tuple.
+            xut = node["x-unique-together"]
+            if (isinstance(xut, list) and xut
+                    and all(isinstance(c, str) for c in xut)):
+                xut = [xut]
+            if not (isinstance(xut, list) and xut
+                    and all(isinstance(g, list) for g in xut)):
+                raise SpecError("$.x-unique-together",
+                                "expects a list of column-name lists "
+                                "(or one list of column names)")
+            for i, g in enumerate(xut):
+                gpath = f"$.x-unique-together[{i}]"
+                if len(g) < 2 or not all(isinstance(c, str) for c in g):
+                    raise SpecError(gpath, "a composite key needs >= 2 "
+                                           "column names")
+                if len(set(g)) != len(g):
+                    raise SpecError(gpath, f"repeated column in {g}")
+                if self.schema is not None:
+                    missing = [c for c in g if c not in fields]
+                    if missing:
+                        raise SpecError(gpath, f"columns absent from the "
+                                               f"table schema: {missing}")
+                self.suite.unique_checks.append(UniqueCheck(
+                    rule_id=f"x-unique.({','.join(g)})",
+                    column=tuple(g)))
         if "x-assert" in node:
             xas = node["x-assert"]
             if isinstance(xas, dict):

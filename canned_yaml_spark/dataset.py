@@ -30,9 +30,10 @@ def duplicate_keys(df: DataFrame, check: UniqueCheck) -> DataFrame:
     Plan: partial count per input partition → one shuffle on the key →
     final count + filter. The reference has no uniqueItems keyword
     (canner.cc:106-120); this is the north_star's uniqueness check.
+    Composite keys (check.columns, x-unique-together) group on the
+    tuple — still ONE shuffle, keyed on all parts.
     """
-    c = check.column
-    return (df.groupBy(F.col(c))
+    return (df.groupBy(*[F.col(c) for c in check.columns])
               .agg(F.count(F.lit(1)).alias("n_dup"))
               .filter(F.col("n_dup") > 1))
 
@@ -57,26 +58,24 @@ def unique_violations(df: DataFrame, check: UniqueCheck,
     BENCH/PROFILE.md) — exactly the kind of data-dependent floor that
     caps whole-job scaling.
     """
-    c = check.column
+    cols = list(check.columns)
+    label = cols[0] if len(cols) == 1 else "(" + ",".join(cols) + ")"
     dups = duplicate_keys(df, check)
+
+    def _sel(joined):
+        return joined.select(
+            F.col(id_col).alias("clip_id"),
+            F.col(part_col).alias("part_id"),
+            F.lit(check.rule_id).alias("rule_id"),
+            F.lit(int(check.severity)).alias("severity"),
+            F.concat(F.lit(f"duplicate {label} (x"),
+                     F.col("n_dup").cast("string"),
+                     F.lit(")")).alias("message"))
+
     if not broadcast_back:
         dups = dups.hint("SHUFFLE_HASH")
-        return (df.join(dups, on=c, how="inner")
-                  .select(F.col(id_col).alias("clip_id"),
-                          F.col(part_col).alias("part_id"),
-                          F.lit(check.rule_id).alias("rule_id"),
-                          F.lit(int(check.severity)).alias("severity"),
-                          F.concat(F.lit(f"duplicate {c} (x"),
-                                   F.col("n_dup").cast("string"),
-                                   F.lit(")")).alias("message")))
-    return (df.join(F.broadcast(dups), on=c, how="inner")
-              .select(F.col(id_col).alias("clip_id"),
-                      F.col(part_col).alias("part_id"),
-                      F.lit(check.rule_id).alias("rule_id"),
-                      F.lit(int(check.severity)).alias("severity"),
-                      F.concat(F.lit(f"duplicate {c} (x"),
-                               F.col("n_dup").cast("string"),
-                               F.lit(")")).alias("message")))
+        return _sel(df.join(dups, on=cols, how="inner"))
+    return _sel(df.join(F.broadcast(dups), on=cols, how="inner"))
 
 
 def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,

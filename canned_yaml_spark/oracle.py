@@ -103,6 +103,19 @@ FROM clips c JOIN d ON c.clip_id = d.clip_id
 """.strip()
 
 
+def sql_composite_unique() -> str:
+    # restates the x-unique-together (clip_id, codec) gate: tuple
+    # grouping + join-back, like sql_unique_violations with a 2-col key
+    return f"""
+WITH {clips_duckdb_cte()},
+d AS (SELECT clip_id, codec FROM clips
+      GROUP BY clip_id, codec HAVING COUNT(*) > 1)
+SELECT c.clip_id, c.part_id, 'x-unique.(clip_id,codec)' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips c JOIN d ON c.clip_id = d.clip_id AND c.codec = d.codec
+""".strip()
+
+
 def sql_referential_violations() -> str:
     return f"""
 WITH {clips_duckdb_cte()}, {codec_dim_duckdb_cte()}

@@ -267,3 +267,48 @@ def test_snapshot_diff_key_only_and_digest(spark):
     ko = dataset.snapshot_diff(old, new, compare_cols=[])
     assert set(ko.select("change").distinct().toPandas()["change"]) \
         == {"added", "removed"}
+
+
+# -------------------------------------------- composite uniqueness (r5)
+def test_composite_unique_violations(spark):
+    from canned_yaml_spark.checks import UniqueCheck
+    df = spark.createDataFrame(
+        [("a", 1, 16000, 0), ("a", 1, 16000, 1),   # dup pair on (c1,c2)
+         ("a", 2, 16000, 2),                        # c1 repeats, c2 not
+         ("b", 1, 16000, 3)],
+        "c1 string, c2 int, sr int, part_id int") \
+        .withColumn("clip_id", F.col("part_id").cast("string"))
+    uc = UniqueCheck(rule_id="x-unique.(c1,c2)", column=("c1", "c2"))
+    dups = dataset.duplicate_keys(df, uc).collect()
+    assert [(r.c1, r.c2, r.n_dup) for r in dups] == [("a", 1, 2)]
+    v = dataset.unique_violations(df, uc).collect()
+    assert sorted(r.clip_id for r in v) == ["0", "1"]
+    assert all(r.rule_id == "x-unique.(c1,c2)" for r in v)
+    assert all("duplicate (c1,c2) (x2)" == r.message for r in v)
+    # both join plans agree
+    v2 = dataset.unique_violations(df, uc, broadcast_back=False).collect()
+    assert sorted(r.clip_id for r in v2) == ["0", "1"]
+
+
+def test_x_unique_together_spec(spark):
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+    import pytest as _pytest
+    schema = spark.createDataFrame(
+        [("a", 1, "x", 0)],
+        "c1 string, c2 int, clip_id string, part_id int").schema
+    suite = compile_spec(
+        {"type": "object", "x-unique-together": ["c1", "c2"]}, schema)
+    [uc] = suite.unique_checks
+    assert uc.rule_id == "x-unique.(c1,c2)" and uc.columns == ("c1", "c2")
+    # list-of-lists form
+    suite = compile_spec(
+        {"type": "object",
+         "x-unique-together": [["c1", "c2"], ["c2", "clip_id"]]}, schema)
+    assert len(suite.unique_checks) == 2
+    # located SpecErrors
+    for bad in (["c1"], [["c1"]], [["c1", "c1"]], [["c1", "nope"]],
+                "c1", [[1, 2]]):
+        with _pytest.raises(SpecError):
+            compile_spec({"type": "object", "x-unique-together": bad},
+                         schema)

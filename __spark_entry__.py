@@ -81,6 +81,29 @@ def _q_composite_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.unique_violations(clips, uc).select(*_VCOLS)
 
 
+def _q_composite_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composite FK via the root x-ref-together keyword: (codec, sr_hz)
+    # must exist in a capability dim of valid codec×rate pairs (all
+    # combos except mp3@8000 and opus@22050). Violations come from
+    # those two excluded pairs in the base distribution, the rule-0
+    # sr=3000 injection, and the rule-2/3 alien-codec injections.
+    # Broadcast-anti plan, fact side never shuffles.
+    clips = derive.clips_df(spark, sf_dir)
+    pairs = [(c, s) for c in ("pcm_s16le", "flac", "opus", "mp3")
+             for s in derive.SAMPLE_RATES
+             if not (c == "mp3" and s == 8000)
+             and not (c == "opus" and s == 22050)]
+    dim = spark.createDataFrame(pairs, "d_codec string, d_sr int")
+    suite = compile_spec(
+        {"type": "object",
+         "x-ref-together": {"columns": ["codec", "sr_hz"],
+                            "table": "caps",
+                            "keys": ["d_codec", "d_sr"]}},
+        clips.schema)
+    [rc] = suite.ref_checks
+    return dataset.referential_violations(clips, dim, rc).select(*_VCOLS)
+
+
 def _q_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = derive.clips_df(spark, sf_dir)
     rc = _suite(spark, clips).ref_checks[0]
@@ -1866,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_keys": _q_duplicate_keys,
         "unique_violations": _q_unique_violations,
         "composite_unique": _q_composite_unique,
+        "composite_ref": _q_composite_ref,
         "referential": _q_referential,
         "column_stats": _q_column_stats,
         "drift_psi": _q_drift_psi,
@@ -1966,6 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_keys": oracle.sql_duplicate_keys(),
         "unique_violations": oracle.sql_unique_violations(),
         "composite_unique": oracle.sql_composite_unique(),
+        "composite_ref": oracle.sql_composite_ref(),
         "referential": oracle.sql_referential_violations(),
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),

@@ -69,13 +69,25 @@ class UniqueCheck:
 @dataclass(frozen=True)
 class RefCheck:
     """x-ref: values of ``column`` must exist in dimension ``table``.``key``
-    (the $ref-at-scale analog, SURVEY.md §2.2 #17)."""
+    (the $ref-at-scale analog, SURVEY.md §2.2 #17). ``column``/``key``
+    may be tuples of equal length (composite FK — the root
+    `x-ref-together` spec keyword)."""
 
     rule_id: str
-    column: str
+    column: str | tuple[str, ...]
     table: str
-    key: str
+    key: str | tuple[str, ...]
     severity: Severity = Severity.ERROR
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return ((self.column,) if isinstance(self.column, str)
+                else tuple(self.column))
+
+    @property
+    def keys(self) -> tuple[str, ...]:
+        return ((self.key,) if isinstance(self.key, str)
+                else tuple(self.key))
 
 
 @dataclass(frozen=True)

@@ -1107,6 +1107,39 @@ class _Compiler:
                 self.suite.unique_checks.append(UniqueCheck(
                     rule_id=f"x-unique.({','.join(g)})",
                     column=tuple(g)))
+        if "x-ref-together" in node:
+            # composite foreign key: (columns) must exist as a tuple in
+            # dim (keys). Always the broadcast-anti plan (IN-inlining
+            # is single-column).
+            xrt = node["x-ref-together"]
+            if isinstance(xrt, dict):
+                xrt = [xrt]
+            if not isinstance(xrt, list):
+                raise SpecError("$.x-ref-together",
+                                "expects a rule dict or list of them")
+            for i, xr in enumerate(xrt):
+                rpath = f"$.x-ref-together[{i}]"
+                if (not isinstance(xr, dict)
+                        or not all(k in xr
+                                   for k in ("columns", "table", "keys"))):
+                    raise SpecError(rpath,
+                                    "needs {columns, table, keys}")
+                g, ks = xr["columns"], xr["keys"]
+                if (not isinstance(g, list) or not isinstance(ks, list)
+                        or len(g) < 2 or len(g) != len(ks)
+                        or not all(isinstance(c, str) for c in g + ks)):
+                    raise SpecError(rpath, "columns/keys must be equal-"
+                                           "length lists of >= 2 names")
+                if self.schema is not None:
+                    missing = [c for c in g if c not in fields]
+                    if missing:
+                        raise SpecError(rpath, f"columns absent from the "
+                                               f"table schema: {missing}")
+                self.suite.ref_checks.append(RefCheck(
+                    rule_id=f"x-ref.({','.join(g)})",
+                    column=tuple(g), table=xr["table"], key=tuple(ks),
+                    severity=Severity[xr.get("severity",
+                                             "ERROR").upper()]))
         if "x-assert" in node:
             xas = node["x-assert"]
             if isinstance(xas, dict):

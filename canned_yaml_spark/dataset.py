@@ -18,6 +18,9 @@ distributed plan:
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,11 +111,21 @@ def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
     Both are the right default for the enum-like dimensions this
     engine validates against; pass max_inline_keys=0 for live dims.
     """
-    c = check.column
-    dim_keys = (dim.select(F.col(check.key).alias(c))
-                   .filter(F.col(c).isNotNull()).distinct())
+    cols, keys = list(check.columns), list(check.keys)
+    if len(cols) != len(keys):
+        from canned_yaml_spark.errors import SpecError
+        raise SpecError(check.rule_id, f"x-ref column/key arity mismatch: "
+                                       f"{cols} vs {keys}")
+    not_null = reduce(and_, [F.col(c).isNotNull() for c in cols])
+    dim_keys = (dim.select(*[F.col(k).alias(c)
+                             for k, c in zip(keys, cols)])
+                   .filter(reduce(and_, [F.col(c).isNotNull()
+                                         for c in cols]))
+                   .distinct())
     inline = None
-    if max_inline_keys:
+    if max_inline_keys and len(cols) == 1:
+        # IN-list inlining is single-column (a struct-literal IN list
+        # bloats the plan); composite FKs take the anti-join plan.
         head = dim_keys.limit(max_inline_keys + 1).collect()
         if len(head) <= max_inline_keys:
             # deterministic plan text without sorted()'s TypeError on
@@ -120,18 +133,29 @@ def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
             inline = sorted((r[0] for r in head),
                             key=lambda v: (type(v).__name__, repr(v)))
     if inline is not None:
-        viol = df.filter(F.col(c).isNotNull() & ~F.col(c).isin(inline))
+        viol = df.filter(not_null & ~F.col(cols[0]).isin(inline))
     else:
-        viol = (df.filter(F.col(c).isNotNull())
-                  .join(F.broadcast(dim_keys), on=c, how="left_anti"))
+        viol = (df.filter(not_null)
+                  .join(F.broadcast(dim_keys), on=cols, how="left_anti"))
+    if len(cols) == 1:
+        msg = F.concat(F.lit(f"{cols[0]} '"), F.col(cols[0]),
+                       F.lit(f"' not present in "
+                             f"{check.table}.{keys[0]}"))
+    else:
+        parts: list = [F.lit("(" + ",".join(cols) + ") '(")]
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit(","))
+            parts.append(F.col(c).cast("string"))
+        parts.append(F.lit(f")' not present in {check.table}."
+                           f"({','.join(keys)})"))
+        msg = F.concat(*parts)
     return (viol
               .select(F.col(id_col).alias("clip_id"),
                       F.col(part_col).alias("part_id"),
                       F.lit(check.rule_id).alias("rule_id"),
                       F.lit(int(check.severity)).alias("severity"),
-                      F.concat(F.lit(f"{c} '"), F.col(c),
-                               F.lit(f"' not present in {check.table}.{check.key}")
-                               ).alias("message")))
+                      msg.alias("message")))
 
 
 def column_stats(df: DataFrame, columns: list[str],

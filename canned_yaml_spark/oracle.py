@@ -116,6 +116,28 @@ FROM clips c JOIN d ON c.clip_id = d.clip_id AND c.codec = d.codec
 """.strip()
 
 
+def sql_composite_ref() -> str:
+    # restates the x-ref-together (codec, sr_hz) gate: the same valid
+    # codec×rate pair set as VALUES, NOT EXISTS anti-join semantics,
+    # NULL parts excluded like the engine
+    from canned_yaml_spark.derive import SAMPLE_RATES
+    pairs = [(c, s) for c in ("pcm_s16le", "flac", "opus", "mp3")
+             for s in SAMPLE_RATES
+             if not (c == "mp3" and s == 8000)
+             and not (c == "opus" and s == 22050)]
+    values = ", ".join(f"('{c}', {s})" for c, s in pairs)
+    return f"""
+WITH {clips_duckdb_cte()},
+caps(d_codec, d_sr) AS (VALUES {values})
+SELECT clip_id, part_id, 'x-ref.(codec,sr_hz)' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips
+WHERE codec IS NOT NULL AND sr_hz IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM caps
+                  WHERE d_codec = codec AND d_sr = sr_hz)
+""".strip()
+
+
 def sql_referential_violations() -> str:
     return f"""
 WITH {clips_duckdb_cte()}, {codec_dim_duckdb_cte()}

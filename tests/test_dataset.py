@@ -312,3 +312,53 @@ def test_x_unique_together_spec(spark):
         with _pytest.raises(SpecError):
             compile_spec({"type": "object", "x-unique-together": bad},
                          schema)
+
+
+# -------------------------------------------- composite referential (r5)
+def test_composite_referential_violations(spark):
+    from canned_yaml_spark.checks import RefCheck
+    facts = spark.createDataFrame(
+        [("mp3", 44100, "c0", 0), ("mp3", 8000, "c1", 1),
+         ("flac", 48000, "c2", 2), (None, 44100, "c3", 3),
+         ("mp3", None, "c4", 4)],
+        "codec string, sr int, clip_id string, part_id int")
+    dim = spark.createDataFrame(
+        [("mp3", 44100), ("flac", 48000), ("flac", 44100)],
+        "d_codec string, d_sr int")
+    rc = RefCheck(rule_id="x-ref.(codec,sr)", column=("codec", "sr"),
+                  table="caps", key=("d_codec", "d_sr"))
+    v = dataset.referential_violations(facts, dim, rc).collect()
+    # only the ('mp3', 8000) pair violates; NULL parts are presence
+    # problems, excluded like the single-column path
+    assert [r.clip_id for r in v] == ["c1"]
+    assert v[0].rule_id == "x-ref.(codec,sr)"
+    assert "(codec,sr) '(mp3,8000)' not present in caps.(d_codec,d_sr)" \
+        == v[0].message
+    # the plan is broadcast anti (no IN-inlining for composite keys)
+    plan = dataset.referential_violations(facts, dim, rc) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_x_ref_together_spec(spark):
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+    import pytest as _pytest
+    schema = spark.createDataFrame(
+        [("mp3", 44100, "x", 0)],
+        "codec string, sr int, clip_id string, part_id int").schema
+    suite = compile_spec(
+        {"type": "object",
+         "x-ref-together": {"columns": ["codec", "sr"], "table": "caps",
+                            "keys": ["d_codec", "d_sr"],
+                            "severity": "WARN"}}, schema)
+    [rc] = suite.ref_checks
+    assert rc.columns == ("codec", "sr") and rc.keys == ("d_codec", "d_sr")
+    assert rc.table == "caps" and rc.rule_id == "x-ref.(codec,sr)"
+    for bad in ({"columns": ["codec"], "table": "t", "keys": ["k"]},
+                {"columns": ["codec", "sr"], "table": "t", "keys": ["k"]},
+                {"columns": ["codec", "nope"], "table": "t",
+                 "keys": ["a", "b"]},
+                {"table": "t"}, "nope"):
+        with _pytest.raises(SpecError):
+            compile_spec({"type": "object", "x-ref-together": bad}, schema)

@@ -97,6 +97,23 @@ def main() -> int:
           dataset.unique_violations(clips, suite.unique_checks[0]),
           [("agg then broadcast-back", lambda p: "BroadcastHashJoin" in p)],
           "hash agg on key; defect-sized dup set broadcast back")
+    from canned_yaml_spark.checks import RefCheck, UniqueCheck
+    audit("composite uniqueness (x-unique-together)",
+          dataset.unique_violations(
+              clips, UniqueCheck(rule_id="x-unique.(clip_id,codec)",
+                                 column=("clip_id", "codec"))),
+          [("agg then broadcast-back", lambda p: "BroadcastHashJoin" in p)],
+          "tuple groupBy — still ONE shuffle; dup set broadcast back")
+    audit("composite referential (x-ref-together)",
+          dataset.referential_violations(
+              clips, dim.withColumnRenamed("codec", "d_codec")
+                        .withColumn("d_sr", F.lit(48000)),
+              RefCheck(rule_id="x-ref.(codec,sr_hz)",
+                       column=("codec", "sr_hz"), table="caps",
+                       key=("d_codec", "d_sr"))),
+          [("broadcast anti", lambda p: "BroadcastHashJoin" in p
+            and "LeftAnti" in p)],
+          "fact side never shuffles; composite key tuple broadcast")
     audit("grouped_exact_median",
           dataset.grouped_exact_median(clips, "codec", "dur_ms"),
           [("value-redistributed agg first",

@@ -904,6 +904,23 @@ def _q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.session_stats(events, gap_s=43200.0)
 
 
+def _q_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-monotonic ordering invariant over the events table: value
+    # must be non-decreasing per user in event_id order (the synthetic
+    # values are random, so roughly half the in-group steps violate —
+    # a dense, deterministic violation set). ONE shuffle on user_id +
+    # per-user window; oracle restates the identical lag window with
+    # the same deterministic (order_by, column, id) ordering.
+    from canned_yaml_spark import events as ev
+    spec = {"type": "object",
+            "x-monotonic": {"column": "value", "partition_by": "user_id",
+                            "order_by": "event_id"}}
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = compile_spec(spec, events.schema)
+    [mc] = suite.monotonic_checks
+    return ev.monotonic_violations(events, mc).select(*_VCOLS)
+
+
 def _q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x-freshness: per-event-type ingestion lag behind the table's
     # newest event (epoch-second difference). One algebraic agg +
@@ -1951,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inferred_rules": _q_inferred_rules,
         "anomaly_report": _q_anomaly_report,
         "sessions": _q_sessions,
+        "monotonic": _q_monotonic,
         "freshness_report": _q_freshness_report,
         "asof_join": _q_asof_join,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
@@ -2054,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "inferred_rules": oracle.sql_inferred_rules(),
         "anomaly_report": oracle.sql_anomaly_report(),
         "sessions": oracle.sql_sessions(),
+        "monotonic": oracle.sql_monotonic(),
         "freshness_report": oracle.sql_freshness_report(),
         "asof_join": oracle.sql_asof_join(),
         "downmix": oracle.sql_downmix(),

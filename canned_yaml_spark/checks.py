@@ -342,6 +342,26 @@ class FrequencyCheck:
     severity: Severity = Severity.WARN
 
 
+@dataclass(frozen=True)
+class MonotonicCheck:
+    """x-monotonic: within each ``partition_by`` group, ordered by
+    ``order_by``, ``column`` must be non-decreasing (``strict=True``:
+    strictly increasing) — the ingest-order invariant ("event time
+    never goes backwards in write order", "version counters only go
+    up"). NULL values of ``column`` are absent-not-validated (dropped
+    before the window, so they neither violate nor serve as the
+    previous value). Ordering is made fully deterministic by
+    tie-breaking on (column, id) so both engines flag identical
+    rows."""
+
+    rule_id: str
+    column: str
+    partition_by: str
+    order_by: str
+    strict: bool = False
+    severity: Severity = Severity.ERROR
+
+
 @dataclass
 class CheckSuite:
     """Everything compiled from one spec.
@@ -366,6 +386,7 @@ class CheckSuite:
     completeness_checks: list[CompletenessCheck] = field(default_factory=list)
     frequency_checks: list[FrequencyCheck] = field(default_factory=list)
     anomaly_checks: list[AnomalyCheck] = field(default_factory=list)
+    monotonic_checks: list[MonotonicCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -389,6 +410,7 @@ class CheckSuite:
             ("completeness", self.completeness_checks),
             ("frequency", self.frequency_checks),
             ("anomaly", self.anomaly_checks),
+            ("monotonic", self.monotonic_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

@@ -35,7 +35,8 @@ from pyspark.sql import types as T
 from canned_yaml_spark.checks import (
     AnomalyCheck, AudioStatsCheck, CatDriftCheck, Check, CheckSuite,
     CompletenessCheck,
-    DriftCheck, FrequencyCheck, LoudnessCheck, PayloadCheck, QuantileCheck,
+    DriftCheck, FrequencyCheck, LoudnessCheck, MonotonicCheck,
+    PayloadCheck, QuantileCheck,
     RefCheck, MediaCheck, Severity, SpectralCheck, TranscriptCheck,
     UniqueCheck,
 )
@@ -1107,6 +1108,42 @@ class _Compiler:
                 self.suite.unique_checks.append(UniqueCheck(
                     rule_id=f"x-unique.({','.join(g)})",
                     column=tuple(g)))
+        if "x-monotonic" in node:
+            # ordering invariant: column non-decreasing (or strictly
+            # increasing) within partition_by groups, ordered by
+            # order_by — one shuffle + per-group window
+            # (events.monotonic_violations)
+            xms = node["x-monotonic"]
+            if isinstance(xms, dict):
+                xms = [xms]
+            if not isinstance(xms, list):
+                raise SpecError("$.x-monotonic",
+                                "expects a rule dict or list of them")
+            for i, xm in enumerate(xms):
+                mpath = f"$.x-monotonic[{i}]"
+                if (not isinstance(xm, dict)
+                        or not all(k in xm for k in
+                                   ("column", "partition_by",
+                                    "order_by"))):
+                    raise SpecError(mpath, "needs {column, partition_by,"
+                                           " order_by, strict?}")
+                for k in ("column", "partition_by", "order_by"):
+                    col = xm[k]
+                    if not isinstance(col, str):
+                        raise SpecError(f"{mpath}.{k}",
+                                        "must be a column name")
+                    if self.schema is not None and col not in fields:
+                        raise SpecError(f"{mpath}.{k}",
+                                        f"column '{col}' absent from "
+                                        f"the table schema")
+                self.suite.monotonic_checks.append(MonotonicCheck(
+                    rule_id=f"x-monotonic.{xm['column']}",
+                    column=xm["column"],
+                    partition_by=xm["partition_by"],
+                    order_by=xm["order_by"],
+                    strict=bool(xm.get("strict", False)),
+                    severity=Severity[xm.get("severity",
+                                             "ERROR").upper()]))
         if "x-ref-together" in node:
             # composite foreign key: (columns) must exist as a tuple in
             # dim (keys). Always the broadcast-anti plan (IN-inlining

@@ -168,3 +168,48 @@ def asof_join(left: DataFrame, right: DataFrame, *,
             F.round(gap_us / F.lit(1e6), 6).alias("asof_gap_s"))
     return out.select("_l.*",
                       *[f"asof_{c}" for c in right_cols], "asof_gap_s")
+
+
+def monotonic_violations(df: DataFrame, check,
+                         id_col: str = "event_id") -> DataFrame:
+    """Rows that break an ordering invariant: within each
+    ``check.partition_by`` group, ordered by ``check.order_by``,
+    ``check.column`` must be non-decreasing (strictly increasing with
+    ``check.strict``) — "event time never goes backwards in write
+    order", "version counters only go up".
+
+    Output: (clip_id, part_id, rule_id, severity, message) — the
+    violation surface every other check family emits; clip_id carries
+    the row's ``id_col``, part_id the group key.
+
+    Semantics:
+    - NULL ``column`` values are absent-not-validated: dropped BEFORE
+      the window, so they neither violate nor serve as anyone's
+      previous value (the same convention as every value rule).
+    - the window ordering is (order_by, column, id) — fully
+      deterministic even with order_by ties, so the engine and the
+      DuckDB oracle flag the IDENTICAL rows. With non-strict
+      semantics the tie-break on column means equal-order rows sort
+      by value and never false-fire.
+
+    Scale shape: ONE shuffle on the group key + a per-group sorted
+    window — the sessionize plan. Ordering is inherently per-group
+    serial (salting cannot apply); per-group row counts bound task
+    memory, which is the operator's contract, same as every
+    production ordering validator.
+    """
+    c, ob, pb = check.column, check.order_by, check.partition_by
+    w = (Window.partitionBy(pb)
+               .orderBy(F.col(ob), F.col(c), F.col(id_col)))
+    pv = F.col("_prev")
+    breach = (F.col(c) <= pv) if check.strict else (F.col(c) < pv)
+    kind = "did not increase" if check.strict else "decreased"
+    return (df.filter(F.col(c).isNotNull())
+              .withColumn("_prev", F.lag(c).over(w))
+              .filter(pv.isNotNull() & breach)
+              .select(F.col(id_col).cast("string").alias("clip_id"),
+                      F.col(pb).cast("string").alias("part_id"),
+                      F.lit(check.rule_id).alias("rule_id"),
+                      F.lit(int(check.severity)).alias("severity"),
+                      F.lit(f"{c} {kind} vs previous row "
+                            f"({ob} order within {pb})").alias("message")))

@@ -1984,6 +1984,26 @@ def sql_inferred_rules() -> str:
             f"SELECT * FROM ({union}) ORDER BY col, keyword")
 
 
+def sql_monotonic() -> str:
+    """Restates the x-monotonic gate: the identical lag window —
+    PARTITION BY user_id ORDER BY (event_id, value, event_id) — over
+    NULL-filtered events; a row violates when value < its
+    predecessor. Double comparisons of identical stored values are
+    exact in both engines."""
+    return """
+WITH e AS (SELECT event_id, user_id, value FROM events
+           WHERE value IS NOT NULL),
+l AS (SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY event_id, value, event_id) AS prev
+      FROM e)
+SELECT CAST(event_id AS VARCHAR) AS clip_id,
+       CAST(user_id AS VARCHAR) AS part_id,
+       'x-monotonic.value' AS rule_id, CAST(2 AS INT) AS severity
+FROM l WHERE prev IS NOT NULL AND value < prev
+""".strip()
+
+
 def sql_sessions() -> str:
     # gap sessionization restated with DuckDB windows: identical
     # (time, event_id) ordering tie-break, identical 12 h gap test in

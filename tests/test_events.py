@@ -140,3 +140,52 @@ def test_asof_join_keeps_left_columns(spark):
                        right_cols=("event_id", "event_type")).collect()[0]
     assert row.event_type == "payload"          # left columns intact
     assert row.asof_event_type == "r"           # right payload carried
+
+
+# --------------------------------------------------- x-monotonic (r5)
+def test_monotonic_violations_hand_case(spark):
+    from canned_yaml_spark.checks import MonotonicCheck, Severity
+    from canned_yaml_spark.events import monotonic_violations
+    df = spark.createDataFrame(
+        [  # user 1: 10, 10, 9, 12  ordered by event_id
+         (1, 1, 10.0), (2, 1, 10.0), (3, 1, 9.0), (4, 1, 12.0),
+         # user 2: clean ascent + a NULL in the middle (not validated,
+         # not a previous value: 5 -> NULL -> 7 is clean)
+         (5, 2, 5.0), (6, 2, None), (7, 2, 7.0)],
+        "event_id long, user_id long, v double")
+    mc = MonotonicCheck(rule_id="x-monotonic.v", column="v",
+                        partition_by="user_id", order_by="event_id")
+    got = monotonic_violations(df, mc).collect()
+    assert [(r.clip_id, r.part_id) for r in got] == [("3", "1")]
+    assert got[0].rule_id == "x-monotonic.v"
+    # strict mode also flags the 10 -> 10 plateau
+    mc2 = MonotonicCheck(rule_id="x-monotonic.v", column="v",
+                         partition_by="user_id", order_by="event_id",
+                         strict=True)
+    got2 = sorted(r.clip_id for r in
+                  monotonic_violations(df, mc2).collect())
+    assert got2 == ["2", "3"]
+
+
+def test_x_monotonic_spec_compile(spark):
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+    import pytest as _pytest
+    schema = spark.createDataFrame(
+        [(1, 1, 1.0)], "event_id long, user_id long, v double").schema
+    suite = compile_spec(
+        {"type": "object",
+         "x-monotonic": {"column": "v", "partition_by": "user_id",
+                         "order_by": "event_id", "severity": "WARN"}},
+        schema)
+    [mc] = suite.monotonic_checks
+    assert (mc.column, mc.partition_by, mc.order_by, mc.strict) \
+        == ("v", "user_id", "event_id", False)
+    for bad in ({"column": "v"},
+                {"column": "nope", "partition_by": "user_id",
+                 "order_by": "event_id"},
+                {"column": "v", "partition_by": "user_id",
+                 "order_by": 7},
+                "nope"):
+        with _pytest.raises(SpecError):
+            compile_spec({"type": "object", "x-monotonic": bad}, schema)

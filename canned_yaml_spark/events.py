@@ -197,6 +197,13 @@ def monotonic_violations(df: DataFrame, check,
     serial (salting cannot apply); per-group row counts bound task
     memory, which is the operator's contract, same as every
     production ordering validator.
+
+    Wiring note (job.all_violations): part_id carries the ORDERING
+    group (``partition_by``), so verdicts aggregate it per that group;
+    declare ``partition_by`` = the job's part_col when you want the
+    rule to roll up into the same per-partition verdicts as the row
+    suite — that also makes it resume-safe (a resume scope never
+    splits an ordering group).
     """
     c, ob, pb = check.column, check.order_by, check.partition_by
     w = (Window.partitionBy(pb)
@@ -207,8 +214,8 @@ def monotonic_violations(df: DataFrame, check,
     return (df.filter(F.col(c).isNotNull())
               .withColumn("_prev", F.lag(c).over(w))
               .filter(pv.isNotNull() & breach)
-              .select(F.col(id_col).cast("string").alias("clip_id"),
-                      F.col(pb).cast("string").alias("part_id"),
+              .select(F.col(id_col).alias("clip_id"),
+                      F.col(pb).alias("part_id"),
                       F.lit(check.rule_id).alias("rule_id"),
                       F.lit(int(check.severity)).alias("severity"),
                       F.lit(f"{c} {kind} vs previous row "

@@ -156,6 +156,16 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         if cc.column in clips.columns:
             out = out.unionByName(
                 drift.chi2_violations(clips, cc, part_col))
+    for mc in suite.monotonic_checks:
+        if all(c in clips.columns for c in
+               (mc.column, mc.partition_by, mc.order_by)):
+            from canned_yaml_spark import events as _events
+            mv = _events.monotonic_violations(clips, mc, id_col=id_col)
+            # align id/part types with the row-suite frame (a spec may
+            # partition the ordering by any column)
+            mv = mv.select(*[F.col(c).cast(out.schema[c].dataType)
+                             for c in out.columns])
+            out = out.unionByName(mv)
     return out
 
 

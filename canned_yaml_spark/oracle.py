@@ -1997,8 +1997,7 @@ l AS (SELECT event_id, user_id, value,
              lag(value) OVER (PARTITION BY user_id
                               ORDER BY event_id, value, event_id) AS prev
       FROM e)
-SELECT CAST(event_id AS VARCHAR) AS clip_id,
-       CAST(user_id AS VARCHAR) AS part_id,
+SELECT event_id AS clip_id, user_id AS part_id,
        'x-monotonic.value' AS rule_id, CAST(2 AS INT) AS severity
 FROM l WHERE prev IS NOT NULL AND value < prev
 """.strip()

@@ -156,7 +156,7 @@ def test_monotonic_violations_hand_case(spark):
     mc = MonotonicCheck(rule_id="x-monotonic.v", column="v",
                         partition_by="user_id", order_by="event_id")
     got = monotonic_violations(df, mc).collect()
-    assert [(r.clip_id, r.part_id) for r in got] == [("3", "1")]
+    assert [(r.clip_id, r.part_id) for r in got] == [(3, 1)]
     assert got[0].rule_id == "x-monotonic.v"
     # strict mode also flags the 10 -> 10 plateau
     mc2 = MonotonicCheck(rule_id="x-monotonic.v", column="v",
@@ -164,7 +164,7 @@ def test_monotonic_violations_hand_case(spark):
                          strict=True)
     got2 = sorted(r.clip_id for r in
                   monotonic_violations(df, mc2).collect())
-    assert got2 == ["2", "3"]
+    assert got2 == [2, 3]
 
 
 def test_x_monotonic_spec_compile(spark):
@@ -189,3 +189,18 @@ def test_x_monotonic_spec_compile(spark):
                 "nope"):
         with _pytest.raises(SpecError):
             compile_spec({"type": "object", "x-monotonic": bad}, schema)
+
+
+def test_x_monotonic_wired_into_job(spark):
+    from canned_yaml_spark import job
+    df = spark.createDataFrame(
+        [("a", 0, 1, 10.0), ("b", 0, 2, 9.0), ("c", 1, 3, 5.0)],
+        "clip_id string, part_id int, seq long, v double")
+    spec = {"type": "object",
+            "x-monotonic": {"column": "v", "partition_by": "part_id",
+                            "order_by": "seq"}}
+    from canned_yaml_spark.compile import compile_spec
+    suite = compile_spec(spec, df.schema)
+    out = job.all_violations(df, suite).collect()
+    assert [(r.clip_id, r.part_id, r.rule_id) for r in out] \
+        == [("b", 0, "x-monotonic.v")]

@@ -81,6 +81,27 @@ def _q_composite_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset.unique_violations(clips, uc).select(*_VCOLS)
 
 
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-absent deny-list: clip_ids derived from every 101st-with-
+    # residue-5 order key form the blocklist (simulating a known-bad
+    # content id list); rows still carrying one of those ids violate.
+    # Forced onto the broadcast LEFT SEMI plan (max_inline_keys=0) —
+    # the realistic posture for unboundedly-growing blocklists; the
+    # fact side never shuffles.
+    clips = derive.clips_df(spark, sf_dir)
+    block = spark.sql(
+        "SELECT format_string('clip_%010d', o_orderkey) AS bad_id "
+        "FROM orders WHERE o_orderkey % 101 = 5")
+    spec = {"type": "object",
+            "properties": {"clip_id": {"x-absent": {"table": "blocklist",
+                                                    "key": "bad_id"}}}}
+    suite = compile_spec(spec, clips.schema)
+    [ac] = suite.absent_checks
+    return (dataset.absent_violations(clips, block, ac,
+                                      max_inline_keys=0)
+            .select(*_VCOLS))
+
+
 def _q_composite_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     # composite FK via the root x-ref-together keyword: (codec, sr_hz)
     # must exist in a capability dim of valid codec×rate pairs (all
@@ -1907,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_violations": _q_unique_violations,
         "composite_unique": _q_composite_unique,
         "composite_ref": _q_composite_ref,
+        "blocklist": _q_blocklist,
         "referential": _q_referential,
         "column_stats": _q_column_stats,
         "drift_psi": _q_drift_psi,
@@ -2009,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "unique_violations": oracle.sql_unique_violations(),
         "composite_unique": oracle.sql_composite_unique(),
         "composite_ref": oracle.sql_composite_ref(),
+        "blocklist": oracle.sql_blocklist(),
         "referential": oracle.sql_referential_violations(),
         "column_stats": oracle.sql_column_stats(),
         "drift_psi": oracle.sql_drift_psi(),

@@ -387,6 +387,7 @@ class CheckSuite:
     frequency_checks: list[FrequencyCheck] = field(default_factory=list)
     anomaly_checks: list[AnomalyCheck] = field(default_factory=list)
     monotonic_checks: list[MonotonicCheck] = field(default_factory=list)
+    absent_checks: list[RefCheck] = field(default_factory=list)
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -411,6 +412,7 @@ class CheckSuite:
             ("frequency", self.frequency_checks),
             ("anomaly", self.anomaly_checks),
             ("monotonic", self.monotonic_checks),
+            ("absent", self.absent_checks),
         ):
             for c in items:
                 lines.append(f"  tbl {group}: {c.rule_id}")

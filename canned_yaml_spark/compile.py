@@ -1274,6 +1274,18 @@ class _Compiler:
             self.suite.ref_checks.append(RefCheck(
                 rule_id=f"x-ref.{column}", column=column,
                 table=xr["table"], key=xr["key"]))
+        if "x-absent" in sub:
+            # deny-list mirror of x-ref: the value must NOT exist in
+            # the dimension (blocklists: known-bad hashes, revoked ids)
+            xa = sub["x-absent"]
+            if not isinstance(xa, dict) or not all(
+                    k in xa for k in ("table", "key")):
+                raise SpecError(f"$.properties.{column}.x-absent",
+                                "needs {table, key}")
+            self.suite.absent_checks.append(RefCheck(
+                rule_id=f"x-absent.{column}", column=column,
+                table=xa["table"], key=xa["key"],
+                severity=Severity[xa.get("severity", "ERROR").upper()]))
         if "x-payload" in sub:
             xp = sub["x-payload"] if isinstance(sub["x-payload"], dict) else {}
             self.suite.payload_checks.append(PayloadCheck(

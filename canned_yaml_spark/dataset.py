@@ -158,6 +158,48 @@ def referential_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
                       msg.alias("message")))
 
 
+def absent_violations(df: DataFrame, dim: DataFrame, check: RefCheck,
+                      id_col: str = "clip_id",
+                      part_col: str = "part_id",
+                      max_inline_keys: int = 10_000) -> DataFrame:
+    """Deny-list referential: rows whose ``column`` value DOES exist in
+    dim.``key`` — the blocklist check (known-bad content hashes,
+    revoked ids, embargoed sources) every training-data pipeline runs
+    right next to the allow-list x-ref. Same two plans, mirrored:
+
+    - small dim: the key set compiles into the scan predicate as IN —
+      codegen, no join, row-group-prunable;
+    - large dim (the realistic posture — blocklists grow unboundedly):
+      broadcast LEFT SEMI join; the fact side never shuffles.
+
+    NULL fact values cannot be on a blocklist — excluded, like every
+    value rule.
+    """
+    c = check.column
+    dim_keys = (dim.select(F.col(check.key).alias(c))
+                   .filter(F.col(c).isNotNull()).distinct())
+    inline = None
+    if max_inline_keys:
+        head = dim_keys.limit(max_inline_keys + 1).collect()
+        if len(head) <= max_inline_keys:
+            inline = sorted((r[0] for r in head),
+                            key=lambda v: (type(v).__name__, repr(v)))
+    if inline is not None:
+        viol = df.filter(F.col(c).isNotNull() & F.col(c).isin(inline))
+    else:
+        viol = (df.filter(F.col(c).isNotNull())
+                  .join(F.broadcast(dim_keys), on=c, how="left_semi"))
+    return (viol
+              .select(F.col(id_col).alias("clip_id"),
+                      F.col(part_col).alias("part_id"),
+                      F.lit(check.rule_id).alias("rule_id"),
+                      F.lit(int(check.severity)).alias("severity"),
+                      F.concat(F.lit(f"{c} '"), F.col(c).cast("string"),
+                               F.lit(f"' is on the blocklist "
+                                     f"{check.table}.{check.key}")
+                               ).alias("message")))
+
+
 def column_stats(df: DataFrame, columns: list[str],
                  part_col: str = "part_id") -> DataFrame:
     """Per-partition profile of numeric columns (SURVEY.md §2.2 #20).

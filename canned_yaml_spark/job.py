@@ -88,6 +88,13 @@ def all_violations(clips: DataFrame, suite: CheckSuite, *,
         out = out.unionByName(
             dataset.referential_violations(clips, dims[rc.table], rc,
                                            id_col, part_col))
+    for ac in suite.absent_checks:
+        if ac.table not in dims:
+            raise KeyError(f"x-absent check {ac.rule_id} needs dimension "
+                           f"table '{ac.table}' in dims")
+        out = out.unionByName(
+            dataset.absent_violations(clips, dims[ac.table], ac,
+                                      id_col, part_col))
     for dc in suite.drift_checks:
         out = out.unionByName(
             drift.psi_violations(clips, dc, expected_hist, part_col))

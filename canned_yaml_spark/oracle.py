@@ -116,6 +116,21 @@ FROM clips c JOIN d ON c.clip_id = d.clip_id AND c.codec = d.codec
 """.strip()
 
 
+def sql_blocklist() -> str:
+    # restates the x-absent gate: the same derived blocklist as a
+    # subquery, EXISTS semi-join semantics, NULL excluded
+    return f"""
+WITH {clips_duckdb_cte()},
+block AS (SELECT printf('clip_%010d', o_orderkey) AS bad_id
+          FROM orders WHERE o_orderkey % 101 = 5)
+SELECT clip_id, part_id, 'x-absent.clip_id' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM clips
+WHERE clip_id IS NOT NULL
+  AND EXISTS (SELECT 1 FROM block WHERE bad_id = clip_id)
+""".strip()
+
+
 def sql_composite_ref() -> str:
     # restates the x-ref-together (codec, sr_hz) gate: the same valid
     # codec×rate pair set as VALUES, NOT EXISTS anti-join semantics,

@@ -362,3 +362,53 @@ def test_x_ref_together_spec(spark):
                 {"table": "t"}, "nope"):
         with _pytest.raises(SpecError):
             compile_spec({"type": "object", "x-ref-together": bad}, schema)
+
+
+# ---------------------------------------------- x-absent blocklist (r5)
+def test_absent_violations_both_plans(spark):
+    from canned_yaml_spark.checks import RefCheck
+    facts = spark.createDataFrame(
+        [("h1", "a", 0), ("h2", "b", 1), (None, "c", 2), ("h9", "d", 3)],
+        "h string, clip_id string, part_id int")
+    block = spark.createDataFrame([("h2",), ("h7",), (None,)],
+                                  "bad string")
+    rc = RefCheck(rule_id="x-absent.h", column="h",
+                  table="blocklist", key="bad")
+    v = dataset.absent_violations(facts, block, rc).collect()
+    # only h2 is blocked; NULL fact values are never on a blocklist
+    assert [(r.clip_id, r.rule_id) for r in v] == [("b", "x-absent.h")]
+    assert "h 'h2' is on the blocklist blocklist.bad" == v[0].message
+    # semi-join plan (big-dim posture) agrees
+    v2 = dataset.absent_violations(facts, block, rc,
+                                   max_inline_keys=0).collect()
+    assert [r.clip_id for r in v2] == ["b"]
+    plan = dataset.absent_violations(facts, block, rc, max_inline_keys=0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_x_absent_spec_and_job_wiring(spark):
+    from canned_yaml_spark import job
+    from canned_yaml_spark.compile import compile_spec
+    from canned_yaml_spark.errors import SpecError
+    import pytest as _pytest
+    facts = spark.createDataFrame(
+        [("h1", "a", 0), ("h2", "b", 1)],
+        "h string, clip_id string, part_id int")
+    block = spark.createDataFrame([("h2",)], "bad string")
+    spec = {"type": "object",
+            "properties": {"h": {"x-absent": {"table": "blocklist",
+                                              "key": "bad",
+                                              "severity": "WARN"}}}}
+    suite = compile_spec(spec, facts.schema)
+    [ac] = suite.absent_checks
+    assert ac.rule_id == "x-absent.h" and int(ac.severity) == 1
+    out = job.all_violations(facts, suite,
+                             dims={"blocklist": block}).collect()
+    assert [(r.clip_id, r.rule_id) for r in out] == [("b", "x-absent.h")]
+    with _pytest.raises(KeyError):
+        job.all_violations(facts, suite, dims={})
+    with _pytest.raises(SpecError):
+        compile_spec({"type": "object",
+                      "properties": {"h": {"x-absent": {"table": "t"}}}},
+                     facts.schema)

@@ -114,6 +114,27 @@ def main() -> int:
           [("broadcast anti", lambda p: "BroadcastHashJoin" in p
             and "LeftAnti" in p)],
           "fact side never shuffles; composite key tuple broadcast")
+    audit("x-absent blocklist (semi-join posture)",
+          dataset.absent_violations(
+              clips, dim.select(F.col("codec").alias("bad")),
+              RefCheck(rule_id="x-absent.codec", column="codec",
+                       table="blocklist", key="bad"),
+              max_inline_keys=0),
+          [("broadcast semi", lambda p: "BroadcastHashJoin" in p
+            and "LeftSemi" in p)],
+          "blocklist broadcast; fact side never shuffles")
+    from canned_yaml_spark.checks import MonotonicCheck
+    from canned_yaml_spark import events as _events
+    audit("x-monotonic (ordering invariant)",
+          _events.monotonic_violations(
+              clips.withColumn("seq", F.monotonically_increasing_id()),
+              MonotonicCheck(rule_id="x-monotonic.dur_ms",
+                             column="dur_ms", partition_by="part_id",
+                             order_by="seq"), id_col="clip_id"),
+          [("one exchange", lambda p: p.count("Exchange")
+            - p.count("ReusedExchange") == 1),
+           ("window", lambda p: "Window" in p)],
+          "ONE shuffle on the group key + per-group lag window")
     audit("grouped_exact_median",
           dataset.grouped_exact_median(clips, "codec", "dur_ms"),
           [("value-redistributed agg first",

@@ -459,6 +459,19 @@ def _q_repetition_rule(spark, sf_dir):
                            part_col="source").select(*_VCOLS))
 
 
+def _q_pack_plan(spark, sf_dir):
+    # concat-and-chunk packing plan as a two-pass distributed prefix
+    # sum (per-group subtotals -> tiny cumsum -> broadcast bases +
+    # per-group window), packed by n_chars with a 4096 budget. The
+    # oracle is the STRAIGHT single-window global cumsum — proving the
+    # distributed decomposition exactly equals the one-reducer
+    # definition in int64 arithmetic.
+    from canned_yaml_spark import pack
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").alias("n_tokens"))
+    return pack.pack_offsets(docs, budget=4096, group_span=64)
+
+
 def _q_repetition_stats(spark, sf_dir):
     # Gopher-style duplicate n-gram fractions (n=1,2,3): split →
     # sequence/transform/slice → array_distinct, one codegen
@@ -1957,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
         "repetition_rule": _q_repetition_rule,
+        "pack_plan": _q_pack_plan,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -2062,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oracle.sql_token_stats(),
         "repetition_stats": oracle.sql_repetition_stats(),
         "repetition_rule": oracle.sql_repetition_rule(),
+        "pack_plan": oracle.sql_pack_plan(),
         "quality_score": oracle.sql_quality_score(),
         "lang_id": oracle.sql_lang_id(),
         "fingerprint": oracle.sql_fingerprint(),

@@ -870,6 +870,30 @@ FROM g
 """.strip()
 
 
+def sql_pack_plan() -> str:
+    """Restates the packing plan as the straight global cumsum the
+    distributed prefix sum must equal: one SUM() OVER (ORDER BY
+    doc_id) window, exact integer arithmetic, bins by floor
+    division."""
+    return """
+WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+c AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS off
+      FROM d)
+SELECT doc_id, n AS n_tokens, CAST(off AS BIGINT) AS start_offset,
+       CAST(CASE WHEN n > 0 THEN off // 4096 END AS BIGINT) AS first_bin,
+       CAST(CASE WHEN n > 0 THEN (off + n - 1) // 4096 END AS BIGINT)
+           AS last_bin,
+       CAST(CASE WHEN n > 0
+                 THEN (off + n - 1) // 4096 - off // 4096 + 1
+                 ELSE 0 END AS BIGINT) AS n_bins
+FROM c
+""".strip()
+
+
 def sql_repetition_rule() -> str:
     """Restates the x-repetition gate: duplicate-bigram fraction
     > 0.05 over documents.text — same tokenization, same list algebra

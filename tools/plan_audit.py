@@ -135,6 +135,21 @@ def main() -> int:
             - p.count("ReusedExchange") == 1),
            ("window", lambda p: "Window" in p)],
           "ONE shuffle on the group key + per-group lag window")
+    from canned_yaml_spark import pack as _pack
+    audit("token-packing plan (distributed prefix sum)",
+          _pack.pack_offsets(
+              clips.select(F.col("clip_id"), F.col("dur_ms"))
+                   .withColumn("doc_id", F.monotonically_increasing_id())
+                   .select("doc_id", F.col("dur_ms").alias("n_tokens")),
+              budget=4096, group_span=64),
+          [("no table-sized single-partition window",
+            # the only SinglePartition exchange feeds the groups-frame
+            # cumsum (G rows); the table-sized side shuffles by _g
+            lambda p: p.count("SinglePartition") <= 1),
+           ("two windows (tiny cumsum + per-group)",
+            lambda p: p.count("Window") >= 2)],
+          "global prefix sum without the one-reducer window: group "
+          "subtotals -> G-row cumsum -> broadcast bases")
     audit("grouped_exact_median",
           dataset.grouped_exact_median(clips, "codec", "dur_ms"),
           [("value-redistributed agg first",

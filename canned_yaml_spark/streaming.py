@@ -94,6 +94,35 @@ def stream_ref_violations(stream_df: DataFrame, clips_ref: DataFrame,
     return out
 
 
+def stream_absent_violations(stream_df: DataFrame, blocklist: DataFrame,
+                             suite: CheckSuite,
+                             id_col: str = "clip_id",
+                             part_col: str = "part_id") -> DataFrame:
+    """x-absent deny-list checks over a STREAM: each micro-batch
+    stream-static LEFT SEMI joins against the static blocklist —
+    continuous-ingest blocking of known-bad ids/hashes with the SAME
+    operator the batch path uses (absent_violations is a plain
+    DataFrame transform; Structured Streaming supports stateless
+    stream-static semi-joins, so it composes unchanged).
+
+    The inline-IN plan snapshots at plan build, which for a stream
+    would freeze the blocklist for the query's lifetime — so the
+    stream path always takes the join (max_inline_keys=0): the static
+    side is re-planned each micro-batch, picking up blocklist
+    appends between triggers. Append-safe: no watermark, no state.
+    """
+    from canned_yaml_spark import dataset as ds
+    parts = [ds.absent_violations(stream_df, blocklist, ac,
+                                  id_col, part_col, max_inline_keys=0)
+             for ac in suite.absent_checks]
+    if not parts:
+        raise ValueError("suite has no x-absent checks")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def running_verdicts(stream_df: DataFrame, suite: CheckSuite,
                      part_col: str = "part_id",
                      state_timeout_ms: int = 600_000) -> DataFrame:

@@ -544,3 +544,36 @@ def test_stream_new_vocabulary_matches_batch(spark, tmp_path):
     key = ["clip_id", "rule_id"]
     assert got.count() == want.count()
     assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_stream_absent_blocklist_matches_batch(spark, tmp_path):
+    # x-absent over a stream: stream-static LEFT SEMI per micro-batch
+    from canned_yaml_spark import dataset as ds
+    from canned_yaml_spark.compile import compile_spec
+    src = str(tmp_path / "src_blk")
+    out = str(tmp_path / "viol_blk")
+    chk = str(tmp_path / "chk_blk")
+
+    clips = fixtures.clips_df(spark, 300, max_samples=16)
+    block = clips.select(F.col("clip_id").alias("bad_id")) \
+                 .filter(F.xxhash64("bad_id") % 5 == 0)
+    spec = {"type": "object",
+            "properties": {"clip_id": {"x-absent": {"table": "blocklist",
+                                                    "key": "bad_id"}}}}
+    suite = compile_spec(spec, clips.schema)
+    clips.write.parquet(src)
+
+    stream = spark.readStream.schema(clips.schema).parquet(src)
+    q = (streaming.stream_absent_violations(stream, block, suite)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    [ac] = suite.absent_checks
+    want = ds.absent_violations(clips, block, ac, max_inline_keys=0)
+    assert want.count() > 0
+    assert got.count() == want.count()
+    key = ["clip_id", "rule_id"]
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0

@@ -214,6 +214,28 @@ def _q_draft07_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_violations(t, suite).select(*_VCOLS)
 
 
+def _q_draft2020_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 2020-12 array-applicator batch over the nested corpus:
+    # prefixItems (positional number duck on pair[0], rule-4 'x123'
+    # fires) with `items` demoted to the REST of the array (boolean
+    # duck over a slice — rule-5 'maybe' fires; still forall algebra,
+    # no explode), and min/maxContains bounding the contains MATCH
+    # COUNT on tags (rule-1 empty + every 1-tag row under minContains
+    # 2; rule-0's five-word dup burst over maxContains 4; rule-3's
+    # [word, NULL] row exercises the optimistic-vs-definite 3VL count
+    # split that the oracle restates verbatim). Same single codegen
+    # span as every other row suite.
+    spec = {"type": "object",
+            "properties": {
+                "pair": {"prefixItems": [{"type": "number"}],
+                         "items": {"type": "boolean"}},
+                "tags": {"contains": {"pattern": "^[a-z]+$"},
+                         "minContains": 2, "maxContains": 4}}}
+    t = derive.clips_nested_df(spark, sf_dir)
+    suite = compile_spec(spec, t.schema)
+    return row_violations(t, suite).select(*_VCOLS)
+
+
 def _q_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded violation report: exact per-rule counts (one exchange-free
     # conditional-sum scan, no explode) + 3 deterministic examples per
@@ -1963,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closed_world": _q_closed_world,
         "conditional_rules": _q_conditional_rules,
         "draft07_completion": _q_draft07_completion,
+        "draft2020_arrays": _q_draft2020_arrays,
         "dependent_rules": _q_dependent_rules,
         "pattern_props": _q_pattern_props,
         "format_assert": _q_format_assert,
@@ -2069,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "closed_world": oracle.sql_closed_world(),
         "conditional_rules": oracle.sql_conditional_rules(),
         "draft07_completion": oracle.sql_draft07_completion(),
+        "draft2020_arrays": oracle.sql_draft2020_arrays(),
         "dependent_rules": oracle.sql_dependent_rules(),
         "pattern_props": oracle.sql_pattern_props(),
         "format_assert": oracle.sql_format_assert(),

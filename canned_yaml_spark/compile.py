@@ -58,6 +58,10 @@ _KW_ORDER = {
     "multipleOf": 3, "const": 13, "uniqueItems": 10, "contains": 10,
     "minProperties": 7, "maxProperties": 7, "propertyNames": 7,
     "format": 4, "x-repetition": 6,
+    # 2020-12 spellings (prefixItems = tuple items; min/maxContains
+    # bound the contains match count; dependentSchemas = the schema
+    # half of draft-07's dependencies union)
+    "prefixItems": 10, "minContains": 10, "maxContains": 10,
 }
 
 _ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
@@ -297,7 +301,7 @@ class _Compiler:
             add(_Pred("maxItems", f"{path}.maxItems",
                       (F.size(expr) <= F.lit(node["maxItems"])) if is_arr else False,
                       f"more than maxItems {node['maxItems']} elements", sev))
-        if "items" in node:
+        if "items" in node or "prefixItems" in node:
             preds.extend(self._items_preds(node, expr, dtype, path, sev))
 
         if "anyOf" in node:
@@ -412,22 +416,53 @@ class _Compiler:
 
         if "contains" in node:
             sub = node["contains"]
+            minc = node.get("minContains")
+            maxc = node.get("maxContains")
+            elem_t = (dtype.elementType if _dt(dtype, T.ArrayType)
+                      else None)
+
+            def _contains_elem_ok(x: Column) -> Column:
+                r = self._node_ok(sub, x, elem_t, f"{path}.contains")
+                return F.lit(r) if isinstance(r, bool) else r
+
             if not is_arr:
-                ok = False
-            else:
-                elem_t = (dtype.elementType if _dt(dtype, T.ArrayType)
-                          else None)
-
-                def _contains_elem_ok(x: Column) -> Column:
-                    r = self._node_ok(sub, x, elem_t, f"{path}.contains")
-                    return F.lit(r) if isinstance(r, bool) else r
-
+                add(_Pred("contains", f"{path}.contains", False,
+                          "contains constraint on non-array value", sev))
+            elif minc is None and maxc is None:
                 # 3-valued exists: any TRUE → pass; no TRUE and a NULL
                 # outcome → NULL → pass at the gated top level (an
                 # unjudgeable element never convicts the row)
-                ok = F.exists(expr, _contains_elem_ok)
-            add(_Pred("contains", f"{path}.contains", ok,
-                      "no array element matches the contains schema", sev))
+                add(_Pred("contains", f"{path}.contains",
+                          F.exists(expr, _contains_elem_ok),
+                          "no array element matches the contains schema",
+                          sev))
+            else:
+                # 2020-12 min/maxContains: bound the MATCH COUNT. The
+                # same never-convict 3VL, now on counts: an unjudgeable
+                # element counts toward minContains (optimistic) but
+                # not toward maxContains (only definite matches can
+                # exceed the ceiling).
+                definite = F.size(F.filter(
+                    expr,
+                    lambda x: F.coalesce(_contains_elem_ok(x), F.lit(False))))
+                possible = F.size(F.filter(
+                    expr,
+                    lambda x: F.coalesce(_contains_elem_ok(x), F.lit(True))))
+                eff_min = 1 if minc is None else minc
+                if eff_min > 0:     # minContains: 0 → contains always ok
+                    kw = "contains" if minc is None else "minContains"
+                    add(_Pred(kw, f"{path}.{kw}",
+                              possible >= F.lit(eff_min),
+                              f"fewer than {eff_min} array elements match "
+                              f"the contains schema", sev))
+                if maxc is not None:
+                    add(_Pred("maxContains", f"{path}.maxContains",
+                              definite <= F.lit(maxc),
+                              f"more than {maxc} array elements match "
+                              f"the contains schema", sev))
+        elif "minContains" in node or "maxContains" in node:
+            self.warn(f"{path}: min/maxContains without contains has no "
+                      f"effect (2020-12 §6.4.4-6.4.5); skipped")
 
         if "minProperties" in node or "maxProperties" in node:
             nprops: Column | None
@@ -656,40 +691,72 @@ class _Compiler:
                                "items constraint on non-array value", sev))
             return preds
         elem_t = dtype.elementType if _dt(dtype, T.ArrayType) else None
-        items = node["items"]
-        if isinstance(items, dict):
+        items = node.get("items")
+        prefix = node.get("prefixItems")
+
+        def _uniform(sub: dict, value: Column, rule_id: str, msg: str) -> None:
             # Uniform items: every element validates (canner.cc:662-672)
             # → higher-order forall, no explode/shuffle.
             def elem_ok(x: Column) -> Column:
-                ok = self._node_ok(items, x, elem_t, f"{path}.items")
+                ok = self._node_ok(sub, x, elem_t, rule_id)
                 if ok is True:
                     return F.lit(True)
                 if ok is False:
                     return F.lit(False)
                 return x.isNull() | ok
+            preds.append(_Pred("items", rule_id, F.forall(value, elem_ok),
+                               msg, sev))
+
+        def _positional(subs: list, kw: str) -> None:
+            for i, sub in enumerate(subs):
+                elem = F.get(expr, i)      # 0-based, NULL when out of range
+                ok = self._node_ok(sub, elem, elem_t, f"{path}.{kw}[{i}]")
+                if isinstance(ok, Column):
+                    # Short arrays don't violate positional schemas
+                    # (the reference switches on size, canner.cc:690-704).
+                    ok = (F.size(expr) <= i) | elem.isNull() | ok
+                preds.append(_Pred(kw, f"{path}.{kw}[{i}]", ok,
+                                   f"element {i} violates its {kw} schema",
+                                   sev))
+
+        if prefix is not None:
+            # 2020-12 §10.3.1.1-2: prefixItems is positional; `items`
+            # then governs only elements PAST the prefix — a schema
+            # validates the rest uniformly (forall over a slice, still
+            # no explode), False forbids any rest.
+            _positional(prefix, "prefixItems")
+            n = len(prefix)
+            if isinstance(items, dict):
+                rest = F.slice(expr, F.lit(n + 1),
+                               F.greatest(F.size(expr) - F.lit(n), F.lit(0)))
+                _uniform(items, rest, f"{path}.items",
+                         f"an element past prefixItems[{n - 1}] violates "
+                         f"the items schema")
+            elif items is False:
+                preds.append(_Pred("items", f"{path}.items",
+                                   F.size(expr) <= F.lit(n),
+                                   f"more than the {n} prefixItems elements "
+                                   f"(items: false)", sev))
+        elif items is False:
+            # closed array with no prefix: must be empty
             preds.append(_Pred("items", f"{path}.items",
-                               F.forall(expr, elem_ok),
-                               "an element violates the items schema "
-                               "(reference: canner.cc:662-672)", sev))
-        else:
-            # Positional/tuple items (canner.cc:673-705): element i
-            # validates against sub-schema i; schemas beyond maxItems
-            # are dropped with a warning (canner.cc:676-681).
+                               F.size(expr) == F.lit(0),
+                               "non-empty array (items: false)", sev))
+        elif isinstance(items, dict):
+            _uniform(items, expr, f"{path}.items",
+                     "an element violates the items schema "
+                     "(reference: canner.cc:662-672)")
+        elif isinstance(items, list):
+            # Positional/tuple items, draft-07 spelling (canner.cc:
+            # 673-705): schemas beyond maxItems are dropped with a
+            # warning (canner.cc:676-681).
             subs = items
             max_items = node.get("maxItems")
             if max_items is not None and len(subs) > max_items:
                 self.warn(f"{path}.items: {len(subs) - max_items} tuple schemas "
                           f"beyond maxItems dropped (reference: canner.cc:676-681)")
                 subs = subs[:max_items]
-            for i, sub in enumerate(subs):
-                elem = F.get(expr, i)      # 0-based, NULL when out of range
-                ok = self._node_ok(sub, elem, elem_t, f"{path}.items[{i}]")
-                if isinstance(ok, Column):
-                    # Short arrays don't violate positional schemas
-                    # (the reference switches on size, canner.cc:690-704).
-                    ok = (F.size(expr) <= i) | elem.isNull() | ok
-                preds.append(_Pred("items", f"{path}.items[{i}]", ok,
-                                   f"element {i} violates its tuple schema", sev))
+            _positional(subs, "items")
         return preds
 
     # ------------------------------------------------------------ types
@@ -912,27 +979,29 @@ class _Compiler:
                     order=self._next_order(), column=""))
 
         deps_node: dict = {}
-        deps_node.update(node.get("dependencies", {}))
-        deps_node.update(node.get("dependentRequired", {}))
-        for col, deps in deps_node.items():
+        for dep_kw in ("dependencies", "dependentRequired",
+                       "dependentSchemas"):   # 2020-12 schema half
+            for col, dv in node.get(dep_kw, {}).items():
+                deps_node[col] = (dep_kw, dv)
+        for col, (dep_kw, deps) in deps_node.items():
             # draft-07 dependentRequired / dependencies: presence of one
             # column obliges others (column present ⇔ non-NULL, the
             # engine-wide convention). Array form compiles to one
             # located check per (col, dep) pair; the schema form is
             # sugar for a root conditional and reuses the struct lift.
             if self.schema is not None and col not in fields:
-                self.warn(f"$.dependentRequired.{col}: column absent from "
+                self.warn(f"$.{dep_kw}.{col}: column absent from "
                           f"table; skipped (open-world)")
                 continue
             if isinstance(deps, dict):
                 if self.schema is None:
-                    raise SpecError(f"$.dependencies.{col}",
-                                    "schema-form dependencies need a table "
-                                    "schema (cross-column rule)")
+                    raise SpecError(f"$.{dep_kw}.{col}",
+                                    f"schema-form {dep_kw} needs a table "
+                                    f"schema (cross-column rule)")
                 row = F.struct(*[F.col(f.name) for f in self.schema.fields])
                 lifted = {"if": {"required": [col]}, "then": deps}
                 for p in self.value_preds(lifted, row, self.schema,
-                                          f"$.dependencies.{col}"):
+                                          f"$.{dep_kw}.{col}"):
                     viol = (F.lit(not p.ok) if isinstance(p.ok, bool)
                             else ~F.coalesce(p.ok, F.lit(True)))
                     self.suite.row_checks.append(Check(

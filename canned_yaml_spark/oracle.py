@@ -343,6 +343,41 @@ UNION ALL
 """.strip()
 
 
+def sql_draft2020_arrays() -> str:
+    # restates the 2020-12 array-applicator gate over the nested
+    # corpus. prefixItems[0] = number duck on pair position 0 (DuckDB
+    # lists are 1-based); `items` governs only the rest (pair[2:]),
+    # here the boolean duck. min/maxContains restate the engine's
+    # 3VL counting exactly: an unjudgeable (NULL-verdict) element
+    # counts toward minContains (x IS NULL OR match — optimistic) but
+    # not toward maxContains (definite matches only) — the rule-3
+    # [word, NULL] injection is the row that tells the two counts
+    # apart.
+    tag_rx = "^[a-z]+$"
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.pair.prefixItems[0]",
+    "pair IS NOT NULL AND len(pair) >= 1 AND pair[1] IS NOT NULL "
+    "AND TRY_CAST(pair[1] AS DOUBLE) IS NULL")}
+UNION ALL
+{_nested_select(
+    "properties.pair.items",
+    "pair IS NOT NULL AND len(list_filter(pair[2:], x -> x IS NOT NULL "
+    "AND lower(trim(x)) NOT IN ('true', 'false'))) > 0")}
+UNION ALL
+{_nested_select(
+    "properties.tags.minContains",
+    f"tags IS NOT NULL AND len(list_filter(tags, x -> x IS NULL "
+    f"OR regexp_matches(x, '{tag_rx}'))) < 2")}
+UNION ALL
+{_nested_select(
+    "properties.tags.maxContains",
+    f"tags IS NOT NULL AND len(list_filter(tags, x -> x IS NOT NULL "
+    f"AND regexp_matches(x, '{tag_rx}'))) > 4")}
+""".strip()
+
+
 def sql_violation_report() -> str:
     """Full restatement of runner.violation_report over the gate spec:
     per-rule counts by plain aggregation, example SELECTION by ranking

@@ -108,13 +108,15 @@ def validate_spec(node: Any, path: str) -> None:
                                 f"'{name}' is not a valid type; must be one of "
                                 f"{', '.join(SCHEMA_TYPES)}")
 
-    for kw in ("minItems", "maxItems", "minLength", "maxLength"):
+    for kw in ("minItems", "maxItems", "minLength", "maxLength",
+               "minContains", "maxContains"):
         if kw in node:
             v = node[kw]
             if not _is_int(v) or v < 0:
                 raise SpecError(f"{path}.{kw}",
                                 f"must be a non-negative integer, got {v!r}")
-    for lo_kw, hi_kw in (("minItems", "maxItems"), ("minLength", "maxLength")):
+    for lo_kw, hi_kw in (("minItems", "maxItems"), ("minLength", "maxLength"),
+                         ("minContains", "maxContains")):
         if lo_kw in node and hi_kw in node and node[lo_kw] > node[hi_kw]:
             raise SpecError(f"{path}.{lo_kw}",
                             f"{lo_kw} ({node[lo_kw]}) > {hi_kw} ({node[hi_kw]}) "
@@ -161,13 +163,32 @@ def validate_spec(node: Any, path: str) -> None:
 
     if "items" in node:
         items = node["items"]
-        if isinstance(items, dict):
+        if isinstance(items, bool):
+            # 2020-12 boolean form: True is a no-op, False closes the
+            # array beyond prefixItems (or to empty with no prefix)
+            pass
+        elif isinstance(items, dict):
             validate_spec(items, f"{path}.items")
         elif isinstance(items, list):
+            if "prefixItems" in node:
+                raise SpecError(
+                    f"{path}.items",
+                    "array-form items (draft-07 tuple) cannot be combined "
+                    "with prefixItems (its 2020-12 spelling); pick one")
             for i, sub in enumerate(items):
                 validate_spec(sub, f"{path}.items[{i}]")
         else:
-            raise SpecError(f"{path}.items", "must be a map or a list of maps")
+            raise SpecError(f"{path}.items",
+                            "must be a map, a list of maps, or a boolean")
+
+    if "prefixItems" in node:
+        pfx = node["prefixItems"]
+        if not isinstance(pfx, list) or not pfx \
+                or not all(isinstance(s, dict) for s in pfx):
+            raise SpecError(f"{path}.prefixItems",
+                            "must be a non-empty list of schema maps")
+        for i, sub in enumerate(pfx):
+            validate_spec(sub, f"{path}.prefixItems[{i}]")
 
     for comb in ("anyOf", "oneOf", "allOf"):
         if comb in node:
@@ -225,7 +246,7 @@ def validate_spec(node: Any, path: str) -> None:
             raise SpecError(f"{path}.additionalProperties",
                             "must be a boolean or a schema map")
 
-    for kw in ("dependentRequired", "dependencies"):
+    for kw in ("dependentRequired", "dependencies", "dependentSchemas"):
         if kw in node:
             deps = node[kw]
             if not isinstance(deps, dict):
@@ -233,6 +254,11 @@ def validate_spec(node: Any, path: str) -> None:
             for col, dv in deps.items():
                 if isinstance(dv, dict):
                     validate_spec(dv, f"{path}.{kw}.{col}")
+                elif kw == "dependentSchemas":
+                    # 2020-12 split the draft-07 dependencies union in
+                    # two; the schema half accepts only schema maps
+                    raise SpecError(f"{path}.{kw}.{col}",
+                                    "must be a schema map")
                 elif not (isinstance(dv, list)
                           and all(isinstance(d, str) for d in dv)):
                     raise SpecError(
@@ -245,12 +271,13 @@ def validate_spec(node: Any, path: str) -> None:
             raise SpecError(f"{path}.$ref",
                             f"must be a '#/...' JSON-pointer string, got {ref!r}")
 
-    if "definitions" in node:
-        defs = node["definitions"]
-        if not isinstance(defs, dict):
-            raise SpecError(f"{path}.definitions", "must be a map")
-        for name, sub in defs.items():
-            validate_spec(sub, f"{path}.definitions.{name}")
+    for defs_kw in ("definitions", "$defs"):   # $defs = 2020-12 spelling
+        if defs_kw in node:
+            defs = node[defs_kw]
+            if not isinstance(defs, dict):
+                raise SpecError(f"{path}.{defs_kw}", "must be a map")
+            for name, sub in defs.items():
+                validate_spec(sub, f"{path}.{defs_kw}.{name}")
 
     if "x-ref" in node:
         xr = node["x-ref"]

@@ -615,3 +615,120 @@ def test_pattern_properties_spec_validation():
     with pytest.raises(SpecError):
         compile_spec({"type": "object", "additionalProperties": 3},
                      _schema())
+
+
+# ------------------------------------------------------ 2020-12 arrays
+def test_prefix_items_positional(spark):
+    # prefixItems = the 2020-12 spelling of tuple items: element i
+    # validates against schema i; short arrays never violate.
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "prefixItems": [{"type": "integer"}, {"type": "boolean"}]}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ["1", "true"]),
+        ("b", 0, ["x", "true"]),     # pos 0 not an integer
+        ("c", 0, ["1", "maybe"]),    # pos 1 not a boolean
+        ("d", 0, ["1"]),             # short: no violation
+        ("e", 0, ["1", "true", "anything"]),  # open rest by default
+        ("n", 0, None)])
+    assert v == {("b", "properties.xs.prefixItems[0]"),
+                 ("c", "properties.xs.prefixItems[1]")}
+
+
+def test_prefix_items_rest_items_schema(spark):
+    # 2020-12 §10.3.1.2: `items` governs only elements PAST the prefix
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "prefixItems": [{"const": "head"}],
+        "items": {"pattern": "^[a-z]+$"}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ["head", "ok", "fine"]),
+        ("b", 0, ["head", "BAD"]),     # rest element fails pattern
+        ("c", 0, ["BAD"]),             # only the prefix fails
+        ("d", 0, ["head"]),            # no rest: items vacuous
+        ("n", 0, None)])
+    assert v == {("b", "properties.xs.items"),
+                 ("c", "properties.xs.prefixItems[0]")}
+
+
+def test_prefix_items_items_false_closes_array(spark):
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "prefixItems": [{}, {}], "items": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, ["1", "2"]),
+        ("b", 0, ["1", "2", "3"]),   # beyond the prefix
+        ("c", 0, ["1"]),
+        ("n", 0, None)])
+    assert v == {("b", "properties.xs.items")}
+
+
+def test_items_false_without_prefix_means_empty(spark):
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {"items": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, []), ("b", 0, ["x"]), ("n", 0, None)])
+    assert v == {("b", "properties.xs.items")}
+
+
+def test_min_max_contains(spark):
+    sch = _schema(T.StructField("xs", T.ArrayType(T.IntegerType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "contains": {"minimum": 100},
+        "minContains": 2, "maxContains": 3}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, [100, 200]),             # 2 matches: ok
+        ("b", 0, [100, 1, 2]),            # 1 match < minContains
+        ("c", 0, [100, 200, 300, 400]),   # 4 matches > maxContains
+        ("d", 0, [100, None, 1]),         # NULL counts optimistically
+        ("e", 0, [100, 200, 300, None]),  # NULL not a definite match
+        ("n", 0, None)])
+    assert v == {("b", "properties.xs.minContains"),
+                 ("c", "properties.xs.maxContains")}
+
+
+def test_min_contains_zero_always_satisfied(spark):
+    # minContains: 0 → even an empty / match-free array passes contains
+    sch = _schema(T.StructField("xs", T.ArrayType(T.IntegerType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "contains": {"minimum": 100}, "minContains": 0,
+        "maxContains": 1}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, []), ("b", 0, [1, 2]), ("c", 0, [100, 200])])
+    assert v == {("c", "properties.xs.maxContains")}
+
+
+def test_min_max_contains_without_contains_warns(spark):
+    sch = _schema(T.StructField("xs", T.ArrayType(T.IntegerType())))
+    spec = {"type": "object", "properties": {"xs": {"minContains": 1}}}
+    v, suite = _viols(spark, spec, sch, [("a", 0, [])])
+    assert v == set()
+    assert any("minContains" in w or "min/maxContains" in w
+               for w in suite.warnings)
+
+
+def test_dependent_schemas_2020_12(spark):
+    # dependentSchemas = the schema half of draft-07's dependencies
+    sch = _schema(T.StructField("codec", T.StringType()),
+                  T.StructField("sr_hz", T.IntegerType()))
+    spec = {"type": "object",
+            "dependentSchemas": {"codec": {
+                "properties": {"sr_hz": {"minimum": 8000}}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "pcm", 16000),
+        ("b", 0, "pcm", 4000),    # codec present, sr too low
+        ("c", 0, None, 4000),     # codec absent: schema not triggered
+        ("d", 0, "pcm", None)])   # dependent value NULL: value rule gated
+    assert {c for c, _ in v} == {"b"}
+    assert all(r.startswith("$.dependentSchemas.codec") for _, r in v)
+
+
+def test_defs_alias_resolves_ref(spark):
+    # $defs = the 2020-12 spelling of definitions; resolve via pointer
+    sch = _schema(T.StructField("v", T.StringType()))
+    spec = {"type": "object",
+            "$defs": {"tag": {"pattern": "^[a-z]+$"}},
+            "properties": {"v": {"$ref": "#/$defs/tag"}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("a", 0, "ok"), ("b", 0, "BAD")])
+    assert len(v) == 1 and next(iter(v))[0] == "b"

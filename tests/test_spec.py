@@ -146,3 +146,34 @@ def test_completion_keywords_recurse():
         load_spec({"type": "object", "properties": {"v": {
             "contains": {"enum": []}}}})
     assert "contains.enum" in e.value.path
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("node, loc", [
+    ({"minContains": -1}, ".minContains"),
+    ({"minContains": 3, "maxContains": 1}, ".minContains"),
+    ({"prefixItems": []}, ".prefixItems"),
+    ({"prefixItems": [3]}, ".prefixItems"),
+    ({"prefixItems": [{}], "items": [{}]}, ".items"),
+    ({"items": 3}, ".items"),
+])
+def test_2020_12_located_errors(node, loc):
+    spec = {"type": "object", "properties": {"v": node}}
+    with _pytest.raises(SpecError) as e:
+        load_spec(spec)
+    assert e.value.path.endswith(loc), (e.value.path, loc)
+
+
+def test_dependent_schemas_rejects_array_form():
+    with _pytest.raises(SpecError, match="schema map"):
+        load_spec({"type": "object",
+                   "dependentSchemas": {"a": ["b"]}})
+
+
+def test_defs_validated_like_definitions():
+    with _pytest.raises(SpecError) as e:
+        load_spec({"type": "object",
+                   "$defs": {"bad": {"minItems": -1}}})
+    assert "$defs.bad" in e.value.path

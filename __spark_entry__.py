@@ -236,6 +236,35 @@ def _q_draft2020_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row_violations(t, suite).select(*_VCOLS)
 
 
+def _q_draft2020_unevaluated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unevaluatedProperties / unevaluatedItems with 2020-12 DYNAMIC
+    # annotation flow: which elements/keys count as evaluated depends
+    # per row on which applicator branches validated. pair: the claim
+    # set is anyOf-branch-dependent (rule-4 'x123' rows are claimed by
+    # branch 2 and must NOT fire the unevaluated schema; rule-5 rows
+    # match no branch, so element 0's digits fail it). attrs: the
+    # if(required b)→then(patternProperties) claim evaluates b/c only
+    # on rows that HAVE b (k%7 'd' and k%5 'Bad Key!' fire). All still
+    # HOF algebra in the one row-suite codegen span — the index-aware
+    # filter((x, i) -> ...) replaces any explode.
+    spec = {"type": "object",
+            "properties": {
+                "pair": {
+                    "anyOf": [
+                        {"prefixItems": [{"type": "number"},
+                                         {"type": "boolean"}]},
+                        {"prefixItems": [{"pattern": "^x"}]}],
+                    "unevaluatedItems": {"pattern": "^[a-z ]+$"}},
+                "attrs": {
+                    "properties": {"a": {}},
+                    "if": {"required": ["b"]},
+                    "then": {"patternProperties": {"^[bc]$": {}}},
+                    "unevaluatedProperties": False}}}
+    t = derive.clips_nested_df(spark, sf_dir)
+    suite = compile_spec(spec, t.schema)
+    return row_violations(t, suite).select(*_VCOLS)
+
+
 def _q_violation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded violation report: exact per-rule counts (one exchange-free
     # conditional-sum scan, no explode) + 3 deterministic examples per
@@ -1986,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_rules": _q_conditional_rules,
         "draft07_completion": _q_draft07_completion,
         "draft2020_arrays": _q_draft2020_arrays,
+        "draft2020_unevaluated": _q_draft2020_unevaluated,
         "dependent_rules": _q_dependent_rules,
         "pattern_props": _q_pattern_props,
         "format_assert": _q_format_assert,
@@ -2093,6 +2123,7 @@ def oracle_sql() -> dict[str, str]:
         "conditional_rules": oracle.sql_conditional_rules(),
         "draft07_completion": oracle.sql_draft07_completion(),
         "draft2020_arrays": oracle.sql_draft2020_arrays(),
+        "draft2020_unevaluated": oracle.sql_draft2020_unevaluated(),
         "dependent_rules": oracle.sql_dependent_rules(),
         "pattern_props": oracle.sql_pattern_props(),
         "format_assert": oracle.sql_format_assert(),

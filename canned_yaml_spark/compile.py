@@ -62,6 +62,9 @@ _KW_ORDER = {
     # bound the contains match count; dependentSchemas = the schema
     # half of draft-07's dependencies union)
     "prefixItems": 10, "minContains": 10, "maxContains": 10,
+    # unevaluated* must see every sibling applicator's annotations, so
+    # they dispatch last (2020-12 §11: "after all others")
+    "unevaluatedProperties": 17, "unevaluatedItems": 17,
 }
 
 _ATOMIC = (T.StringType, T.BooleanType, T.BinaryType, T.DateType,
@@ -303,6 +306,13 @@ class _Compiler:
                       f"more than maxItems {node['maxItems']} elements", sev))
         if "items" in node or "prefixItems" in node:
             preds.extend(self._items_preds(node, expr, dtype, path, sev))
+
+        if "unevaluatedProperties" in node:
+            preds.extend(self._unevaluated_props_preds(node, expr, dtype,
+                                                       path, sev))
+        if "unevaluatedItems" in node:
+            preds.extend(self._unevaluated_items_preds(node, expr, dtype,
+                                                       path, sev))
 
         if "anyOf" in node:
             child_oks = [
@@ -757,6 +767,260 @@ class _Compiler:
                           f"beyond maxItems dropped (reference: canner.cc:676-681)")
                 subs = subs[:max_items]
             _positional(subs, "items")
+        return preds
+
+    # ----------------------------------------- 2020-12 unevaluated*
+    def _truthy(self, ok: StaticOrCol) -> StaticOrCol:
+        """3VL → 2VL for annotation gating: an unjudgeable branch
+        verdict means the branch's annotations do NOT flow."""
+        return ok if isinstance(ok, bool) else F.coalesce(ok, F.lit(False))
+
+    def _applied_subschemas(self, node: dict, expr: Column,
+                            dtype: T.DataType | None, path: str
+                            ) -> list[tuple[dict, StaticOrCol, str]]:
+        """(subschema, appliesOk, subpath) for every in-place applicator
+        branch whose annotations flow per 2020-12 §11: each branch is
+        gated on its applicability AND on the branch validating (a
+        failed anyOf arm contributes no annotations). `not` never
+        contributes (its subschema must fail); nested dependentSchemas
+        are a root-only construct in this engine and are documented out.
+        """
+        out: list[tuple[dict, StaticOrCol, str]] = []
+        if "$ref" in node:
+            name, target = resolve_ref(self.root, node["$ref"], path)
+            if name not in self._ref_stack:
+                self._ref_stack.append(name)
+                try:
+                    ok = self._node_ok(target, expr, dtype, path)
+                    out.append((target, ok, path))
+                finally:
+                    self._ref_stack.pop()
+            return out       # $ref siblings are ignored engine-wide
+        for comb in ("allOf", "anyOf", "oneOf"):
+            for i, sub in enumerate(node.get(comb, [])):
+                sp = f"{path}.{comb}[{i}]"
+                out.append((sub, self._node_ok(sub, expr, dtype, sp), sp))
+        if "if" in node:
+            cif = self._truthy(
+                self._node_ok(node["if"], expr, dtype, f"{path}.if"))
+            out.append((node["if"], cif, f"{path}.if"))
+            if "then" in node:
+                tok = self._node_ok(node["then"], expr, dtype,
+                                    f"{path}.then")
+                out.append((node["then"],
+                            _and_all([cif, self._truthy(tok)]),
+                            f"{path}.then"))
+            if "else" in node:
+                eok = self._node_ok(node["else"], expr, dtype,
+                                    f"{path}.else")
+                out.append((node["else"],
+                            _and_all([_negate(cif), self._truthy(eok)]),
+                            f"{path}.else"))
+        return out
+
+    def _prop_claims(self, node: dict, expr: Column,
+                     dtype: T.DataType | None, path: str, _depth: int = 0
+                     ) -> list[tuple[StaticOrCol, frozenset, tuple, bool]]:
+        """Annotation claims over object KEYS: (applies, names, rxs,
+        covers_all). covers_all is the additionalProperties annotation
+        — when present, the claiming schema evaluates every key."""
+        claims = [(True, frozenset(node.get("properties", {})),
+                   tuple(node.get("patternProperties", {})),
+                   "additionalProperties" in node
+                   # a SUBSCHEMA's own unevaluatedProperties claims all
+                   # keys for outer scopes; the node being compiled
+                   # must not pre-claim its own keys (depth 0)
+                   or (_depth > 0 and "unevaluatedProperties" in node))]
+        if _depth >= 8:      # depth bound; $ref cycles guarded by stack
+            return claims
+        for sub, applies, sp in self._applied_subschemas(
+                node, expr, dtype, path):
+            a1 = self._truthy(applies)
+            for a2, names, rxs, al in self._prop_claims(
+                    sub, expr, dtype, sp, _depth + 1):
+                claims.append((_and_all([a1, self._truthy(a2)]),
+                               names, rxs, al))
+        return claims
+
+    def _item_claims(self, node: dict, expr: Column,
+                     dtype: T.DataType | None, path: str, _depth: int = 0
+                     ) -> list[tuple[StaticOrCol, int, bool, dict | None]]:
+        """Annotation claims over array ELEMENTS: (applies, n_prefix,
+        covers_rest, contains_schema). prefixItems / draft-07 tuple
+        items claim positions < n; a schema/bool `items` (or a nested
+        unevaluatedItems) claims everything; `contains` claims exactly
+        the elements that match it (2020-12 §11.2)."""
+        items = node.get("items")
+        n_pfx = len(node.get("prefixItems",
+                             items if isinstance(items, list) else []))
+        covers_rest = ("items" in node and not isinstance(items, list)) \
+            or (_depth > 0 and "unevaluatedItems" in node)
+        claims = [(True, n_pfx, covers_rest, node.get("contains"))]
+        if _depth >= 8:
+            return claims
+        for sub, applies, sp in self._applied_subschemas(
+                node, expr, dtype, path):
+            a1 = self._truthy(applies)
+            for a2, n2, al2, c2 in self._item_claims(
+                    sub, expr, dtype, sp, _depth + 1):
+                claims.append((_and_all([a1, self._truthy(a2)]),
+                               n2, al2, c2))
+        return claims
+
+    def _unevaluated_props_preds(self, node: dict, expr: Column,
+                                 dtype: T.DataType | None, path: str,
+                                 sev: Severity) -> list[_Pred]:
+        uv = node["unevaluatedProperties"]
+        preds: list[_Pred] = []
+        if uv is True:
+            return preds     # everything may remain unevaluated
+        claims = self._prop_claims(node, expr, dtype, path)
+        # static shortcut: an unconditionally-applying claim that
+        # covers every key makes the keyword vacuous
+        if any(a is True and al for a, _, _, al in claims[1:]):
+            return preds
+        if _dt(dtype, T.StructType):
+            # field names are compile-time constants: the only dynamic
+            # part is each claim's applicability Column
+            for f in dtype.fields:
+                k = f.name
+                terms = [a for a, names, rxs, al in claims
+                         if al or k in names
+                         or any(_re.search(rx, k) for rx in rxs)]
+                claimed = self._truthy(_or_all(terms)) if terms else False
+                if claimed is True:
+                    continue
+                child = expr.getField(k)
+                claimed_c = F.lit(False) if claimed is False else claimed
+                if uv is False:
+                    preds.append(_Pred(
+                        "unevaluatedProperties",
+                        f"{path}.unevaluatedProperties.{k}",
+                        child.isNull() | claimed_c,
+                        f"key '{k}' is unevaluated "
+                        f"(unevaluatedProperties: false)", sev))
+                else:
+                    for p in self.value_preds(
+                            uv, child, f.dataType,
+                            f"{path}.unevaluatedProperties.{k}"):
+                        gated = p.ok if isinstance(p.ok, bool) else \
+                            (child.isNull() | claimed_c | p.ok)
+                        preds.append(_Pred("unevaluatedProperties",
+                                           p.rule_id, gated, p.message,
+                                           p.severity))
+        elif _dt(dtype, T.MapType):
+            vt = dtype.valueType
+
+            def _claimed_key(kcol: Column) -> Column:
+                terms = []
+                for a, names, rxs, al in claims:
+                    if al:
+                        cov: Column = F.lit(True)
+                    else:
+                        cov = (kcol.isin(*sorted(names)) if names
+                               else F.lit(False))
+                        for rx in rxs:
+                            cov = cov | kcol.rlike(rx)
+                    ac = F.lit(a) if isinstance(a, bool) else a
+                    terms.append(ac & cov)
+                out = terms[0]
+                for t in terms[1:]:
+                    out = out | t
+                return F.coalesce(out, F.lit(False))
+
+            if uv is False:
+                preds.append(_Pred(
+                    "unevaluatedProperties",
+                    f"{path}.unevaluatedProperties",
+                    F.forall(F.map_keys(expr), _claimed_key),
+                    "an unevaluated key is present "
+                    "(unevaluatedProperties: false)", sev))
+            else:
+                upath = f"{path}.unevaluatedProperties"
+
+                def _entry_ok(e: Column) -> Column:
+                    v = e.getField("value")
+                    r = self._node_ok(uv, v, vt, upath)
+                    rr = F.lit(r) if isinstance(r, bool) else r
+                    return (_claimed_key(e.getField("key"))
+                            | v.isNull() | rr)
+
+                preds.append(_Pred(
+                    "unevaluatedProperties", upath,
+                    F.forall(F.map_entries(expr), _entry_ok),
+                    "a value under an unevaluated key violates the "
+                    "unevaluatedProperties schema", sev))
+        elif dtype is not None:
+            self.warn(f"{path}: unevaluatedProperties on non-object "
+                      f"value; elided")
+        return preds
+
+    def _unevaluated_items_preds(self, node: dict, expr: Column,
+                                 dtype: T.DataType | None, path: str,
+                                 sev: Severity) -> list[_Pred]:
+        uv = node["unevaluatedItems"]
+        preds: list[_Pred] = []
+        if uv is True:
+            return preds
+        if not (_dt(dtype, T.ArrayType) or dtype is None):
+            self.warn(f"{path}.unevaluatedItems: on non-array value; "
+                      f"statically violated")
+            preds.append(_Pred("unevaluatedItems",
+                               f"{path}.unevaluatedItems", False,
+                               "unevaluatedItems on non-array value", sev))
+            return preds
+        elem_t = dtype.elementType if _dt(dtype, T.ArrayType) else None
+        claims = self._item_claims(node, expr, dtype, path)
+        if any(a is True and al for a, _, al, _ in claims):
+            return preds     # statically all-evaluated: vacuous
+
+        def _claimed(x: Column, i: Column) -> Column:
+            terms = []
+            for a, n_pfx, al, csub in claims:
+                if al:
+                    cov: Column = F.lit(True)
+                else:
+                    cov = F.lit(False)
+                    if n_pfx:
+                        cov = cov | (i < F.lit(n_pfx))
+                    if csub is not None:
+                        r = self._node_ok(csub, x, elem_t,
+                                          f"{path}.unevaluatedItems")
+                        rr = F.lit(r) if isinstance(r, bool) else \
+                            F.coalesce(r, F.lit(False))
+                        cov = cov | rr
+                ac = F.lit(a) if isinstance(a, bool) else a
+                terms.append(ac & cov)
+            out = terms[0]
+            for t in terms[1:]:
+                out = out | t
+            return F.coalesce(out, F.lit(False))
+
+        # elements not claimed by any applying schema, keeping order;
+        # the two-arg HOF lambda carries the element index — still one
+        # codegen expression, no explode
+        rest = F.filter(expr, lambda x, i: ~_claimed(x, i))
+        if uv is False:
+            preds.append(_Pred(
+                "unevaluatedItems", f"{path}.unevaluatedItems",
+                F.size(rest) == 0,
+                "an array element is unevaluated "
+                "(unevaluatedItems: false)", sev))
+        else:
+            upath = f"{path}.unevaluatedItems"
+
+            def _elem_ok(x: Column) -> Column:
+                r = self._node_ok(uv, x, elem_t, upath)
+                if r is True:
+                    return F.lit(True)
+                if r is False:
+                    return F.lit(False)
+                return x.isNull() | r
+
+            preds.append(_Pred(
+                "unevaluatedItems", upath, F.forall(rest, _elem_ok),
+                "an unevaluated array element violates the "
+                "unevaluatedItems schema", sev))
         return preds
 
     # ------------------------------------------------------------ types

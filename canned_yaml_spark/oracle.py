@@ -378,6 +378,43 @@ UNION ALL
 """.strip()
 
 
+def sql_draft2020_unevaluated() -> str:
+    # restates the unevaluated* gate's DYNAMIC annotation flow. b1/b2
+    # are the anyOf branches' validity, restated exactly as the engine
+    # compiles prefixItems (short arrays / NULL elements never violate
+    # a positional schema); an element is claimed iff a VALID branch's
+    # prefix covers its (1-based in DuckDB) index. attrs' claim for
+    # b/c keys is gated on the if-branch (required b) holding. The
+    # rule-4 'x123' rows are the discriminating case: claimed by
+    # branch 2, they must NOT fire even though 'x123' fails the
+    # unevaluatedItems schema.
+    b1 = ("((len(pair) < 1 OR pair[1] IS NULL "
+          "OR TRY_CAST(pair[1] AS DOUBLE) IS NOT NULL) "
+          "AND (len(pair) < 2 OR pair[2] IS NULL "
+          "OR lower(trim(pair[2])) IN ('true', 'false')))")
+    b2 = ("(len(pair) < 1 OR pair[1] IS NULL "
+          "OR regexp_matches(pair[1], '^x'))")
+    return f"""
+WITH {clips_nested_duckdb_cte()}
+{_nested_select(
+    "properties.pair.anyOf",
+    f"pair IS NOT NULL AND NOT ({b1} OR {b2})")}
+UNION ALL
+{_nested_select(
+    "properties.pair.unevaluatedItems",
+    f"pair IS NOT NULL AND len(list_filter(pair, (x, i) -> "
+    f"NOT (({b1} AND i <= 2) OR ({b2} AND i <= 1)) "
+    f"AND x IS NOT NULL "
+    f"AND NOT regexp_matches(x, '^[a-z ]+$'))) > 0")}
+UNION ALL
+{_nested_select(
+    "properties.attrs.unevaluatedProperties",
+    "attrs IS NOT NULL AND len(list_filter(map_keys(attrs), kk -> "
+    "NOT (kk = 'a' OR (list_contains(map_keys(attrs), 'b') "
+    "AND regexp_matches(kk, '^[bc]$'))))) > 0")}
+""".strip()
+
+
 def sql_violation_report() -> str:
     """Full restatement of runner.violation_report over the gate spec:
     per-rule counts by plain aggregation, example SELECTION by ranking

@@ -198,6 +198,15 @@ def validate_spec(node: Any, path: str) -> None:
             for i, sub in enumerate(subs):
                 validate_spec(sub, f"{path}.{comb}[{i}]")
 
+    for kw in ("unevaluatedProperties", "unevaluatedItems"):
+        if kw in node:
+            uv = node[kw]
+            if isinstance(uv, dict):
+                validate_spec(uv, f"{path}.{kw}")
+            elif not isinstance(uv, bool):
+                raise SpecError(f"{path}.{kw}",
+                                "must be a boolean or a schema map")
+
     for kw in ("not", "if", "then", "else", "contains", "propertyNames"):
         if kw in node:
             if not isinstance(node[kw], dict):

@@ -732,3 +732,109 @@ def test_defs_alias_resolves_ref(spark):
     v, _ = _viols(spark, spec, sch, [
         ("a", 0, "ok"), ("b", 0, "BAD")])
     assert len(v) == 1 and next(iter(v))[0] == "b"
+
+
+# ------------------------------------------------ 2020-12 unevaluated*
+def test_unevaluated_properties_false_on_struct_dynamic_if(spark):
+    # claims flow only from APPLYING branches: 'b' is evaluated only on
+    # rows where the if-branch matched (2020-12 §11 annotation flow)
+    inner = T.StructType([T.StructField("a", T.StringType()),
+                          T.StructField("b", T.StringType())])
+    sch = _schema(T.StructField("o", inner))
+    spec = {"type": "object", "properties": {"o": {
+        "properties": {"a": {}},
+        "if": {"properties": {"a": {"const": "on"}}, "required": ["a"]},
+        "then": {"properties": {"b": {}}},
+        "unevaluatedProperties": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("w", 0, ("on", "x")),    # if matched: b evaluated
+        ("x", 0, ("off", "x")),   # if not matched: b unevaluated
+        ("y", 0, ("off", None)),  # b absent (NULL): nothing to flag
+        ("n", 0, None)])
+    assert v == {("x", "properties.o.unevaluatedProperties.b")}
+
+
+def test_unevaluated_properties_schema_form_struct(spark):
+    inner = T.StructType([T.StructField("a", T.StringType()),
+                          T.StructField("extra", T.StringType())])
+    sch = _schema(T.StructField("o", inner))
+    spec = {"type": "object", "properties": {"o": {
+        "properties": {"a": {}},
+        "unevaluatedProperties": {"pattern": "^[a-z]+$"}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("w", 0, ("x", "ok")),
+        ("x", 0, ("x", "BAD")),
+        ("n", 0, ("x", None))])
+    assert v == {("x", "properties.o.unevaluatedProperties.extra.pattern")}
+
+
+def test_unevaluated_properties_on_map_anyof_claims(spark):
+    sch = _schema(T.StructField("m", T.MapType(T.StringType(),
+                                               T.StringType())))
+    spec = {"type": "object", "properties": {"m": {
+        "anyOf": [{"required": ["k1"], "properties": {"k1": {}}},
+                  {"patternProperties": {"^p_": {}}}],
+        "unevaluatedProperties": False}}}
+    # branch 1 applies iff k1 present; branch 2 (no constraints) always
+    # applies and claims p_* keys
+    v, _ = _viols(spark, spec, sch, [
+        ("w", 0, {"k1": "v", "p_x": "v"}),
+        ("x", 0, {"k1": "v", "other": "v"}),   # 'other' unclaimed
+        ("y", 0, {"p_x": "v"}),
+        ("n", 0, None)])
+    assert v == {("x", "properties.m.unevaluatedProperties")}
+
+
+def test_unevaluated_items_false_dynamic_prefix_claims(spark):
+    # which prefix length applies depends on WHICH anyOf branch
+    # validates, per row
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "anyOf": [{"prefixItems": [{"type": "number"},
+                                   {"type": "boolean"}]},
+                  {"prefixItems": [{"pattern": "^x"}]}],
+        "unevaluatedItems": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("w", 0, ["42", "true"]),       # branch 1: both claimed
+        ("x", 0, ["x42", "true"]),      # only branch 2: idx 1 unclaimed
+        ("y", 0, ["x42"]),              # branch 2 claims the lone elem
+        ("n", 0, None)])
+    assert {(c, r) for c, r in v if "unevaluatedItems" in r} == \
+        {("x", "properties.xs.unevaluatedItems")}
+
+
+def test_unevaluated_items_contains_claims_matching_elements(spark):
+    # 2020-12 §11.2: contains claims exactly the MATCHING elements
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "contains": {"pattern": "^[a-z]+$"},
+        "unevaluatedItems": {"pattern": "^[0-9]+$"}}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("w", 0, ["word", "123"]),    # word claimed, 123 passes schema
+        ("x", 0, ["word", "BAD"]),    # BAD unclaimed and non-numeric
+        ("n", 0, None)])
+    assert v == {("x", "properties.xs.unevaluatedItems")}
+
+
+def test_unevaluated_items_vacuous_with_items_schema(spark):
+    sch = _schema(T.StructField("xs", T.ArrayType(T.StringType())))
+    spec = {"type": "object", "properties": {"xs": {
+        "items": {},                   # claims every element
+        "unevaluatedItems": False}}}
+    v, suite = _viols(spark, spec, sch, [("w", 0, ["anything"])])
+    assert v == set()
+
+
+def test_unevaluated_properties_ref_claims(spark):
+    inner = T.StructType([T.StructField("a", T.StringType()),
+                          T.StructField("b", T.StringType())])
+    sch = _schema(T.StructField("o", inner))
+    spec = {"type": "object",
+            "$defs": {"base": {"properties": {"a": {}}}},
+            "properties": {"o": {
+                "allOf": [{"$ref": "#/$defs/base"}],
+                "unevaluatedProperties": False}}}
+    v, _ = _viols(spark, spec, sch, [
+        ("w", 0, ("x", None)),
+        ("x", 0, ("x", "y"))])        # b claimed by nobody
+    assert v == {("x", "properties.o.unevaluatedProperties.b")}

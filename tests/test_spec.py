@@ -177,3 +177,15 @@ def test_defs_validated_like_definitions():
         load_spec({"type": "object",
                    "$defs": {"bad": {"minItems": -1}}})
     assert "$defs.bad" in e.value.path
+
+
+@_pytest.mark.parametrize("node, loc", [
+    ({"unevaluatedProperties": 3}, ".unevaluatedProperties"),
+    ({"unevaluatedItems": "no"}, ".unevaluatedItems"),
+    ({"unevaluatedItems": {"minItems": -1}}, ".unevaluatedItems.minItems"),
+])
+def test_unevaluated_located_errors(node, loc):
+    spec = {"type": "object", "properties": {"v": node}}
+    with _pytest.raises(SpecError) as e:
+        load_spec(spec)
+    assert e.value.path.endswith(loc), (e.value.path, loc)

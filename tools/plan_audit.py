@@ -77,6 +77,28 @@ def main() -> int:
             lambda p: "struct<o_orderkey:bigint>" in p)],
           "all 11 format predicates (regex + calendar/pct/length "
           "algebra) ride the exchange-free row-suite scan; no UDF")
+    _nested_t = _derive.clips_nested_df(spark, sf)
+    _u_suite = compile_spec(
+        {"type": "object", "properties": {
+            "pair": {"anyOf": [{"prefixItems": [{"type": "number"},
+                                                {"type": "boolean"}]},
+                               {"prefixItems": [{"pattern": "^x"}]}],
+                     "unevaluatedItems": {"pattern": "^[a-z ]+$"}},
+            "tags": {"contains": {"pattern": "^[a-z]+$"},
+                     "minContains": 2, "maxContains": 4},
+            "attrs": {"properties": {"a": {}},
+                      "if": {"required": ["b"]},
+                      "then": {"patternProperties": {"^[bc]$": {}}},
+                      "unevaluatedProperties": False}}}, _nested_t.schema)
+    audit("2020-12 applicators (unevaluated*)",
+          row_violations(_nested_t, _u_suite),
+          [("no exchange", lambda p: "Exchange" not in p),
+           ("no python/arrow", lambda p: "Python" not in p),
+           ("no explode", lambda p: "Generate" not in p
+            or "posexplode" not in p)],
+          "prefixItems / min-maxContains counts / dynamic-claim "
+          "unevaluated* are all HOF expressions (forall, index-aware "
+          "filter) riding the same exchange-free nested-corpus scan")
     audit("row_verdicts",
           row_verdicts(clips, suite),
           [("partial+final agg", lambda p: p.count("HashAggregate") >= 2)],

@@ -1006,6 +1006,26 @@ def _q_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.monotonic_violations(events, mc).select(*_VCOLS)
 
 
+def _q_embedding_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # x-embedding vector-sanity rule over the derived embedding corpus
+    # (real unit-norm FLOAT[64] vectors + pinned per-class defects,
+    # derive.emb_corpus_select): dim / finite (NULL·NaN·Inf element) /
+    # L2-norm window [0.5, 2.0] / zero vector. All four checks are
+    # pure array HOFs in ONE scan — no shuffle, no Python; the NULL
+    # column class passes (absence is `required`'s violation). Oracle:
+    # identical list-HOF restatement in DuckDB; decisions carry margins
+    # ~7 orders above float-summation-order noise, and no float value
+    # is emitted.
+    emb = derive.emb_corpus_df(spark, sf_dir)
+    spec = {"type": "object",
+            "x-embedding": {"column": "embedding", "dim": 64,
+                            "min_norm": 0.5, "max_norm": 2.0,
+                            "forbid_zero": True}}
+    suite = compile_spec(spec, emb.schema)
+    return runner.row_violations(emb, suite, id_col="vec_id") \
+                 .select(*_VCOLS)
+
+
 def _q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x-freshness: per-event-type ingestion lag behind the table's
     # newest event (epoch-second difference). One algebraic agg +
@@ -2058,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_report": _q_anomaly_report,
         "sessions": _q_sessions,
         "monotonic": _q_monotonic,
+        "embedding_rule": _q_embedding_rule,
         "freshness_report": _q_freshness_report,
         "asof_join": _q_asof_join,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
@@ -2166,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_report": oracle.sql_anomaly_report(),
         "sessions": oracle.sql_sessions(),
         "monotonic": oracle.sql_monotonic(),
+        "embedding_rule": oracle.sql_embedding_rule(),
         "freshness_report": oracle.sql_freshness_report(),
         "asof_join": oracle.sql_asof_join(),
         "downmix": oracle.sql_downmix(),

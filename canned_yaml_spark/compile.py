@@ -1549,6 +1549,15 @@ class _Compiler:
                     max_share=None if ms is None else float(ms),
                     min_distinct=None if md is None else int(md),
                     severity=Severity[xf.get("severity", "WARN").upper()]))
+        if "x-embedding" in node:
+            xes = node["x-embedding"]
+            if isinstance(xes, dict):
+                xes = [xes]
+            if not isinstance(xes, list):
+                raise SpecError("$.x-embedding",
+                                "expects a rule dict or list of them")
+            for i, xe in enumerate(xes):
+                self._compile_embedding(xe, i, fields)
         return self.suite
 
     def _compile_assert(self, xa: dict, i: int) -> None:
@@ -1597,6 +1606,106 @@ class _Compiler:
             message=F.lit(xa.get("message",
                                  f"assertion failed: {xa['expr']}")),
             order=self._next_order(), column=""))
+
+    def _compile_embedding(self, xe: dict, i: int, fields: dict) -> None:
+        """x-embedding: sanity invariants on a vector column — the
+        validation vocabulary for the `array<float>` embedding modality
+        (training corpora carry embeddings next to text/audio; a wrong
+        dimension, NaN/Inf/NULL element, or off-scale norm silently
+        poisons every downstream similarity join).
+
+        All checks are pure Column algebra over the array (size /
+        exists / aggregate higher-order functions) appended to the
+        SAME single-scan row suite as every keyword check — zero
+        exchanges, zero Python, one codegen span:
+
+          dim     size(col) != dim
+          finite  exists(col, x -> x IS NULL or isnan(x) or isinf(x))
+          norm    sqnorm outside [min_norm², max_norm²] (squared domain
+                  — no sqrt in the hot path; gated on finite, because
+                  Spark orders NaN above every value so an unguarded
+                  comparison would double-flag NaN rows)
+          zero    sqnorm == 0 (forbid_zero — a zero vector is a valid
+                  float array that no norm floor distinguishes from a
+                  merely-small one at WARN time)
+
+        NULL column passes everything (absence is `required`'s
+        violation, the engine-wide convention)."""
+        path = f"$.x-embedding[{i}]"
+        if not isinstance(xe, dict) or "column" not in xe \
+                or "dim" not in xe:
+            raise SpecError(path, "needs {column, dim, min_norm?, "
+                                  "max_norm?, forbid_zero?}")
+        k = xe["column"]
+        if not isinstance(k, str):
+            raise SpecError(f"{path}.column", "must be a column name")
+        if self.schema is not None:
+            if k not in fields:
+                raise SpecError(f"{path}.column",
+                                f"column '{k}' absent from the table "
+                                f"schema {sorted(fields)}")
+            dt = fields[k]
+            if not (isinstance(dt, T.ArrayType)
+                    and isinstance(dt.elementType,
+                                   (T.FloatType, T.DoubleType))):
+                raise SpecError(f"{path}.column",
+                                f"'{k}' must be array<float|double>, "
+                                f"got {dt.simpleString()}")
+        dim = xe["dim"]
+        if not isinstance(dim, int) or isinstance(dim, bool) or dim <= 0:
+            raise SpecError(f"{path}.dim",
+                            f"dim must be a positive int, got {dim!r}")
+        lo = xe.get("min_norm")
+        hi = xe.get("max_norm")
+        for name, v in (("min_norm", lo), ("max_norm", hi)):
+            if v is not None and (not isinstance(v, (int, float))
+                                  or isinstance(v, bool) or v < 0):
+                raise SpecError(f"{path}.{name}",
+                                f"must be a number >= 0, got {v!r}")
+        if lo is not None and hi is not None and float(lo) > float(hi):
+            raise SpecError(path, f"min_norm {lo} > max_norm {hi}")
+        sev = Severity[xe.get("severity", "ERROR").upper()]
+        col = F.col(k)
+
+        def elem_bad(x: Column) -> Column:
+            # total predicate (never NULL): isNull first, so exists()
+            # yields a definite boolean for every row
+            return (x.isNull() | F.isnan(x)
+                    | (F.abs(x.cast("double")) == F.lit(float("inf"))))
+
+        bad = F.exists(col, elem_bad)
+        sq = F.aggregate(col, F.lit(0.0),
+                         lambda a, x: a + x.cast("double")
+                         * x.cast("double"))
+        self.suite.row_checks.append(Check(
+            rule_id=f"x-embedding.{k}.dim", severity=sev,
+            violation=col.isNotNull() & (F.size(col) != F.lit(dim)),
+            message=F.lit(f"embedding '{k}' is not {dim}-dimensional"),
+            order=self._next_order(), column=k))
+        self.suite.row_checks.append(Check(
+            rule_id=f"x-embedding.{k}.finite", severity=sev,
+            violation=col.isNotNull() & bad,
+            message=F.lit(f"embedding '{k}' carries a NULL/NaN/Inf "
+                          f"element"),
+            order=self._next_order(), column=k))
+        if lo is not None or hi is not None:
+            breach = F.lit(False)
+            if lo is not None:
+                breach = breach | (sq < F.lit(float(lo) ** 2))
+            if hi is not None:
+                breach = breach | (sq > F.lit(float(hi) ** 2))
+            self.suite.row_checks.append(Check(
+                rule_id=f"x-embedding.{k}.norm", severity=sev,
+                violation=col.isNotNull() & ~bad & breach,
+                message=F.lit(f"embedding '{k}' L2 norm outside "
+                              f"[{lo}, {hi}]"),
+                order=self._next_order(), column=k))
+        if xe.get("forbid_zero"):
+            self.suite.row_checks.append(Check(
+                rule_id=f"x-embedding.{k}.zero", severity=sev,
+                violation=col.isNotNull() & ~bad & (sq == F.lit(0.0)),
+                message=F.lit(f"embedding '{k}' is the zero vector"),
+                order=self._next_order(), column=k))
 
     def _extensions(self, column: str, sub: dict) -> None:
         if sub.get("x-unique"):

@@ -413,3 +413,70 @@ def snapshot_df(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/orders.parquet") \
          .createOrReplaceTempView("orders")
     return spark.sql(snapshot_select("spark", which))
+
+
+def emb_corpus_select(dialect: str, emb_rel: str = "embeddings") -> str:
+    """Derived embedding-validation corpus for the x-embedding gate:
+    the real embeddings table (unit-norm FLOAT[64] vectors) with
+    pinned per-class defects keyed on vec_id % 13 —
+
+      0: truncated to 32 dims          (dim violation)
+      1: NaN in the last slot          (finite violation)
+      2: NULL element in the last slot (finite violation)
+      3: +Infinity in the last slot    (finite violation)
+      4: every element ×100            (norm ~100 ≫ max_norm 2)
+      5: all-zero vector               (zero + norm < min_norm 0.5)
+      6: NULL column                   (passes — absence is
+                                        `required`'s violation)
+      else: unchanged (base norms are 1 ± 1e-7 — decision margins vs
+      the [0.5, 2.0] gate bounds are ~7 orders above any cross-engine
+      float-summation-order noise)
+
+    Same two-dialect discipline as clips_select: identical arithmetic
+    in Spark and DuckDB. The ×100 scale is exact in both engines (a
+    float32 times 100 is exactly representable before the final
+    rounding, whether the intermediate is float or double)."""
+    if dialect == "spark":
+        sl = "slice(embedding, 1, {n})"
+        app = ("concat(slice(embedding, 1, 63), "
+               "array(CAST('{v}' AS FLOAT)))")
+        app_null = ("concat(slice(embedding, 1, 63), "
+                    "array(CAST(NULL AS FLOAT)))")
+        scale = "transform(embedding, x -> x * CAST(100.0 AS FLOAT))"
+        zeros = "transform(embedding, x -> CAST(0.0 AS FLOAT))"
+        null_col = "CAST(NULL AS ARRAY<FLOAT>)"
+    elif dialect == "duckdb":
+        sl = "list_slice(embedding, 1, {n})"
+        app = "list_append(list_slice(embedding, 1, 63), '{v}'::FLOAT)"
+        app_null = "list_append(list_slice(embedding, 1, 63), NULL::FLOAT)"
+        scale = "list_transform(embedding, x -> CAST(x * 100.0 AS FLOAT))"
+        zeros = "list_transform(embedding, x -> 0.0::FLOAT)"
+        null_col = "NULL::FLOAT[]"
+    else:  # pragma: no cover
+        raise ValueError(dialect)
+    return f"""
+SELECT vec_id,
+       CAST(vec_id % {N_PARTS} AS INT) AS part_id,
+       CASE WHEN vec_id % 13 = 0 THEN {sl.format(n=32)}
+            WHEN vec_id % 13 = 1 THEN {app.format(v='NaN')}
+            WHEN vec_id % 13 = 2 THEN {app_null}
+            WHEN vec_id % 13 = 3 THEN {app.format(v='Infinity')}
+            WHEN vec_id % 13 = 4 THEN {scale}
+            WHEN vec_id % 13 = 5 THEN {zeros}
+            WHEN vec_id % 13 = 6 THEN {null_col}
+            ELSE embedding END AS embedding
+FROM {emb_rel}
+""".strip()
+
+
+def emb_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of emb_corpus_select (scan reads vec_id+embedding)."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+         .createOrReplaceTempView("embeddings")
+    return spark.sql(emb_corpus_select("spark"))
+
+
+def emb_corpus_duckdb_cte() -> str:
+    """`emb AS (...)` CTE fragment for the DuckDB oracle (the driver
+    pre-registers `embeddings` as a view over the same parquet)."""
+    return f"emb AS ({emb_corpus_select('duckdb')})"

@@ -2579,3 +2579,38 @@ SELECT COALESCE(d.rule_id, a.rule_id) AS rule_id,
        d.rule_id IS NOT NULL AS declared
 FROM decl d FULL JOIN agg a ON d.rule_id = a.rule_id
 """.strip()
+
+
+def sql_embedding_rule() -> str:
+    """Restates the x-embedding gate over the derived embedding corpus
+    (derive.emb_corpus_select — same injection arithmetic in both
+    engines): dim = len() mismatch, finite = any NULL/NaN/Inf element,
+    norm = squared L2 outside [0.5², 2.0²] gated on finite, zero =
+    squared L2 exactly 0. Decision margins are ~7 orders above any
+    float-summation-order difference (base norms 1 ± 1e-7, injected
+    ×100 and all-zero classes), and no float value is emitted — the
+    compared rows carry only ids + rule ids."""
+    from canned_yaml_spark.derive import emb_corpus_duckdb_cte
+    return f"""
+WITH {emb_corpus_duckdb_cte()},
+chk AS (
+  SELECT vec_id, part_id,
+         len(embedding) AS n,
+         len(list_filter(embedding,
+             x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 AS bad,
+         COALESCE(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0) AS sq
+  FROM emb WHERE embedding IS NOT NULL)
+SELECT vec_id AS clip_id, part_id,
+       'x-embedding.embedding.dim' AS rule_id, CAST(2 AS INT) AS severity
+FROM chk WHERE n != 64
+UNION ALL
+SELECT vec_id, part_id, 'x-embedding.embedding.finite', CAST(2 AS INT)
+FROM chk WHERE bad
+UNION ALL
+SELECT vec_id, part_id, 'x-embedding.embedding.norm', CAST(2 AS INT)
+FROM chk WHERE NOT bad AND (sq < 0.25 OR sq > 4.0)
+UNION ALL
+SELECT vec_id, part_id, 'x-embedding.embedding.zero', CAST(2 AS INT)
+FROM chk WHERE NOT bad AND sq = 0.0
+""".strip()

@@ -1,4 +1,5 @@
-"""x-assert / x-completeness / x-frequency / x-anomaly — the round-5
+"""x-assert / x-completeness / x-frequency / x-anomaly / x-embedding — the
+round-5
 rule-vocabulary extensions (cross-field SQL asserts, null-budget
 completeness, frequency-shape gates, reference-free drift). Spec-error
 location, NULL conventions, deterministic tie-breaks, and
@@ -401,3 +402,94 @@ def test_deep_spec_carries_x_repetition():
     [rc] = [c for c in suite.row_checks
             if c.rule_id == "properties.transcript.x-repetition"]
     assert int(rc.severity) == int(Severity.WARN)
+
+
+# -------------------------------------------------------- x-embedding
+@pytest.fixture(scope="module")
+def embtiny(spark):
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        ("e0", [0.6, 0.8], 0),            # norm 1.0 → pass
+        ("e1", [0.6, 0.8, 0.0], 0),       # 3 dims → dim violation
+        ("e2", [nan, 0.8], 0),            # NaN → finite (norm gated off)
+        ("e3", [inf, 0.8], 0),            # +Inf → finite
+        ("e4", [-inf, 0.8], 1),           # -Inf → finite
+        ("e5", [None, 0.8], 1),           # NULL element → finite
+        ("e6", [60.0, 80.0], 1),          # norm 100 → above max
+        ("e7", [0.0, 0.0], 1),            # zero vector → zero + norm<min
+        ("e8", None, 1),                  # NULL column → passes all
+        ("e9", [0.06, 0.08], 1),          # norm 0.1 → below min only
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, emb array<float>, part_id int")
+    df = df.cache()
+    df.count()
+    return df
+
+
+def _emb_suite(schema, **over):
+    xe = {"column": "emb", "dim": 2, "min_norm": 0.5, "max_norm": 2.0,
+          "forbid_zero": True, **over}
+    return compile_spec({"type": "object", "x-embedding": xe}, schema)
+
+
+def test_embedding_rule_semantics(embtiny):
+    suite = _emb_suite(embtiny.schema)
+    assert [c.rule_id for c in suite.row_checks] == [
+        "x-embedding.emb.dim", "x-embedding.emb.finite",
+        "x-embedding.emb.norm", "x-embedding.emb.zero"]
+    fired = {c.rule_id: sorted(
+        r.vec_id for r in embtiny.filter(c.violation)
+                                 .select("vec_id").collect())
+        for c in suite.row_checks}
+    assert fired["x-embedding.emb.dim"] == ["e1"]
+    assert fired["x-embedding.emb.finite"] == ["e2", "e3", "e4", "e5"]
+    # norm gated on finite: the NaN/Inf/NULL rows never double-flag
+    # (Spark orders NaN above every value — ungated they would);
+    # zero vector breaches BOTH the floor and forbid_zero
+    assert fired["x-embedding.emb.norm"] == ["e6", "e7", "e9"]
+    assert fired["x-embedding.emb.zero"] == ["e7"]
+
+
+def test_embedding_one_sided_bounds(embtiny):
+    suite = _emb_suite(embtiny.schema, min_norm=None, forbid_zero=False)
+    [norm] = [c for c in suite.row_checks if c.rule_id.endswith(".norm")]
+    got = sorted(r.vec_id for r in
+                 embtiny.filter(norm.violation).select("vec_id").collect())
+    assert got == ["e6"]          # only the ceiling is checked
+    suite = _emb_suite(embtiny.schema, max_norm=None, forbid_zero=False)
+    [norm] = [c for c in suite.row_checks if c.rule_id.endswith(".norm")]
+    got = sorted(r.vec_id for r in
+                 embtiny.filter(norm.violation).select("vec_id").collect())
+    assert got == ["e7", "e9"]    # only the floor
+    # no bounds at all → no norm rule compiled
+    suite = _emb_suite(embtiny.schema, min_norm=None, max_norm=None,
+                       forbid_zero=False)
+    assert [c.rule_id for c in suite.row_checks] == [
+        "x-embedding.emb.dim", "x-embedding.emb.finite"]
+
+
+def test_embedding_single_scan_no_python(embtiny):
+    from canned_yaml_spark import runner
+    suite = _emb_suite(embtiny.schema)
+    plan = runner.row_violations(
+        embtiny, suite, id_col="vec_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan     # row suite stays exchange-free
+
+
+@pytest.mark.parametrize("xe,frag", [
+    ({"column": "emb"}, "needs {column, dim"),
+    ({"column": "nope", "dim": 2}, "absent from the table"),
+    ({"column": "vec_id", "dim": 2}, "must be array<float|double>"),
+    ({"column": "emb", "dim": 0}, "positive int"),
+    ({"column": "emb", "dim": 2, "min_norm": -1}, "number >= 0"),
+    ({"column": "emb", "dim": 2, "min_norm": 3, "max_norm": 1},
+     "min_norm 3 > max_norm 1"),
+])
+def test_embedding_spec_errors(embtiny, xe, frag):
+    with pytest.raises(SpecError) as ei:
+        compile_spec({"type": "object", "x-embedding": xe},
+                     embtiny.schema)
+    assert frag in str(ei.value)

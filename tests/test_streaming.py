@@ -577,3 +577,37 @@ def test_stream_absent_blocklist_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     key = ["clip_id", "rule_id"]
     assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_stream_embedding_rule_matches_batch(spark, tmp_path):
+    # x-embedding composes onto streams unchanged: all four vector
+    # checks are pure array-HOF row predicates, so stream_violations
+    # routes them through the same violation array (no state store).
+    from canned_yaml_spark import derive
+    from canned_yaml_spark.compile import compile_spec
+    src = str(tmp_path / "src_emb")
+    out = str(tmp_path / "viol_emb")
+    chk = str(tmp_path / "chk_emb")
+
+    emb = derive.emb_corpus_df(spark, "/root/testdata/sf0.001")
+    suite = compile_spec(
+        {"type": "object",
+         "x-embedding": {"column": "embedding", "dim": 64,
+                         "min_norm": 0.5, "max_norm": 2.0,
+                         "forbid_zero": True}},
+        emb.schema)
+    emb.write.parquet(src)
+
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = (streaming.validate_stream(stream, suite, out, chk,
+                                   id_col="vec_id")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = row_violations(emb, suite, id_col="vec_id")
+    assert want.count() > 0
+    key = ["clip_id", "rule_id"]
+    assert got.count() == want.count()
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0

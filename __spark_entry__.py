@@ -1146,6 +1146,26 @@ def _q_spectral_verdicts(spark, sf_dir):
             .select("clip_id", "rule_id", "severity"))
 
 
+def _q_mel_band(spark, sf_dir):
+    # log-mel/MFCC pipeline verdict, value-checked end to end: gate
+    # key k carries a pure tone AT the peak of mel filter k % 26 —
+    # where that triangle's weight is exactly 1 and both neighbors'
+    # are exactly 0 (audiofp.mel_peak_hz) — so the FFT → mel-matmul →
+    # argmax pipeline must land dominant_band on the injected index
+    # for EVERY clip (margin is the triangle geometry, not a
+    # statistical separation; all 26 bands exercised, pinned in
+    # tests/test_audiofp.py). The raw log_mel/mfcc vectors stay
+    # pytest-pinned (DuckDB has no FFT); the DECISION has the
+    # injected-truth oracle.
+    from canned_yaml_spark import audiofp
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 23 == 1)
+                  .select(F.col("o_orderkey").alias("k")))
+    corpus = audiofp.tone_band_corpus_df(spark, keys)
+    return (audiofp.mfcc_stats(corpus)
+            .select("clip_id", "n_frames", "dominant_band"))
+
+
 def _q_simhash_groups(spark, sf_dir):
     # full value oracle despite the engine hash: oracle.sql_simhash_groups
     # restates XXH64(seed 42) itself in DuckDB SQL (32-bit-limb HUGEINT
@@ -2083,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "spectral_stats": _q_spectral_stats,   # rows-only (FFT features)
         "spectral_verdicts": _q_spectral_verdicts,  # oracle: injected truth
+        "mel_band": _q_mel_band,                    # oracle: injected truth
         "downmix": _q_downmix,
         "media_meta": _q_media_meta,
         "image_near_dups": _q_image_near_dups,
@@ -2222,4 +2243,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_groups": oracle.sql_simhash_groups(),
         # band-limit detector verdict vs injected ground truth
         "spectral_verdicts": oracle.sql_spectral_verdicts(),
+        "mel_band": oracle.sql_mel_band(),
     }

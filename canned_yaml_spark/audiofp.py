@@ -595,3 +595,197 @@ def bandlimit_corpus_df(spark, keys: DataFrame, every: int = 3,
     return keys.mapInPandas(
         gen, "clip_id string, part_id int, sr_hz int, codec string, "
              "bytes binary")
+
+
+# ------------------------------------------------------ log-mel / MFCC
+
+def hz_to_mel(f) -> np.ndarray:
+    """HTK mel scale: m = 2595·log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)
+                             / 700.0)
+
+
+def mel_to_hz(m) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0)
+                    - 1.0)
+
+
+def mel_peak_hz(band: int, n_mels: int, sr_hz: int,
+                f_min: float = 0.0) -> float:
+    """Peak (center) frequency of triangular mel filter `band`
+    (0-based) in a bank of n_mels filters spanning [f_min, sr/2] —
+    the closed form the tone-band gate corpus injects at, and the
+    point where the band's weight is exactly 1 while BOTH neighbors
+    are exactly 0 (adjacent triangles meet at each other's peaks)."""
+    lo, hi = hz_to_mel(f_min), hz_to_mel(sr_hz / 2.0)
+    step = (hi - lo) / (n_mels + 1)
+    return float(mel_to_hz(lo + (band + 1) * step))
+
+
+def mel_filterbank(sr_hz: int, frame: int, n_mels: int,
+                   f_min: float = 0.0) -> np.ndarray:
+    """(n_mels, frame//2+1) triangular mel filterbank over the rFFT
+    bins of `frame`-sample windows at sr_hz. Mel points are uniform
+    from mel(f_min) to mel(sr/2); filter k rises over
+    [m_{k-1}, m_k] and falls over [m_k, m_{k+1}]."""
+    n_bins = frame // 2 + 1
+    pts = mel_to_hz(np.linspace(hz_to_mel(f_min), hz_to_mel(sr_hz / 2.0),
+                                n_mels + 2))
+    freqs = np.arange(n_bins, dtype=np.float64) * sr_hz / frame
+    lo = pts[:-2, None]
+    mid = pts[1:-1, None]
+    hi = pts[2:, None]
+    up = (freqs[None, :] - lo) / (mid - lo)
+    down = (hi - freqs[None, :]) / (hi - mid)
+    return np.maximum(0.0, np.minimum(up, down))
+
+
+def dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) orthonormal DCT-II matrix (the MFCC decorrelating
+    transform): C[i,j] = s_i·sqrt(2/N)·cos(π·i·(2j+1)/(2N)),
+    s_0 = 1/sqrt(2), s_{i>0} = 1."""
+    j = np.arange(n_in, dtype=np.float64)
+    i = np.arange(n_out, dtype=np.float64)[:, None]
+    c = np.sqrt(2.0 / n_in) * np.cos(np.pi * i * (2.0 * j + 1.0)
+                                     / (2.0 * n_in))
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+#: mfcc_stats output — NULLs = undecodable or shorter than one frame
+_MEL_SCHEMA = ("clip_id string, n_frames int, log_mel array<double>, "
+               "mfcc array<double>, dominant_band int")
+
+
+def mfcc_stats(clips: DataFrame, n_mels: int = 26, n_mfcc: int = 13,
+               frame: int = 1024, hop: int = 512,
+               byte_col: str = "bytes", codec_col: str = "codec",
+               sr_col: str = "sr_hz", id_col: str = "clip_id",
+               decoder=None) -> DataFrame:
+    """Per-clip log-mel energies + MFCCs — THE classic ASR/speech
+    feature (what a training pipeline clusters, dedups and filters
+    speech on when embeddings are too expensive):
+
+      log_mel        per-band mean over frames of log(mel energy)
+      mfcc           orthonormal DCT-II of log_mel (first n_mfcc)
+      dominant_band  argmax of the frame-POOLED linear mel energy
+                     (energy-weighted, like spectral_stats pooling)
+
+    Distributed shape: scan → ONE mapInPandas → small typed rows; the
+    FFT is one batched np.fft.rfft per (length, sample-rate) group and
+    the mel/DCT stages are two matmuls per group — no join, no
+    shuffle, no per-row Python. The filterbank depends on the sample
+    rate (mel geometry spans [0, sr/2]), so groups key on (size, sr)
+    and each group builds its bank once. NULL metrics for undecodable
+    or sub-frame clips; eps-guarded log for exact-zero bands."""
+    dec_fn = decoder or decode
+    src = clips.select(F.col(id_col).alias("clip_id"),
+                       F.col(sr_col).cast("int").alias("_sr"),
+                       F.col(byte_col).alias("_bytes"),
+                       F.col(codec_col).alias("_codec"))
+    window = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(frame) / (frame - 1))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        banks: dict[int, np.ndarray] = {}
+        dct = dct2_ortho(n_mfcc, n_mels)
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf["_bytes"].to_numpy()
+            codecs = pdf["_codec"].to_numpy()
+            srs = pdf["_sr"].to_numpy()
+            nf = np.zeros(n, dtype=np.int64)
+            logm: list = [None] * n
+            mf: list = [None] * n
+            dom = np.full(n, -1, dtype=np.int64)
+            groups: dict[tuple[int, int], list[int]] = {}
+            decs: list = [None] * n
+            for i in range(n):
+                if payloads[i] is None or pd.isna(srs[i]):
+                    continue
+                d = dec_fn(payloads[i], codecs[i])
+                if d is None or d.size < frame:
+                    continue
+                decs[i] = d
+                groups.setdefault((d.size, int(srs[i])), []).append(i)
+            for (size, sr), idx_all in groups.items():
+                fb = banks.get(sr)
+                if fb is None:
+                    fb = banks[sr] = mel_filterbank(sr, frame, n_mels).T
+                # bound the frame/FFT temporaries per task, same
+                # rationale as _batch_fingerprints
+                step = max(1, 2_000_000 // size)
+                for lo in range(0, len(idx_all), step):
+                    idx = idx_all[lo:lo + step]
+                    m = np.empty((len(idx), size), dtype=np.int16)
+                    for j, i in enumerate(idx):
+                        m[j] = decs[i]
+                    frames = np.lib.stride_tricks.sliding_window_view(
+                        m, frame, axis=1)[:, ::hop, :]
+                    spec = np.abs(
+                        np.fft.rfft(frames * window, axis=2)) ** 2
+                    mel_e = spec @ fb            # (clips, frames, mels)
+                    pooled = mel_e.sum(axis=1)   # (clips, mels)
+                    lg = np.log(np.maximum(mel_e, 1e-12)).mean(axis=1)
+                    co = lg @ dct.T              # (clips, n_mfcc)
+                    for j, i in enumerate(idx):
+                        nf[i] = mel_e.shape[1]
+                        logm[i] = lg[j]
+                        mf[i] = co[j]
+                        dom[i] = int(np.argmax(pooled[j]))
+            yield pd.DataFrame({
+                "clip_id": pdf["clip_id"],
+                "n_frames": pd.array(
+                    [int(nf[i]) if logm[i] is not None else None
+                     for i in range(n)], dtype="Int32"),
+                "log_mel": logm,
+                "mfcc": mf,
+                "dominant_band": pd.array(
+                    [int(dom[i]) if logm[i] is not None else None
+                     for i in range(n)], dtype="Int32")})
+
+    return src.mapInPandas(run, _MEL_SCHEMA)
+
+
+def tone_band_pcm(key: int, band: int, n_mels: int,
+                  sr_hz: int = 8000, n_samples: int = 4000) -> np.ndarray:
+    """Probe clip for the mel gate: a pure tone AT the peak of mel
+    filter `band` (where the band's weight is 1 and both neighbors'
+    are 0) plus a 0.5%-FS deterministic noise floor. Ground truth for
+    dominant_band is `band` by construction, with the margin set by
+    the triangle geometry, not by any statistical separation."""
+    f = mel_peak_hz(band, n_mels, sr_hz)
+    t = np.arange(n_samples, dtype=np.float64) / float(sr_hz)
+    sig = np.sin(2.0 * np.pi * f * t + (key % 17))
+    i = np.arange(n_samples, dtype=np.float64)
+    h = np.sin((i + key * 131.0) * 12.9898) * 43758.5453
+    noise = 2.0 * (h - np.floor(h)) - 1.0
+    return np.clip((0.6 * sig + 0.005 * noise) * 32767.0,
+                   -32768, 32767).astype("<i2")
+
+
+def tone_band_corpus_df(spark, keys: DataFrame, n_mels: int = 26,
+                        sr_hz: int = 8000,
+                        n_samples: int = 4000) -> DataFrame:
+    """(clip_id, sr_hz, codec, bytes) corpus for the mel gate: key k
+    carries a tone at the peak of band k % n_mels — the expected
+    dominant_band is pure key arithmetic, so the full FFT → mel →
+    argmax pipeline has a closed-form injected-truth oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for k in pdf["k"]:
+                k = int(k)
+                pcm = tone_band_pcm(k, k % n_mels, n_mels, sr_hz,
+                                    n_samples)
+                ids.append(f"clip_{k:010d}")
+                blobs.append(pcm.tobytes())
+            yield pd.DataFrame({
+                "clip_id": ids,
+                "sr_hz": pd.array([sr_hz] * len(ids), dtype="int32"),
+                "codec": ["pcm_s16le"] * len(ids),
+                "bytes": blobs})
+
+    return keys.mapInPandas(
+        gen, "clip_id string, sr_hz int, codec string, bytes binary")

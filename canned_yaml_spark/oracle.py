@@ -2614,3 +2614,21 @@ UNION ALL
 SELECT vec_id, part_id, 'x-embedding.embedding.zero', CAST(2 AS INT)
 FROM chk WHERE NOT bad AND sq = 0.0
 """.strip()
+
+
+def sql_mel_band() -> str:
+    # ground truth by construction: gate key k is synthesized as a
+    # pure tone at the PEAK of mel filter k % 26, where the filter's
+    # weight is exactly 1 and both neighbors' are exactly 0 — so the
+    # engine's FFT → filterbank → argmax must return k % 26 for every
+    # clip, and n_frames is the closed-form sliding-window count
+    # (4000 samples, frame 1024, hop 512 → 6). The raw log-mel/MFCC
+    # vectors stay pytest-pinned (DuckDB has no FFT); this gate
+    # value-checks the pipeline's decision on all 26 bands.
+    return """
+SELECT printf('clip_%010d', o_orderkey) AS clip_id,
+       CAST(6 AS INT) AS n_frames,
+       CAST(o_orderkey % 26 AS INT) AS dominant_band
+FROM orders
+WHERE o_orderkey % 23 = 1
+""".strip()

@@ -273,3 +273,85 @@ def test_bandlimit_detector_margins(spark):
                for r in afp.spectral_violations(corpus, sc).collect()}
     expected = {f"clip_{k:010d}" for k in range(0, 600, 37) if k % 3 == 0}
     assert flagged == expected
+
+
+# ------------------------------------------------------ log-mel / MFCC
+def test_mel_filterbank_geometry():
+    import numpy as np
+    fb = audiofp.mel_filterbank(8000, 1024, 26)
+    assert fb.shape == (26, 513)
+    # adjacent triangles are complementary: between the first and last
+    # peaks every frequency's total weight is 1 (each bin is on the
+    # falling edge of one filter and the rising edge of the next)
+    freqs = np.arange(513) * 8000 / 1024
+    lo = audiofp.mel_peak_hz(0, 26, 8000)
+    hi = audiofp.mel_peak_hz(25, 26, 8000)
+    inner = (freqs >= lo) & (freqs <= hi)
+    assert np.allclose(fb.sum(axis=0)[inner], 1.0, atol=1e-9)
+    # peak of band k has weight 1 on k and 0 on both neighbors
+    for k in (0, 7, 25):
+        m = audiofp.mel_filterbank(8000, 1024, 26)
+        f = audiofp.mel_peak_hz(k, 26, 8000)
+        pts = audiofp.mel_to_hz(np.linspace(
+            audiofp.hz_to_mel(0.0), audiofp.hz_to_mel(4000.0), 28))
+        assert abs(pts[k + 1] - f) < 1e-9
+
+
+def test_dct2_ortho_properties():
+    import numpy as np
+    d = audiofp.dct2_ortho(26, 26)
+    # orthonormal: D Dᵀ = I
+    assert np.allclose(d @ d.T, np.eye(26), atol=1e-12)
+    # constant vector → all energy in c0 = c·sqrt(N)
+    c = audiofp.dct2_ortho(13, 26) @ np.full(26, 2.5)
+    assert abs(c[0] - 2.5 * np.sqrt(26)) < 1e-9
+    assert np.abs(c[1:]).max() < 1e-12
+
+
+def test_mfcc_dominant_band_matches_injection(spark):
+    # every band 0..25 carries tones at its own filter peak — the
+    # full FFT → mel → argmax pipeline must land exactly there
+    keys = spark.range(0, 52).select(F.col("id").alias("k"))
+    corpus = audiofp.tone_band_corpus_df(spark, keys)
+    got = audiofp.mfcc_stats(corpus) \
+        .select("clip_id", "n_frames", "dominant_band").collect()
+    assert len(got) == 52
+    for r in got:
+        k = int(r.clip_id[5:])
+        assert r.dominant_band == k % 26, r
+        assert r.n_frames == (4000 - 1024) // 512 + 1
+
+
+def test_mfcc_stats_null_semantics(spark):
+    rows = [
+        ("ok", 8000, "pcm_s16le",
+         audiofp.tone_band_pcm(1, 5, 26).tobytes()),
+        ("short", 8000, "pcm_s16le", b"\x00\x00" * 100),  # < one frame
+        ("corrupt", 8000, "flac", b"garbage"),
+        ("nullsr", None, "pcm_s16le",
+         audiofp.tone_band_pcm(2, 5, 26).tobytes()),
+    ]
+    df = spark.createDataFrame(
+        rows, "clip_id string, sr_hz int, codec string, bytes binary")
+    got = {r.clip_id: r for r in audiofp.mfcc_stats(df).collect()}
+    assert got["ok"].dominant_band == 5
+    assert len(got["ok"].log_mel) == 26 and len(got["ok"].mfcc) == 13
+    for cid in ("short", "corrupt", "nullsr"):
+        r = got[cid]
+        assert r.n_frames is None and r.log_mel is None \
+            and r.mfcc is None and r.dominant_band is None, r
+
+
+def test_mfcc_sample_rate_scales_mel_geometry(spark):
+    # the filterbank spans [0, sr/2]: a tone at 16 kHz-band-10's peak
+    # is classified per the 16 kHz bank, not the 8 kHz one
+    import numpy as np
+    f = audiofp.mel_peak_hz(10, 26, 16000)
+    t = np.arange(8000, dtype=np.float64) / 16000.0
+    pcm = np.clip(0.6 * np.sin(2 * np.pi * f * t) * 32767,
+                  -32768, 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("hi", 16000, "pcm_s16le", pcm.tobytes())],
+        "clip_id string, sr_hz int, codec string, bytes binary")
+    [r] = audiofp.mfcc_stats(df).collect()
+    assert r.dominant_band == 10

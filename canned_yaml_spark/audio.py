@@ -1,17 +1,19 @@
-"""Deterministic audio synthesis, codecs (real G.711 + stubs), and SNR.
+"""Deterministic audio synthesis, codecs (4 real + 2 stubs), and SNR.
 
 The audio decode libraries (libsndfile/ffmpeg/opus) are NOT in this
-container, so the entropy-coded codecs are **clearly-marked
-deterministic stubs**: each wraps the real PCM16 samples in a
-magic-tagged container (optionally quantized to simulate lossy coding,
-optionally zlib-compressed). The Spark-side plumbing — binary columns,
+container, so the remaining entropy-coded codecs (`opus`, `mp3`) are
+**clearly-marked deterministic stubs**: each wraps the real PCM16
+samples in a magic-tagged container (quantized to simulate lossy
+coding, zlib-compressed). The Spark-side plumbing — binary columns,
 Arrow batches, vectorized decode, SNR math — is real and is what the
 engine exercises; swapping a stub for a real codec changes only this
 module.
 
-Three codec slots are REAL, not stubs: `ulaw`/`alaw` (below) and
+FOUR codec slots are REAL, not stubs: `ulaw`/`alaw` (below),
 `adpcm_ima` (IMA/DVI ADPCM — see its own section; audioop-validated
-the same way). `ulaw` and `alaw` implement ITU-T
+the same way), and `flac` (spec-conformant RFC 9639 FLAC — rice
+coding, fixed + LPC predictors, CRC-8/16 + MD5 verification; its own
+module, flac.py). `ulaw` and `alaw` implement ITU-T
 G.711 companding (the telephony log-PCM pair, 8 bits/sample) as
 vectorized numpy bit arithmetic — segment lookup via searchsorted,
 mantissa shifts elementwise. All four mappings (encode+decode × µ/A)
@@ -39,6 +41,8 @@ import struct
 import zlib
 
 import numpy as np
+
+from canned_yaml_spark import flac
 
 #: container magics for the stub codecs (real formats' magic bytes, so
 #: corrupt/garbage payloads are detected the same way real decoders do)
@@ -249,7 +253,14 @@ def encode(pcm: np.ndarray, codec: str) -> bytes:
         valpred0 = int(raw[0]) if n else 0
         hdr = _MAGIC[codec] + struct.pack("<IhB", n, valpred0, 0)
         return hdr + _adpcm_pack(_adpcm_encode_codes(raw, valpred0, 0))
-    if codec in ("flac", "opus", "mp3"):
+    if codec == "flac":
+        # REAL codec (flac.py, RFC 9639): mono/16-bit FLAC stream with
+        # fixed predictors (vectorized cumsum restore — the registry's
+        # scale default; see flac.py module docstring for the LPC
+        # trade). The registry signature carries no sample rate; the
+        # STREAMINFO rate is nominal — SNR math is rate-independent.
+        return flac.flac_encode(raw)
+    if codec in ("opus", "mp3"):
         shift = _LOSSY_SHIFT.get(codec, 0)
         if shift:
             raw = ((raw.astype(np.int32) >> shift) << shift).astype("<i2")
@@ -286,6 +297,8 @@ def decode(data: bytes | bytearray | memoryview, codec: str) -> np.ndarray | Non
             return None          # truncated/padded stream or bad header
         return _adpcm_decode_codes(_adpcm_unpack(body, n),
                                    valpred0, index0)
+    if codec == "flac":
+        return flac.flac_decode(buf)     # REAL codec: CRC+MD5-verified
     magic = _MAGIC.get(codec)
     if magic is None or not buf.startswith(magic):
         return None

@@ -1718,6 +1718,78 @@ def _q_adpcm_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_VCOLS))
 
 
+def _q_flac_snr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL-FLAC payload validation (flac.py — spec-conformant RFC 9639
+    # streams: rice coding, fixed predictors, CRC-8/16 + STREAMINFO
+    # MD5; hand-vector + roundtrip validated in tests/test_flac.py).
+    # Corpus on orders keys k % 29 == 0, n(k) = 500 + k % 883 samples:
+    # even k → resample.mod_pcm (decorrelated — encodes as verbatim
+    # frames), odd k → resample.tri_pcm (smooth — fixed-predictor
+    # frames), so BOTH subframe families run distributed through the
+    # Arrow decode path. FLAC is lossless: intact clips decode
+    # bit-exactly (SNR +inf — no margin to argue about). Injections
+    # closed-form in k, one failure branch each: k%12==0 truncated
+    # stream (parse runs out of bits → undecodable), k%12==4 one
+    # flipped byte at the 3/4 mark (always inside the frame region —
+    # the 42-byte fLaC+STREAMINFO prefix is far shorter — so the frame
+    # CRC-16 / MD5 catches it → undecodable; THE distinctive
+    # capability the zlib stub never had), k%12==8 transcript tamper.
+    # The oracle states that injected ground truth.
+    from canned_yaml_spark import resample as rs
+    from canned_yaml_spark.checks import PayloadCheck
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (orders.filter(F.col("o_orderkey") % 29 == 0)
+                  .select(F.col("o_orderkey").alias("k")))
+
+    def gen_clips(batches):
+        import pandas as pd
+
+        from canned_yaml_spark import audio as au
+        for pdf in batches:
+            out = {"clip_id": [], "bytes": [], "codec": [],
+                   "transcript": [], "part_id": []}
+            for k in (int(x) for x in pdf["k"]):
+                n = 500 + k % 883
+                pcm = rs.mod_pcm(k, n) if k % 2 == 0 else rs.tri_pcm(k, n)
+                data = au.encode(pcm, "flac")
+                t = f"transcript {k}"
+                r = k % 12
+                if r == 0:
+                    data = data[: len(data) // 2]
+                elif r == 4:
+                    arr = bytearray(data)
+                    arr[3 * len(arr) // 4] ^= 0x10
+                    data = bytes(arr)
+                elif r == 8:
+                    t = "tampered"
+                out["clip_id"].append(f"clip_{k:010d}")
+                out["bytes"].append(data)
+                out["codec"].append("flac")
+                out["transcript"].append(t)
+                out["part_id"].append(k % 64)
+            yield pd.DataFrame(out)
+
+    def gen_ref(batches):
+        import pandas as pd
+        for pdf in batches:
+            ks = [int(x) for x in pdf["k"]]
+            yield pd.DataFrame({
+                "clip_id": [f"clip_{k:010d}" for k in ks],
+                "pcm_ref": [(rs.mod_pcm(k, 500 + k % 883) if k % 2 == 0
+                             else rs.tri_pcm(k, 500 + k % 883)).tobytes()
+                            for k in ks],
+                "transcript_ref": [f"transcript {k}" for k in ks]})
+
+    clips = keys.mapInPandas(
+        gen_clips, "clip_id string, bytes binary, codec string, "
+                   "transcript string, part_id int")
+    ref = keys.mapInPandas(
+        gen_ref, "clip_id string, pcm_ref binary, transcript_ref string")
+    check = PayloadCheck(rule_id="x-payload.bytes", column="bytes")
+    return (payload.payload_violations(clips, ref, check)
+            .select(*_VCOLS))
+
+
 def _q_loudness_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x-loudness as a spec rule: ITU-R BS.1770-4 gated integrated
     # loudness bounds on the decoded payload (loudness.py — exact
@@ -2119,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_certified": _q_payload_certified,  # oracle: same set
         "g711_snr": _q_g711_snr,             # oracle: injected ground truth
         "adpcm_snr": _q_adpcm_snr,           # oracle: injected ground truth
+        "flac_snr": _q_flac_snr,             # oracle: injected ground truth
         "loudness_rule": _q_loudness_rule,   # oracle: injected ground truth
         "true_peak_rule": _q_true_peak_rule,  # oracle: injected ground truth
         "lra_rule": _q_lra_rule,             # oracle: injected ground truth
@@ -2232,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "payload_certified": oracle.sql_payload_snr(),
         "g711_snr": oracle.sql_g711_snr(),
         "adpcm_snr": oracle.sql_adpcm_snr(),
+        "flac_snr": oracle.sql_flac_snr(),
         "loudness_rule": oracle.sql_loudness_rule(),
         "true_peak_rule": oracle.sql_true_peak_rule(),
         "lra_rule": oracle.sql_lra_rule(),

@@ -67,6 +67,8 @@ def probe_membw_1p() -> dict:
 
 
 def ensure_bench_corpus(spark) -> None:
+    # v4: flac rows carry REAL RFC-9639 streams (flac.py replaced the
+    # zlib stub this round — bytes changed, so the corpus rebuilds).
     # v3: the ref table is written with the CERTIFIED ingest posture
     # (codec_ref + enc_hash/enc_len of the payload bytes that passed
     # validation at ingest, compressed pcm_z, plus the pcm digest) —
@@ -77,7 +79,7 @@ def ensure_bench_corpus(spark) -> None:
 
     from canned_yaml_spark import fixtures
     marker = os.path.join(BENCH_DIR, "_DONE")
-    if os.path.exists(marker) and open(marker).read().strip() == "v3":
+    if os.path.exists(marker) and open(marker).read().strip() == "v4":
         return
     fixtures.clips_df(spark, BENCH_ROWS, max_samples=512,
                       partitions=64) \
@@ -88,7 +90,7 @@ def ensure_bench_corpus(spark) -> None:
         .withColumn("pcm_len", F.length("pcm_ref"))
         .write.mode("overwrite").parquet(f"{BENCH_DIR}/clips_ref.parquet"))
     with open(marker, "w") as fh:
-        fh.write("v3\n")
+        fh.write("v4\n")
 
 
 def run_suite() -> dict:
@@ -198,7 +200,7 @@ def main() -> None:
     # page-cache churn contaminated the r4 recorded figure)
     marker = os.path.join(BENCH_DIR, "_DONE")
     if not (os.path.exists(marker)
-            and open(marker).read().strip() == "v3"):
+            and open(marker).read().strip() == "v4"):
         r = subprocess.run([sys.executable, here, "--build"])
         if r.returncode != 0:
             raise RuntimeError("bench corpus build failed")

@@ -1833,6 +1833,26 @@ WHERE k % 12 IN (0, 4, 8)
 """.strip()
 
 
+def sql_flac_snr() -> str:
+    # Ground truth by construction for the real-FLAC gate corpus
+    # (__spark_entry__._q_flac_snr): mod/triangle clips on orders keys
+    # k % 29 == 0, each encoded as a spec-conformant RFC 9639 FLAC
+    # stream. FLAC is LOSSLESS, so intact clips decode bit-exactly
+    # (SNR +inf) and the payload check fails EXACTLY the injected
+    # rows: k%12==0 (truncated stream → decode None), k%12==4 (one
+    # byte flipped inside the frame region → CRC-16/MD5 rejection →
+    # decode None), k%12==8 (transcript tamper). One violation row
+    # each — the injections are disjoint and each fails one branch.
+    return """
+SELECT printf('clip_%010d', k) AS clip_id,
+       CAST(k % 64 AS INT) AS part_id,
+       'x-payload.bytes' AS rule_id,
+       CAST(2 AS INT) AS severity
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 29 = 0)
+WHERE k % 12 IN (0, 4, 8)
+""".strip()
+
+
 def sql_loudness_rule() -> str:
     # Ground truth by construction for the x-loudness gate corpus
     # (__spark_entry__._q_loudness_rule): 997 Hz sines on orders keys

@@ -14,7 +14,7 @@ Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
 
-FOUR real containers ride alongside the stubs, covering every
+FIVE real containers ride alongside the stubs, covering every
 modality, each needing no external library:
 - RIFF/WAVE 16-bit PCM (r4): spec-conformant writer (fmt chunk, a
   LIST chunk so parsers must actually walk, word-aligned data chunk)
@@ -29,9 +29,14 @@ modality, each needing no external library:
   and full reversal of all five scanline filters (None/Sub/Up/
   Average/Paeth) — the encoder cycles filter types per row so the
   decoder's unfiltering is actually load-bearing. stdlib zlib only.
-Formats that genuinely need external codecs (JPEG's DCT entropy
-coding, MP4/H.264) remain declared NotImplementedError stubs.
-Swapping those in changes only `_DECODERS`.
+- baseline JPEG (r5, jpeg.py): full ITU-T T.81 baseline DCT process —
+  markers, quality-scaled Annex-K quantization, canonical Huffman
+  entropy coding, 4:2:0/4:4:4, restart intervals — pure numpy/struct.
+  The corpus uses per-8×8-block-constant grayscale payloads so the
+  lossy pipeline collapses to closed-form quantization arithmetic the
+  DuckDB oracle restates exactly (jpeg.block_constant_decoded).
+Formats that genuinely need external codecs (MP4/H.264) remain
+declared stubs. Swapping those in changes only `_DECODERS`.
 """
 
 from __future__ import annotations
@@ -44,6 +49,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from canned_yaml_spark import jpeg as _jpeg
 
 META_SCHEMA = ("media_id string, part_id int, kind string, ok boolean, "
                "width int, height int, channels int, n_frames int, "
@@ -521,19 +528,25 @@ def _decode_y4m(buf: bytes) -> dict:
             "mean_luma": luma_sum / (n_frames * w * h)}
 
 
-def _decode_real(buf: bytes) -> dict:  # pragma: no cover - stub
-    raise NotImplementedError(
-        "real image/video decoding needs Pillow/ffmpeg, absent from "
-        "this sandbox — register a decoder in multimodal._DECODERS")
+def _decode_jpeg(buf: bytes) -> dict:
+    """Real baseline JPEG decode (jpeg.py, ITU-T T.81): full marker
+    parse, stream-defined Huffman tables, dequant + IDCT. Metadata
+    mapping matches the other image kinds: mean_luma = mean over all
+    decoded pixel values (gray plane, or all three RGB channels)."""
+    px = _jpeg.jpeg_decode_strict(buf)
+    channels = 1 if px.ndim == 2 else px.shape[2]
+    return {"width": int(px.shape[1]), "height": int(px.shape[0]),
+            "channels": channels, "n_frames": 1,
+            "mean_luma": float(px.astype(np.float64).mean())}
 
 
-#: magic → decoder; real formats route to the NotImplementedError stub
+#: magic → decoder; only formats needing external codecs (MP4) stay out
 _DECODERS = {
     b"IMG1": _decode_image_stub,
     b"VID1": _decode_video_stub,
     b"RIFF": _decode_wav,                  # real container, real parser
     b"\x89PNG": _decode_png,               # real container, real parser
-    b"\xff\xd8\xff\xe0": _decode_real,
+    b"\xff\xd8\xff": _decode_jpeg,         # real codec (jpeg.py, T.81)
     b"BM": _decode_bmp,                    # real container, real parser
     b"YUV4MPEG2": _decode_y4m,             # real container, real parser
 }
@@ -558,11 +571,45 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 #: the DuckDB oracle): k%4==1 → real WAV/RIFF audio, k%4==2 → real 6×5
 #: 24-bpp BMP image, k%4==3 → real 4-frame 4×4 C420 Y4M video; the
 #: k%4==0 slot splits — k%8==4 → real 5×5 RGB PNG (all five filters),
-#: k%8==0 → 8×8×3 IMG1 stub image; every 10th payload truncated to
-#: half (undecodable). The IMG1 stub slot stays: it exercises the
-#: declared-stub plumbing a future JPEG/MP4 decoder would slot into.
+#: k%16==8 → real 24×16 grayscale baseline JPEG (per-8×8-block-constant
+#: pixels, quality 50, so the lossy path has a closed-form oracle;
+#: every third one adds restart intervals), k%16==0 → 8×8×3 IMG1 stub
+#: image; every 10th payload truncated to half (undecodable). The IMG1
+#: stub slot stays: it exercises the declared-stub plumbing a future
+#: MP4 decoder would slot into.
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
+#: quality 33 → q₀ = 24: chosen so BOTH rounding stages sit off their
+#: knife edges for every uint8 block value — the quantizer argument is
+#: d/3 (fractional parts {0, ⅓, ⅔}, never .5, and ≥⅙ from the
+#: boundary, far beyond float-DCT error), and q₀ ≡ 0 (mod 8) keeps the
+#: reconstruction 3·qdc + 128 integral so the +0.5 half-up floor never
+#: ties. q₀ = 16 (quality 50) puts odd d EXACTLY on the .5 boundary,
+#: where the einsum's ~1e-13 error flips the closed form.
+JPEG_W, JPEG_H, JPEG_Q = 24, 16, 33
+
+
+def jpeg_block_value(k: int, j: int) -> int:
+    """Input value of 8×8 block j (row-major over the 2×3 block grid)
+    of corpus JPEG k — the quantity the oracle's closed form starts
+    from."""
+    return (j * 37 + k * 29) % 256
+
+
+def encode_jpeg(k: int) -> bytes:
+    """Deterministic 24×16 grayscale baseline JPEG: each 8×8 block is
+    constant at jpeg_block_value(k, j), so decoded pixels follow
+    jpeg.block_constant_decoded exactly (only the DC coefficient
+    survives the FDCT). k%3==0 streams carry DRI/RSTn markers —
+    restarts are bit-exact no-ops on pixels but force the decoder's
+    segment walk."""
+    bh, bw_ = JPEG_H // 8, JPEG_W // 8
+    vals = np.array([[jpeg_block_value(k, by * bw_ + bx)
+                      for bx in range(bw_)] for by in range(bh)],
+                    dtype=np.uint8)
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    return _jpeg.jpeg_encode(img, quality=JPEG_Q,
+                             restart_interval=2 if k % 3 == 0 else 0)
 
 
 def media_row(k: int) -> tuple[str, int, bytearray]:
@@ -574,6 +621,8 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
         buf = encode_bmp(k)
     elif k % 8 == 4:
         buf = encode_png(k)
+    elif k % 16 == 8:
+        buf = encode_jpeg(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -615,6 +664,8 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"RIFF"), "audio") \
         .when(F.col(byte_col).substr(1, 2) == F.lit(b"BM"), "image") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"\x89PNG"), "image") \
+        .when(F.col(byte_col).substr(1, 3) == F.lit(b"\xff\xd8\xff"),
+              "image") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

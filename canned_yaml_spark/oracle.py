@@ -745,6 +745,7 @@ _MEDIA_KEYED = """m AS (
          (o_orderkey % 4 = 1) AS is_wav,
          (o_orderkey % 4 = 2) AS is_bmp,
          (o_orderkey % 8 = 4) AS is_png,
+         (o_orderkey % 16 = 8) AS is_jpg,
          (o_orderkey % 10 = 0) AS corrupt
   FROM orders)"""
 
@@ -779,6 +780,21 @@ def sql_media_meta() -> str:
                 "j -> (j*11 + k*17) % 256))")
     wav_mean = ("list_avg(list_transform(generate_series(0, 199), "
                 "i -> (i*31 + k*7) % 2048 - 1024))")
+    # the JPEG branch cross-checks Spark's REAL T.81 baseline decode
+    # (marker parse, stream-defined Huffman tables, dequant, IDCT,
+    # half-up clamp): block j of image k is constant at
+    # (j*37 + k*29) % 256, so only the DC coefficient survives the
+    # FDCT and the whole lossy path collapses to quantization
+    # arithmetic with q₀ = 24 (quality 33) — decoded block value =
+    # clip(3·round_half_away((v−128)/3) + 128, 0, 255)
+    # (jpeg.block_constant_decoded; boundary-free by construction,
+    # see multimodal.JPEG_Q). Restart-marker streams (k%3==0) must
+    # decode to the same pixels.
+    jpg_val = ("(CASE WHEN ((j*37 + k*29) % 256) >= 128 THEN "
+               "floor((((j*37 + k*29) % 256) - 128)/3.0 + 0.5) ELSE "
+               "-floor((128 - ((j*37 + k*29) % 256))/3.0 + 0.5) END)")
+    jpg_mean = (f"list_avg(list_transform(generate_series(0, 5), "
+                f"j -> greatest(least(3*{jpg_val} + 128, 255), 0)))")
     return f"""
 WITH {_MEDIA_KEYED}
 SELECT media_id, part_id,
@@ -787,12 +803,12 @@ SELECT media_id, part_id,
        NOT corrupt AS ok,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
             WHEN is_wav THEN 2 WHEN is_bmp THEN 6
-            WHEN is_png THEN 5 ELSE 8 END AS width,
+            WHEN is_png THEN 5 WHEN is_jpg THEN 24 ELSE 8 END AS width,
        CASE WHEN corrupt OR is_wav THEN NULL
             WHEN is_vid THEN 4 WHEN is_bmp THEN 5
-            WHEN is_png THEN 5 ELSE 8 END AS height,
+            WHEN is_png THEN 5 WHEN is_jpg THEN 16 ELSE 8 END AS height,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 3
-            WHEN is_wav THEN 1 ELSE 3 END AS channels,
+            WHEN is_wav THEN 1 WHEN is_jpg THEN 1 ELSE 3 END AS channels,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
             WHEN is_wav THEN 200 ELSE 1 END AS n_frames,
        CASE WHEN corrupt THEN NULL
@@ -800,6 +816,7 @@ SELECT media_id, part_id,
             WHEN is_wav THEN round({wav_mean}, 4)
             WHEN is_bmp THEN round({bmp_mean}, 4)
             WHEN is_png THEN round({png_mean}, 4)
+            WHEN is_jpg THEN round({jpg_mean}, 4)
             ELSE round({img_mean}, 4) END AS mean_luma
 FROM m
 """.strip()

@@ -59,10 +59,13 @@ def test_frame_sampling(spark, media):
     assert all(len(r.frame) == 16 for r in vids)   # 4x4 frames
 
 
-def test_real_format_routes_to_stub():
-    # JPEG still needs an external codec; PNG is real as of r5
+def test_jpeg_magic_routes_to_real_decoder():
+    # JPEG is a real codec as of late r5 (jpeg.py): garbage after the
+    # magic is cleanly undecodable, a real stream yields metadata
     meta, err = mm.decode_media(b"\xff\xd8\xff\xe0" + b"x" * 16)
-    assert meta is None and "multimodal._DECODERS" in err
+    assert meta is None and err.startswith("undecodable")
+    meta, err = mm.decode_media(mm.encode_jpeg(8))
+    assert err is None and meta["width"] == mm.JPEG_W
 
 
 def test_png_roundtrip_all_five_filters():

@@ -1354,9 +1354,17 @@ def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distance min 17 bits, pinned in tests/test_multimodal.py);
     # k%10==0 injects the SAME pixels re-encoded as PNG (container
     # change, hamming 0), k%10==5 a one-pixel-perturbed BMP copy
-    # (hamming ≤ 2 by block locality). The oracle states the injected
-    # pairs — exactly the k % 5 == 0 keys.
-    from canned_yaml_spark import multimodal
+    # (hamming ≤ 2 by block locality). k%5==2 keys add a LOSSY
+    # re-encode pair: a real baseline JPEG (quality 75) of an
+    # independent avalanche raster, paired with a BMP that stores the
+    # JPEG's DECODED pixels — the "BMP master vs lossy thumbnail copy"
+    # dedup scenario. Their rasters are bit-identical by decode
+    # determinism, so hamming is exactly 0 for EVERY key (the ground
+    # truth needs no distortion bound); the raster seed is offset by
+    # 10^9 so the pair is avalanche-independent of the key's base
+    # image. The oracle states the injected pairs — k%5==0 (_dup) and
+    # k%5==2 (_jb/_jd).
+    from canned_yaml_spark import jpeg, multimodal
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     keys = (orders.filter(F.col("o_orderkey") % 67 == 0)
                   .select(F.col("o_orderkey").alias("k")))
@@ -1383,6 +1391,19 @@ def _q_image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ids.append(f"img_{k:010d}_dup")
                     blobs.append(
                         multimodal.encode_bmp(k, 16, 16, pixels=noised))
+                elif k % 5 == 2:
+                    gray = multimodal.mix_pixel(
+                        k + 1_000_000_000,
+                        np.arange(16 * 16, dtype=np.int64)) \
+                        .astype(np.uint8).reshape(16, 16)
+                    jbuf = jpeg.jpeg_encode(gray, quality=75)
+                    dec = jpeg.jpeg_decode_strict(jbuf)
+                    ids.append(f"img_{k:010d}_jb")
+                    blobs.append(multimodal.encode_bmp(
+                        k, 16, 16,
+                        pixels=np.repeat(dec[:, :, None], 3, axis=2)))
+                    ids.append(f"img_{k:010d}_jd")
+                    blobs.append(jbuf)
             yield pd.DataFrame({"media_id": ids, "media": blobs})
 
     corpus = keys.mapInPandas(gen, "media_id string, media binary")

@@ -751,8 +751,11 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
 # ------------------------------ perceptual hash (dHash) + image near-dup
 def media_pixels(buf: bytes | None) -> np.ndarray | None:
     """Decoded raster for the REAL image containers — (h, w, channels)
-    uint8 for BMP/PNG payloads, None for anything else (other kinds,
-    corrupt containers). The perceptual-hash operators consume this."""
+    uint8 for BMP/PNG/JPEG payloads, None for anything else (other
+    kinds, corrupt containers). The perceptual-hash operators consume
+    this; a JPEG raster is its DECODED pixels, so two encodes of the
+    same source at different settings hash by what they look like,
+    not what bytes they shipped."""
     if buf is None:
         return None
     b = bytes(buf)
@@ -761,6 +764,9 @@ def media_pixels(buf: bytes | None) -> np.ndarray | None:
             return bmp_pixels(b)
         if b[:4] == b"\x89PNG":
             return png_pixels(b)
+        if b[:3] == b"\xff\xd8\xff":
+            px = _jpeg.jpeg_decode_strict(b)  # JpegError is ValueError
+            return px[:, :, None] if px.ndim == 2 else px
     except ValueError:
         return None
     return None

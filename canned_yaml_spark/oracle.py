@@ -1479,13 +1479,21 @@ def sql_image_near_dups() -> str:
     # gate (__spark_entry__._q_image_near_dups): a dup partner exists
     # for every k % 5 == 0 key (k%10==0 → same pixels as PNG, hamming
     # 0; k%10==5 → one perturbed pixel, hamming ≤ 2 by block
-    # locality), and NO cross-key pair can match — the avalanche mix
-    # keeps distinct keys ≥ 17 bits apart (pinned) vs the threshold 4.
+    # locality) and for every k % 5 == 2 key (a real lossy baseline
+    # JPEG paired with a BMP holding the JPEG's DECODED raster —
+    # bit-identical pixels by decode determinism, hamming exactly 0);
+    # NO cross-key pair can match — the avalanche mix keeps distinct
+    # keys ≥ 17 bits apart (pinned) vs the threshold 4, and the _jb/
+    # _jd family draws from an independent seed (k + 10^9).
     return """
 SELECT printf('img_%010d', k) AS media_id_a,
        printf('img_%010d_dup', k) AS media_id_b
 FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 67 = 0)
 WHERE k % 5 = 0
+UNION ALL
+SELECT printf('img_%010d_jb', k), printf('img_%010d_jd', k)
+FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 67 = 0)
+WHERE k % 5 = 2
 """.strip()
 
 

@@ -293,6 +293,35 @@ def test_dhash_container_invariant():
         assert hb == hp
 
 
+def test_dhash_jpeg_lossy_reencode_pair():
+    # the gate's k%5==2 family: a lossy baseline JPEG and a BMP storing
+    # the JPEG's DECODED raster hash IDENTICALLY (decode determinism —
+    # the ground truth needs no distortion bound), while both stay
+    # avalanche-far from the key's base image and from other keys
+    from canned_yaml_spark import jpeg as J
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    jh, bh = {}, {}
+    for k in range(0, 40):
+        gray = mm.mix_pixel(k + 1_000_000_000,
+                            np.arange(256, dtype=np.int64)) \
+            .astype(np.uint8).reshape(16, 16)
+        jbuf = J.jpeg_encode(gray, quality=75)
+        dec = J.jpeg_decode_strict(jbuf)
+        assert not np.array_equal(dec, gray)      # genuinely lossy
+        h_jd = mm.dhash64(mm.media_pixels(jbuf))
+        h_jb = mm.dhash64(mm.media_pixels(mm.encode_bmp(
+            k, 16, 16, pixels=np.repeat(dec[:, :, None], 3, axis=2))))
+        assert ham(h_jb, h_jd) == 0, k
+        jh[k] = h_jd
+        bh[k] = mm.dhash64(_gate_px(k).reshape(16, 16, 3))
+    pairs = [(a, b) for a in range(40) for b in range(40)]
+    assert min(ham(jh[a], jh[b]) for a, b in pairs if a != b) > 8
+    assert min(ham(jh[a], bh[b]) for a, b in pairs) > 8
+
+
 def test_dhash_noise_and_cross_key_margins():
     # single-pixel perturbation flips ≤ 2 bits (block-local by
     # construction); distinct keys sit far above the match threshold
@@ -334,11 +363,24 @@ def test_image_near_dups_exact_against_injection(spark):
             noised = _gate_px(k, noise_at=(k * 37) % (16 * 16 * 3))
             rows.append((f"img_{k:03d}_dup", bytearray(
                 mm.encode_bmp(k, 16, 16, pixels=noised))))
+        elif k % 5 == 2:
+            from canned_yaml_spark import jpeg as J
+            gray = mm.mix_pixel(k + 1_000_000_000,
+                                np.arange(256, dtype=np.int64)) \
+                .astype(np.uint8).reshape(16, 16)
+            jbuf = J.jpeg_encode(gray, quality=75)
+            dec = J.jpeg_decode_strict(jbuf)
+            rows.append((f"img_{k:03d}_jb", bytearray(mm.encode_bmp(
+                k, 16, 16,
+                pixels=np.repeat(dec[:, :, None], 3, axis=2)))))
+            rows.append((f"img_{k:03d}_jd", bytearray(jbuf)))
     df = spark.createDataFrame(rows, "media_id string, media binary")
     got = {(r.media_id_a, r.media_id_b)
            for r in mm.image_near_dups(df).collect()}
     want = {(f"img_{k:03d}", f"img_{k:03d}_dup")
-            for k in range(60) if k % 5 == 0}
+            for k in range(60) if k % 5 == 0} \
+        | {(f"img_{k:03d}_jb", f"img_{k:03d}_jd")
+           for k in range(60) if k % 5 == 2}
     assert got == want
 
 

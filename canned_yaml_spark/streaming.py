@@ -123,6 +123,28 @@ def stream_absent_violations(stream_df: DataFrame, blocklist: DataFrame,
     return out
 
 
+def stream_media_violations(stream_df: DataFrame, suite: CheckSuite,
+                            id_col: str = "media_id",
+                            part_col: str = "part_id") -> DataFrame:
+    """x-media checks over a STREAM: continuous-ingest media
+    validation with the SAME operator the batch path uses
+    (multimodal.media_violations is one stateless mapInPandas decode
+    pass + JVM filters — no join, no watermark, no state store, so it
+    composes onto a streaming DataFrame unchanged and the
+    stream==batch equality is pinned in tests/test_streaming.py).
+    Per-micro-batch cost is the Arrow decode of that batch's payloads
+    only; nothing accumulates."""
+    from canned_yaml_spark import multimodal as mmod
+    parts = [mmod.media_violations(stream_df, mc, id_col, part_col)
+             for mc in suite.media_checks]
+    if not parts:
+        raise ValueError("suite has no x-media checks")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def running_verdicts(stream_df: DataFrame, suite: CheckSuite,
                      part_col: str = "part_id",
                      state_timeout_ms: int = 600_000) -> DataFrame:

@@ -1,6 +1,7 @@
 """Streaming validation: same suite, streaming source, AvailableNow."""
 
 import pyspark.sql.functions as F
+import pytest
 
 from canned_yaml_spark import fixtures, streaming
 from canned_yaml_spark.runner import row_verdicts, row_violations
@@ -577,6 +578,50 @@ def test_stream_absent_blocklist_matches_batch(spark, tmp_path):
     assert got.count() == want.count()
     key = ["clip_id", "rule_id"]
     assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+
+def test_stream_media_rule_matches_batch(spark, tmp_path):
+    # x-media over a stream: one stateless Arrow decode pass per
+    # micro-batch — no join, no state — so the batch operator composes
+    # unchanged; violations (undecodable + width floor) must match the
+    # batch run row-for-row
+    from canned_yaml_spark import multimodal as mm
+    from canned_yaml_spark.compile import compile_spec
+    src = str(tmp_path / "src_media")
+    out = str(tmp_path / "viol_media")
+    chk = str(tmp_path / "chk_media")
+
+    rows = []
+    for k in range(120):
+        mid, part, buf = mm.media_row(k)
+        rows.append((mid, part, buf))
+    media = spark.createDataFrame(
+        rows, "media_id string, part_id int, media binary")
+    spec = {"type": "object", "properties": {"media": {
+        "x-media": {"kinds": ["image"], "min_width": 7,
+                    "require_decodable": True}}}}
+    suite = compile_spec(spec, media.schema)
+    media.write.parquet(src)
+
+    stream = spark.readStream.schema(media.schema).parquet(src)
+    q = (streaming.stream_media_violations(stream, suite)
+         .writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", chk)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    [mc] = suite.media_checks
+    want = mm.media_violations(media, mc)
+    assert want.count() > 0
+    key = ["clip_id", "rule_id", "message"]
+    assert got.count() == want.count()
+    assert got.select(*key).exceptAll(want.select(*key)).count() == 0
+
+    with pytest.raises(ValueError):
+        streaming.stream_media_violations(
+            stream, compile_spec({"type": "object", "properties": {
+                "media_id": {"type": "string"}}}, media.schema))
 
 
 def test_stream_embedding_rule_matches_batch(spark, tmp_path):

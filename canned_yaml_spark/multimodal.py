@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from canned_yaml_spark import gif as _gif
 from canned_yaml_spark import jpeg as _jpeg
 
 META_SCHEMA = ("media_id string, part_id int, kind string, ok boolean, "
@@ -528,6 +529,20 @@ def _decode_y4m(buf: bytes) -> dict:
             "mean_luma": luma_sum / (n_frames * w * h)}
 
 
+def _decode_gif(buf: bytes) -> dict:
+    """Real GIF87a/89a decode (gif.py): LZW, sub-block reassembly,
+    palette mapping, frame composition. kind mapping: GIF is an image
+    container even when animated (n_frames carries the frame count);
+    mean_luma = mean over all composed RGB frames, so an identity
+    grayscale palette makes it the mean of the coded indices — the
+    quantity the oracle restates analytically (GifError is a
+    ValueError, so decode_media's corrupt-container contract holds)."""
+    frames, n = _gif.gif_frames(buf)
+    return {"width": int(frames.shape[2]), "height": int(frames.shape[1]),
+            "channels": 3, "n_frames": n,
+            "mean_luma": float(frames.astype(np.float64).mean())}
+
+
 def _decode_jpeg(buf: bytes) -> dict:
     """Real baseline JPEG decode (jpeg.py, ITU-T T.81): full marker
     parse, stream-defined Huffman tables, dequant + IDCT. Metadata
@@ -547,6 +562,7 @@ _DECODERS = {
     b"RIFF": _decode_wav,                  # real container, real parser
     b"\x89PNG": _decode_png,               # real container, real parser
     b"\xff\xd8\xff": _decode_jpeg,         # real codec (jpeg.py, T.81)
+    b"GIF8": _decode_gif,                  # real codec (gif.py, LZW)
     b"BM": _decode_bmp,                    # real container, real parser
     b"YUV4MPEG2": _decode_y4m,             # real container, real parser
 }
@@ -572,13 +588,35 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 #: 24-bpp BMP image, k%4==3 → real 4-frame 4×4 C420 Y4M video; the
 #: k%4==0 slot splits — k%8==4 → real 5×5 RGB PNG (all five filters),
 #: k%16==8 → real 24×16 grayscale baseline JPEG (per-8×8-block-constant
-#: pixels, quality 50, so the lossy path has a closed-form oracle;
-#: every third one adds restart intervals), k%16==0 → 8×8×3 IMG1 stub
-#: image; every 10th payload truncated to half (undecodable). The IMG1
-#: stub slot stays: it exercises the declared-stub plumbing a future
-#: MP4 decoder would slot into.
+#: pixels, quality 33, so the lossy path has a closed-form oracle;
+#: every third one adds restart intervals), k%32==16 → real 4-frame
+#: 16×8 animated GIF (identity grayscale palette: the LOSSLESS LZW
+#: path decodes to exactly the generated indices, so the oracle
+#: restates the generator arithmetic directly), k%32==0 → 8×8×3 IMG1
+#: stub image; every 10th payload truncated to half (undecodable). The
+#: IMG1 stub slot stays: it exercises the declared-stub plumbing a
+#: future MP4 decoder would slot into.
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
+GIF_F, GIF_W, GIF_H = 4, 16, 8
+
+
+def gif_pixel(k: int, j):
+    """Coded index j (flat over frames×rows×cols) of corpus GIF k —
+    the quantity the oracle's analytic mean starts from."""
+    jj = np.asarray(j, dtype=np.int64)
+    fsz = GIF_W * GIF_H
+    return ((jj % fsz) * 13 + (jj // fsz) * 29 + k * 7) % 256
+
+
+def encode_gif(k: int) -> bytes:
+    """Deterministic 4-frame 16×8 animated GIF89a: frame f pixel i is
+    (i·13 + f·29 + k·7) % 256 through the identity grayscale palette —
+    lossless, so decoded RGB = replicated indices exactly."""
+    j = np.arange(GIF_F * GIF_H * GIF_W, dtype=np.int64)
+    px = gif_pixel(k, j).astype(np.uint8) \
+        .reshape(GIF_F, GIF_H, GIF_W)
+    return _gif.gif_encode([px[f] for f in range(GIF_F)])
 #: quality 33 → q₀ = 24: chosen so BOTH rounding stages sit off their
 #: knife edges for every uint8 block value — the quantizer argument is
 #: d/3 (fractional parts {0, ⅓, ⅔}, never .5, and ≥⅙ from the
@@ -623,6 +661,8 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
         buf = encode_png(k)
     elif k % 16 == 8:
         buf = encode_jpeg(k)
+    elif k % 32 == 16:
+        buf = encode_gif(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -666,6 +706,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"\x89PNG"), "image") \
         .when(F.col(byte_col).substr(1, 3) == F.lit(b"\xff\xd8\xff"),
               "image") \
+        .when(F.col(byte_col).substr(1, 4) == F.lit(b"GIF8"), "image") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

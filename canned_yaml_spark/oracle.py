@@ -746,6 +746,7 @@ _MEDIA_KEYED = """m AS (
          (o_orderkey % 4 = 2) AS is_bmp,
          (o_orderkey % 8 = 4) AS is_png,
          (o_orderkey % 16 = 8) AS is_jpg,
+         (o_orderkey % 32 = 16) AS is_gif,
          (o_orderkey % 10 = 0) AS corrupt
   FROM orders)"""
 
@@ -795,6 +796,14 @@ def sql_media_meta() -> str:
                "-floor((128 - ((j*37 + k*29) % 256))/3.0 + 0.5) END)")
     jpg_mean = (f"list_avg(list_transform(generate_series(0, 5), "
                 f"j -> greatest(least(3*{jpg_val} + 128, 255), 0)))")
+    # the GIF branch cross-checks Spark's REAL LZW decode (variable-
+    # width codes, sub-block reassembly, palette map, 4-frame
+    # composition): frame f pixel i of stream k is
+    # (i·13 + f·29 + k·7) % 256 through an identity grayscale palette
+    # — LOSSLESS, so the decoded mean IS the generator mean
+    # (multimodal.gif_pixel; j below flattens frames×pixels, 4×128)
+    gif_mean = ("list_avg(list_transform(generate_series(0, 511), "
+                "j -> ((j % 128)*13 + (j // 128)*29 + k*7) % 256))")
     return f"""
 WITH {_MEDIA_KEYED}
 SELECT media_id, part_id,
@@ -803,20 +812,24 @@ SELECT media_id, part_id,
        NOT corrupt AS ok,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
             WHEN is_wav THEN 2 WHEN is_bmp THEN 6
-            WHEN is_png THEN 5 WHEN is_jpg THEN 24 ELSE 8 END AS width,
+            WHEN is_png THEN 5 WHEN is_jpg THEN 24
+            WHEN is_gif THEN 16 ELSE 8 END AS width,
        CASE WHEN corrupt OR is_wav THEN NULL
             WHEN is_vid THEN 4 WHEN is_bmp THEN 5
-            WHEN is_png THEN 5 WHEN is_jpg THEN 16 ELSE 8 END AS height,
+            WHEN is_png THEN 5 WHEN is_jpg THEN 16
+            WHEN is_gif THEN 8 ELSE 8 END AS height,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 3
             WHEN is_wav THEN 1 WHEN is_jpg THEN 1 ELSE 3 END AS channels,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
-            WHEN is_wav THEN 200 ELSE 1 END AS n_frames,
+            WHEN is_wav THEN 200 WHEN is_gif THEN 4 ELSE 1 END
+           AS n_frames,
        CASE WHEN corrupt THEN NULL
             WHEN is_vid THEN round({vid_mean}, 4)
             WHEN is_wav THEN round({wav_mean}, 4)
             WHEN is_bmp THEN round({bmp_mean}, 4)
             WHEN is_png THEN round({png_mean}, 4)
             WHEN is_jpg THEN round({jpg_mean}, 4)
+            WHEN is_gif THEN round({gif_mean}, 4)
             ELSE round({img_mean}, 4) END AS mean_luma
 FROM m
 """.strip()

@@ -808,6 +808,11 @@ def media_pixels(buf: bytes | None) -> np.ndarray | None:
         if b[:3] == b"\xff\xd8\xff":
             px = _jpeg.jpeg_decode_strict(b)  # JpegError is ValueError
             return px[:, :, None] if px.ndim == 2 else px
+        if b[:4] == b"GIF8":
+            frames, n = _gif.gif_frames(b)    # GifError is ValueError
+            # static GIFs join the image-dedup family; animation is a
+            # different identity (the video near-dup operator's turf)
+            return frames[0] if n == 1 else None
     except ValueError:
         return None
     return None

@@ -293,6 +293,24 @@ def test_dhash_container_invariant():
         assert hb == hp
 
 
+def test_dhash_static_gif_container_invariant():
+    # a static GIF of the same pixels hashes identically to the BMP
+    # (lossless palette path); animated GIFs stay out of image dedup
+    from canned_yaml_spark import gif as G
+    for k in (0, 9, 31):
+        px = _gate_px(k).reshape(16, 16, 3)
+        gray = px.astype(np.int64).sum(axis=2) // 3
+        hb = mm.dhash64(mm.media_pixels(mm.encode_bmp(
+            k, 16, 16, pixels=np.repeat(gray[:, :, None].astype(np.uint8),
+                                        3, axis=2))))
+        hg = mm.dhash64(mm.media_pixels(
+            G.gif_encode(gray.astype(np.uint8))))
+        assert hb == hg
+    anim = G.gif_encode([_gate_px(1)[:256].reshape(16, 16)
+                         for _ in range(2)])
+    assert mm.media_pixels(anim) is None
+
+
 def test_dhash_jpeg_lossy_reencode_pair():
     # the gate's k%5==2 family: a lossy baseline JPEG and a BMP storing
     # the JPEG's DECODED raster hash IDENTICALLY (decode determinism —

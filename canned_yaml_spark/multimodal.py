@@ -734,16 +734,20 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
 
 def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
                  id_col: str = "media_id") -> DataFrame:
-    """Sample every Nth frame of video payloads → one row per sampled
-    frame (media_id, frame_idx, frame bytes). The explode happens
-    Python-side per batch so only sampled frames cross back. Handles
-    both the VID1 stub container and real Y4M streams; truncated
-    payloads yield clipped/empty frame slices (the oracle restates
-    the clipping arithmetic)."""
+    """Sample every Nth frame of multi-frame payloads → one row per
+    sampled frame (media_id, frame_idx, frame bytes). The explode
+    happens Python-side per batch so only sampled frames cross back.
+    Handles the VID1 stub container, real Y4M streams (frame = the raw
+    planar YUV slice, clipped to available bytes — the oracle restates
+    the clipping arithmetic), and real animated GIFs (frame = the
+    COMPOSED RGB raster after LZW decode + palette map + sub-rectangle
+    placement, the training-usable form; undecodable GIFs contribute
+    no rows)."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(byte_col).alias("_media")) \
             .filter((F.col(byte_col).substr(1, 4) == F.lit(b"VID1"))
-                    | (F.col(byte_col).substr(1, 4) == F.lit(b"YUV4")))
+                    | (F.col(byte_col).substr(1, 4) == F.lit(b"YUV4"))
+                    | (F.col(byte_col).substr(1, 4) == F.lit(b"GIF8")))
 
     def y4m_slices(buf: bytes) -> tuple[int, list[bytes]]:
         """(declared n_frames, per-frame payload slices, clipped to the
@@ -774,6 +778,16 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
                         ids.append(pdf["media_id"].iat[i])
                         idxs.append(k)
                         frames.append(slices[k])
+                    continue
+                if buf[:4] == b"GIF8":
+                    try:
+                        comp, f = _gif.gif_frames(buf)
+                    except ValueError:
+                        continue           # truncated: no frames
+                    for k in range(0, f, every):
+                        ids.append(pdf["media_id"].iat[i])
+                        idxs.append(k)
+                        frames.append(comp[k].tobytes())
                     continue
                 f, w, h = struct.unpack("<HHH", buf[4:10])
                 body = buf[10:]

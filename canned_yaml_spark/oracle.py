@@ -881,17 +881,25 @@ FROM s
 
 
 def sql_frame_sample() -> str:
-    # videos only — real 4-frame 4x4 C420 Y4M streams, sampled every
-    # 2nd frame; each sampled frame is one full planar YUV payload
-    # (16 Y + 4 U + 4 V = 24 bytes). Corrupt video rows cannot occur:
-    # corruption hits k % 10 = 0 (even) while video is k % 4 = 3 (odd).
+    # multi-frame payloads sampled every 2nd frame: real 4-frame 4x4
+    # C420 Y4M streams (frame = one full planar YUV payload, 16 Y +
+    # 4 U + 4 V = 24 bytes; corrupt video rows cannot occur —
+    # corruption hits k % 10 = 0, even, while video is k % 4 = 3,
+    # odd) and real 4-frame 16×8 animated GIFs (frame = the COMPOSED
+    # RGB raster after LZW decode, 16·8·3 = 384 bytes; corrupt GIFs
+    # ARE possible — k%32==16 is even — and contribute no rows)
     return f"""
 WITH {_MEDIA_KEYED},
 v AS (SELECT media_id FROM m WHERE is_vid),
+g AS (SELECT media_id FROM m WHERE is_gif AND NOT corrupt),
 idx AS (SELECT unnest([0, 2]) AS frame_idx)
 SELECT v.media_id, CAST(idx.frame_idx AS INT) AS frame_idx,
        CAST(24 AS INT) AS frame_len
 FROM v CROSS JOIN idx
+UNION ALL
+SELECT g.media_id, CAST(idx.frame_idx AS INT) AS frame_idx,
+       CAST(384 AS INT) AS frame_len
+FROM g CROSS JOIN idx
 """.strip()
 
 

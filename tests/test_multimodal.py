@@ -269,6 +269,26 @@ def test_y4m_frame_sample(spark):
     assert got == {("v0", 0): 24, ("v0", 2): 24, ("v1", 0): 24}
 
 
+def test_gif_frame_sample(spark):
+    # GIF frames sample as COMPOSED RGB rasters (LZW decode + identity
+    # palette map): frame bytes must equal the generated indices
+    # replicated across RGB; truncated GIFs contribute no rows
+    rows = [("g0", 0, bytearray(mm.encode_gif(16))),
+            ("g1", 1, bytearray(mm.encode_gif(48)[:60]))]  # truncated
+    df = spark.createDataFrame(rows,
+                               "media_id string, part_id int, media binary")
+    got = {(r.media_id, r.frame_idx): bytes(r.frame)
+           for r in mm.frame_sample(df, every=2).collect()}
+    assert set(got) == {("g0", 0), ("g0", 2)}
+    fsz = mm.GIF_W * mm.GIF_H
+    for f in (0, 2):
+        want = np.repeat(
+            mm.gif_pixel(16, np.arange(f * fsz, (f + 1) * fsz,
+                                       dtype=np.int64))
+            .astype(np.uint8), 3)
+        assert got[("g0", f)] == want.tobytes()
+
+
 # ------------------------- perceptual hash (dHash) + image near-dup
 def _gate_px(k, noise_at=None):
     px = mm.mix_pixel(

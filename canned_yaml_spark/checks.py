@@ -158,7 +158,10 @@ class MediaCheck:
     ``column``, optionally scoped to container kinds (image/video/
     audio). require_decodable flags payloads the registry cannot parse
     (corrupt containers, truncations); min_width/min_height gate the
-    decoded geometry. A bound left None is not checked."""
+    decoded geometry and min_frames the decoded frame count (e.g.
+    "animated payloads must really be multi-frame" — meaningful now
+    that real multi-frame containers exist: Y4M, animated GIF). A
+    bound left None is not checked."""
 
     rule_id: str
     column: str
@@ -166,6 +169,7 @@ class MediaCheck:
     require_decodable: bool = True
     min_width: int | None = None
     min_height: int | None = None
+    min_frames: int | None = None
     severity: Severity = Severity.WARN
 
 

@@ -1780,7 +1780,7 @@ class _Compiler:
                 kinds = tuple(kinds)
             req = bool(xm.get("require_decodable", True))
             bounds = {}
-            for b in ("min_width", "min_height"):
+            for b in ("min_width", "min_height", "min_frames"):
                 v = xm.get(b)
                 if v is not None:
                     if not isinstance(v, int) or v <= 0:
@@ -1788,7 +1788,7 @@ class _Compiler:
                                         f"must be a positive integer, "
                                         f"got {v!r}")
                 bounds[b] = v
-            if not req and bounds["min_width"] is None                     and bounds["min_height"] is None:
+            if not req and all(v is None for v in bounds.values()):
                 raise SpecError(path, "x-media checks nothing: enable "
                                       "require_decodable or set a bound")
             self.suite.media_checks.append(MediaCheck(
@@ -1796,6 +1796,7 @@ class _Compiler:
                 kinds=kinds, require_decodable=req,
                 min_width=bounds["min_width"],
                 min_height=bounds["min_height"],
+                min_frames=bounds["min_frames"],
                 severity=Severity[xm.get("severity", "WARN").upper()]))
         if "x-audio-stats" in sub:
             xa = sub["x-audio-stats"]

@@ -3,18 +3,19 @@
 The audio path (audio.py/payload.py) is this engine's fully-worked
 modality. This module generalizes the same plumbing — binary column,
 Arrow batches through mapInPandas, bounded batch memory, violation
-rows out — to image/video payloads. The image/video decode libraries
-(Pillow, ffmpeg) are NOT in this container, so decoders are **clearly
-marked stubs**: a deterministic fake for the synthetic container
-format below, NotImplementedError for real formats. Swapping in a real
-decoder changes only `_DECODERS`; every Spark-side piece (schema,
-partitioning, UDF signature, batch shape) is real and tested.
+rows out — to image/video payloads. Decoders are REAL for six public
+container formats (below, all implemented from their specs in pure
+numpy/stdlib); the synthetic IMG1/VID1 containers remain as
+deterministic fakes exercising the declared-stub plumbing that a
+format needing an external codec (MP4/H.264) would slot into via
+`_DECODERS`; every Spark-side piece (schema, partitioning, UDF
+signature, batch shape) is identical either way.
 
 Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
 
-FIVE real containers ride alongside the stubs, covering every
+SIX real containers ride alongside the stubs, covering every
 modality, each needing no external library:
 - RIFF/WAVE 16-bit PCM (r4): spec-conformant writer (fmt chunk, a
   LIST chunk so parsers must actually walk, word-aligned data chunk)
@@ -35,6 +36,10 @@ modality, each needing no external library:
   The corpus uses per-8×8-block-constant grayscale payloads so the
   lossy pipeline collapses to closed-form quantization arithmetic the
   DuckDB oracle restates exactly (jpeg.block_constant_decoded).
+- animated GIF (r5, gif.py): GIF87a/89a with real variable-width LZW,
+  Global/Local Color Tables, sub-rectangle frame composition, 4-pass
+  interlace. Lossless over palette indices, so the corpus oracle is
+  the generator arithmetic itself.
 Formats that genuinely need external codecs (MP4/H.264) remain
 declared stubs. Swapping those in changes only `_DECODERS`.
 """
@@ -996,7 +1001,8 @@ def media_violations(df: DataFrame, check,
                         F.concat(F.lit("undecodable media: "),
                                  F.col("err")).alias("message")))
     for bound, col in ((check.min_width, "width"),
-                       (check.min_height, "height")):
+                       (check.min_height, "height"),
+                       (check.min_frames, "n_frames")):
         if bound is not None:
             parts.append(
                 meta.filter(F.col("ok") & (F.col(col) < bound))

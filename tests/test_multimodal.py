@@ -513,11 +513,38 @@ def test_media_rule_spec_errors(spark):
             ({"kinds": []}, "kinds"),
             ({"min_width": 0}, "min_width"),
             ({"min_height": -2}, "min_height"),
+            ({"min_frames": 0}, "min_frames"),
             ({"require_decodable": False}, "checks nothing"),
     ):
         with pytest.raises(SpecError) as ei:
             mk(frag)
         assert loc in str(ei.value)
+
+
+def test_media_min_frames_bound(spark):
+    # min_frames gates the decoded frame count: a single-frame GIF
+    # violates a 2-frame floor, the 4-frame animated corpus GIF and
+    # the 4-frame Y4M pass; decodability violations still fire
+    from canned_yaml_spark import gif as G
+    from canned_yaml_spark.compile import compile_spec
+    rows = [
+        ("gif_static", 0, bytearray(G.gif_encode(
+            np.zeros((4, 4), np.uint8)))),
+        ("gif_anim", 0, bytearray(mm.encode_gif(16))),
+        ("y4m_ok", 1, bytearray(mm.encode_y4m(3))),
+        ("gif_bad", 1, bytearray(mm.encode_gif(48)[:40])),
+    ]
+    df = spark.createDataFrame(rows,
+                               "media_id string, part_id int, media binary")
+    suite = compile_spec(
+        {"type": "object", "properties": {"media": {"x-media": {
+            "min_frames": 2}}}}, df.schema)
+    [mc] = suite.media_checks
+    assert mc.min_frames == 2
+    got = sorted((r.clip_id, r.message)
+                 for r in mm.media_violations(df, mc).collect())
+    assert [c for c, _ in got] == ["gif_bad", "gif_static"]
+    assert got[1][1] == "n_frames 1 < minimum 2"
 
 
 # ------------------------------------ video perceptual near-dup (Y4M)

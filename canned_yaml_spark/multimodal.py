@@ -3,11 +3,11 @@
 The audio path (audio.py/payload.py) is this engine's fully-worked
 modality. This module generalizes the same plumbing — binary column,
 Arrow batches through mapInPandas, bounded batch memory, violation
-rows out — to image/video payloads. Decoders are REAL for six public
+rows out — to image/video payloads. Decoders are REAL for seven public
 container formats (below, all implemented from their specs in pure
 numpy/stdlib); the synthetic IMG1/VID1 containers remain as
 deterministic fakes exercising the declared-stub plumbing that a
-format needing an external codec (MP4/H.264) would slot into via
+format needing an external codec (H.264 sample decode) would slot into via
 `_DECODERS`; every Spark-side piece (schema, partitioning, UDF
 signature, batch shape) is identical either way.
 
@@ -15,7 +15,7 @@ Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
 
-SIX real containers ride alongside the stubs, covering every
+SEVEN real containers ride alongside the stubs, covering every
 modality, each needing no external library:
 - RIFF/WAVE 16-bit PCM (r4): spec-conformant writer (fmt chunk, a
   LIST chunk so parsers must actually walk, word-aligned data chunk)
@@ -40,8 +40,12 @@ modality, each needing no external library:
   Global/Local Color Tables, sub-rectangle frame composition, 4-pass
   interlace. Lossless over palette indices, so the corpus oracle is
   the generator arithmetic itself.
-Formats that genuinely need external codecs (MP4/H.264) remain
-declared stubs. Swapping those in changes only `_DECODERS`.
+- ISO BMFF / MP4 (r5, mp4.py): the CONTAINER layer is fully real —
+  box walk, tkhd dimensions, stts frame count, stco/stsz verified
+  against mdat — which is how a pipeline treats video at scale
+  (parse metadata, never transcode). Sample DECODE (H.264/H.265
+  bitstream) genuinely needs an external codec and stays a declared
+  stub: channels/mean_luma report NULL rather than a guess.
 """
 
 from __future__ import annotations
@@ -57,6 +61,7 @@ from pyspark.sql import functions as F
 
 from canned_yaml_spark import gif as _gif
 from canned_yaml_spark import jpeg as _jpeg
+from canned_yaml_spark import mp4 as _mp4
 
 META_SCHEMA = ("media_id string, part_id int, kind string, ok boolean, "
                "width int, height int, channels int, n_frames int, "
@@ -548,6 +553,19 @@ def _decode_gif(buf: bytes) -> dict:
             "mean_luma": float(frames.astype(np.float64).mean())}
 
 
+def _decode_mp4(buf: bytes) -> dict:
+    """Real ISO BMFF box-layer parse (mp4.py): box walk, tkhd
+    dimensions, stts frame count, stco/stsz-vs-mdat consistency.
+    SAMPLE decode (H.264/H.265 bitstream) needs an external codec and
+    stays a declared stub, so channels and mean_luma are honestly NULL
+    — a parser that cannot know a value says so rather than guessing
+    (Mp4Error is a ValueError → the corrupt-container contract)."""
+    m = _mp4.mp4_meta(buf)
+    return {"width": m["width"], "height": m["height"],
+            "channels": None, "n_frames": m["n_frames"],
+            "mean_luma": None}
+
+
 def _decode_jpeg(buf: bytes) -> dict:
     """Real baseline JPEG decode (jpeg.py, ITU-T T.81): full marker
     parse, stream-defined Huffman tables, dequant + IDCT. Metadata
@@ -576,15 +594,23 @@ _DECODERS = {
 def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
     if buf is None:
         return None, "null payload"
-    for magic, dec in _DECODERS.items():
+    dec = None
+    for magic, d in _DECODERS.items():
         if bytes(buf[: len(magic)]) == magic:
-            try:
-                return dec(bytes(buf)), None
-            except NotImplementedError as e:
-                return None, str(e)
-            except Exception as e:  # corrupt container
-                return None, f"undecodable: {e}"
-    return None, "unknown container magic"
+            dec = d
+            break
+    # ISO BMFF carries its brand at offset 4 (after the ftyp box
+    # size), so it cannot live in the prefix-keyed registry
+    if dec is None and len(buf) >= 12 and bytes(buf[4:8]) == b"ftyp":
+        dec = _decode_mp4
+    if dec is None:
+        return None, "unknown container magic"
+    try:
+        return dec(bytes(buf)), None
+    except NotImplementedError as e:
+        return None, str(e)
+    except Exception as e:  # corrupt container
+        return None, f"undecodable: {e}"
 
 
 # ----------------------------------------------------- derived corpus
@@ -597,13 +623,25 @@ def decode_media(buf: bytes | None) -> tuple[dict | None, str | None]:
 #: every third one adds restart intervals), k%32==16 → real 4-frame
 #: 16×8 animated GIF (identity grayscale palette: the LOSSLESS LZW
 #: path decodes to exactly the generated indices, so the oracle
-#: restates the generator arithmetic directly), k%32==0 → 8×8×3 IMG1
-#: stub image; every 10th payload truncated to half (undecodable). The
-#: IMG1 stub slot stays: it exercises the declared-stub plumbing a
-#: future MP4 decoder would slot into.
+#: restates the generator arithmetic directly), k%64==32 → real 12×10
+#: 5-sample ISO BMFF/MP4 video (box layer parsed for REAL — tkhd/stts/
+#: stsz/stco verified against mdat; sample DECODE is the declared
+#: H.264 stub, so channels/mean_luma are honestly NULL), k%64==0 →
+#: 8×8×3 IMG1 stub image; every 10th payload truncated to half
+#: (undecodable). The IMG1 stub slot stays: it exercises the
+#: declared-stub plumbing that codec-bound sample decode still needs.
 IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
 GIF_F, GIF_W, GIF_H = 4, 16, 8
+MP4_F, MP4_W, MP4_H = 5, 12, 10
+
+
+def encode_mp4(k: int) -> bytes:
+    """Deterministic 5-sample 12×10 MP4: sample i carries
+    60 + (k + i) % 40 opaque bytes. The box layer is fully real;
+    sample contents are opaque by design (no H.264 in sandbox)."""
+    return _mp4.mp4_encode([60 + (k + i) % 40 for i in range(MP4_F)],
+                           width=MP4_W, height=MP4_H)
 
 
 def gif_pixel(k: int, j):
@@ -668,6 +706,8 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
         buf = encode_jpeg(k)
     elif k % 32 == 16:
         buf = encode_gif(k)
+    elif k % 64 == 32:
+        buf = encode_mp4(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -712,6 +752,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
         .when(F.col(byte_col).substr(1, 3) == F.lit(b"\xff\xd8\xff"),
               "image") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"GIF8"), "image") \
+        .when(F.col(byte_col).substr(5, 4) == F.lit(b"ftyp"), "video") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

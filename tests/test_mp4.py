@@ -1,0 +1,105 @@
+"""ISO BMFF (MP4) box-layer codec (mp4.py) — validated WITHOUT an
+independent MP4 implementation: box layouts are asserted against
+hand-computed offsets, structural lies (samples outside mdat,
+stsz/stts disagreement) are constructed explicitly, and every
+single-byte corruption must parse to well-formed metadata or fail
+cleanly. Sample DECODE is out of scope by design (H.264 needs an
+external codec — the declared stub)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from canned_yaml_spark import mp4 as M
+from canned_yaml_spark import multimodal as mm
+
+
+def test_roundtrip_metadata():
+    buf = M.mp4_encode([100, 120, 80, 90, 110], width=12, height=10)
+    m = M.mp4_meta(buf)
+    assert m["width"] == 12 and m["height"] == 10
+    assert m["n_frames"] == 5
+    assert m["duration_ms"] == 200            # 5 × 40 @ timescale 1000
+    assert m["sample_sizes"] == [100, 120, 80, 90, 110]
+    m2 = M.mp4_meta(M.mp4_encode([7], width=640, height=480,
+                                 timescale=90000, sample_delta=3000))
+    assert (m2["width"], m2["height"], m2["n_frames"]) == (640, 480, 1)
+    assert m2["duration_ms"] == 33            # round(3000/90000 · 1000)
+
+
+def test_box_layout_hand_computed():
+    # the file must open with the 28-byte ftyp box (8 header + 'isom'
+    # + minor version + 3 compatible brands) followed by mdat whose
+    # payload starts at the offset stco declares
+    buf = M.mp4_encode([10, 20], width=4, height=4)
+    assert struct.unpack(">I", buf[0:4])[0] == 28
+    assert buf[4:8] == b"ftyp" and buf[8:12] == b"isom"
+    assert buf[32:36] == b"mdat"
+    mdat_payload = 36
+    stco_at = buf.rfind(b"stco")
+    first_off = struct.unpack(">I", buf[stco_at + 12: stco_at + 16])[0]
+    assert first_off == mdat_payload
+    # sample 0 bytes are the deterministic fill (j·19 % 256)
+    want = bytes((np.arange(10, dtype=np.int64) * 19 % 256)
+                 .astype(np.uint8))
+    assert buf[mdat_payload: mdat_payload + 10] == want
+
+
+def test_structural_lies_rejected():
+    buf = M.mp4_encode([50, 50], width=8, height=8)
+    # shrink mdat's declared size → later boxes overrun / samples
+    # land outside mdat: either way, a clean Mp4Error
+    ftyp_len = struct.unpack(">I", buf[0:4])[0]
+    bad = bytearray(buf)
+    old = struct.unpack(">I", bad[ftyp_len: ftyp_len + 4])[0]
+    bad[ftyp_len: ftyp_len + 4] = struct.pack(">I", old - 40)
+    with pytest.raises(M.Mp4Error):
+        M.mp4_meta(bytes(bad))
+    # stsz count vs stts frames disagreement (stsz payload layout:
+    # version/flags at +4, uniform size at +8, count at +12)
+    stsz_at = buf.rfind(b"stsz")
+    bad = bytearray(buf)
+    bad[stsz_at + 12: stsz_at + 16] = struct.pack(">I", 3)
+    with pytest.raises(M.Mp4Error):
+        M.mp4_meta(bytes(bad))
+    for cut in (10, 60, len(buf) // 2, len(buf) - 4):
+        with pytest.raises(M.Mp4Error):
+            M.mp4_meta(buf[:cut])
+    with pytest.raises(M.Mp4Error):
+        M.mp4_meta(b"")
+    with pytest.raises(M.Mp4Error):
+        M.mp4_encode([], width=4, height=4)
+    with pytest.raises(M.Mp4Error):
+        M.mp4_encode([0], width=4, height=4)
+    with pytest.raises(M.Mp4Error):
+        M.mp4_encode([5], width=0, height=4)
+
+
+def test_corruption_sweep_never_crashes():
+    buf = M.mp4_encode([60, 70, 80], width=6, height=4)
+    for pos in range(0, len(buf) - 1, 2):
+        c = bytearray(buf)
+        c[pos] ^= 0x55
+        try:
+            m = M.mp4_meta(bytes(c))
+        except (M.Mp4Error, struct.error):
+            continue
+        # accepted parses must be well-formed (a flipped declared
+        # value IS different metadata — that is not a parse failure)
+        assert m["width"] > 0 and m["n_frames"] > 0
+
+
+def test_multimodal_corpus_slot():
+    for k in (32, 96, 160, 1000032):
+        meta, err = mm.decode_media(mm.encode_mp4(k))
+        assert err is None
+        assert meta == {"width": mm.MP4_W, "height": mm.MP4_H,
+                        "channels": None, "n_frames": mm.MP4_F,
+                        "mean_luma": None}
+    mid, _, buf = mm.media_row(32)
+    assert bytes(buf[4:8]) == b"ftyp"
+    meta, err = mm.decode_media(bytes(mm.media_row(160)[2]))  # corrupt
+    assert meta is None and err.startswith("undecodable")

@@ -245,4 +245,21 @@ def mp4_meta(buf: bytes) -> dict:
     return {"width": int(width), "height": int(height),
             "n_frames": int(n_frames),
             "duration_ms": int(round(m_duration * 1000 / m_timescale)),
-            "sample_sizes": sizes}
+            "sample_sizes": sizes,
+            "_first_sample_off": int(first_off)}
+
+
+def mp4_samples(buf: bytes) -> list[bytes]:
+    """Demux WITHOUT decode: the coded sample byte ranges, straight
+    from stsz/stco (single-chunk layout, consecutive samples — the
+    layout mp4_encode writes and mp4_meta verified against mdat).
+    This is the training-pipeline primitive: hand each coded sample to
+    whatever consumes it, never transcode in the validation pass."""
+    b = bytes(buf)
+    m = mp4_meta(b)
+    out = []
+    pos = m["_first_sample_off"]
+    for s in m["sample_sizes"]:
+        out.append(b[pos: pos + s])
+        pos += s
+    return out

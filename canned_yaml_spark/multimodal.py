@@ -785,15 +785,18 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
     happens Python-side per batch so only sampled frames cross back.
     Handles the VID1 stub container, real Y4M streams (frame = the raw
     planar YUV slice, clipped to available bytes — the oracle restates
-    the clipping arithmetic), and real animated GIFs (frame = the
-    COMPOSED RGB raster after LZW decode + palette map + sub-rectangle
-    placement, the training-usable form; undecodable GIFs contribute
-    no rows)."""
+    the clipping arithmetic), real animated GIFs (frame = the COMPOSED
+    RGB raster after LZW decode + palette map + sub-rectangle
+    placement, the training-usable form), and real MP4s (frame = the
+    CODED sample demuxed via stsz/stco — extraction without
+    transcoding, the 100 TB posture); undecodable payloads contribute
+    no rows."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(byte_col).alias("_media")) \
             .filter((F.col(byte_col).substr(1, 4) == F.lit(b"VID1"))
                     | (F.col(byte_col).substr(1, 4) == F.lit(b"YUV4"))
-                    | (F.col(byte_col).substr(1, 4) == F.lit(b"GIF8")))
+                    | (F.col(byte_col).substr(1, 4) == F.lit(b"GIF8"))
+                    | (F.col(byte_col).substr(5, 4) == F.lit(b"ftyp")))
 
     def y4m_slices(buf: bytes) -> tuple[int, list[bytes]]:
         """(declared n_frames, per-frame payload slices, clipped to the
@@ -834,6 +837,16 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
                         ids.append(pdf["media_id"].iat[i])
                         idxs.append(k)
                         frames.append(comp[k].tobytes())
+                    continue
+                if buf[4:8] == b"ftyp":
+                    try:
+                        samples = _mp4.mp4_samples(buf)
+                    except ValueError:
+                        continue           # structural lie: no frames
+                    for k in range(0, len(samples), every):
+                        ids.append(pdf["media_id"].iat[i])
+                        idxs.append(k)
+                        frames.append(samples[k])
                     continue
                 f, w, h = struct.unpack("<HHH", buf[4:10])
                 body = buf[10:]

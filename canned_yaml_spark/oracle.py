@@ -895,6 +895,7 @@ def sql_frame_sample() -> str:
 WITH {_MEDIA_KEYED},
 v AS (SELECT media_id FROM m WHERE is_vid),
 g AS (SELECT media_id FROM m WHERE is_gif AND NOT corrupt),
+p AS (SELECT media_id, k FROM m WHERE is_mp4 AND NOT corrupt),
 idx AS (SELECT unnest([0, 2]) AS frame_idx)
 SELECT v.media_id, CAST(idx.frame_idx AS INT) AS frame_idx,
        CAST(24 AS INT) AS frame_len
@@ -903,6 +904,12 @@ UNION ALL
 SELECT g.media_id, CAST(idx.frame_idx AS INT) AS frame_idx,
        CAST(384 AS INT) AS frame_len
 FROM g CROSS JOIN idx
+UNION ALL
+-- MP4 demux: coded sample i has 60 + (k+i) % 40 bytes
+-- (multimodal.encode_mp4), samples 0/2/4 of 5 at every=2
+SELECT p.media_id, CAST(i.frame_idx AS INT) AS frame_idx,
+       CAST(60 + (p.k + i.frame_idx) % 40 AS INT) AS frame_len
+FROM p CROSS JOIN (SELECT unnest([0, 2, 4]) AS frame_idx) i
 """.strip()
 
 

@@ -92,6 +92,35 @@ def test_corruption_sweep_never_crashes():
         assert m["width"] > 0 and m["n_frames"] > 0
 
 
+def test_demux_samples():
+    sizes = [100, 120, 80]
+    buf = M.mp4_encode(sizes, width=8, height=8)
+    samples = M.mp4_samples(buf)
+    assert [len(s) for s in samples] == sizes
+    for i, s in enumerate(samples):
+        want = bytes(((np.arange(len(s), dtype=np.int64) * 19 + i * 3)
+                      % 256).astype(np.uint8))
+        assert s == want
+    with pytest.raises(M.Mp4Error):
+        M.mp4_samples(buf[: len(buf) // 2])
+
+
+def test_frame_sample_demuxes_mp4(spark):
+    # frame_sample over MP4 = demux without decode: every Nth CODED
+    # sample, byte-exact; a structurally-lying container yields none
+    rows = [("p0", 0, bytearray(mm.encode_mp4(32))),
+            ("p1", 1, bytearray(mm.encode_mp4(96)[:100]))]  # truncated
+    df = spark.createDataFrame(rows,
+                               "media_id string, part_id int, media binary")
+    got = {(r.media_id, r.frame_idx): bytes(r.frame)
+           for r in mm.frame_sample(df, every=2).collect()}
+    assert set(got) == {("p0", 0), ("p0", 2), ("p0", 4)}
+    want = M.mp4_samples(mm.encode_mp4(32))
+    for i in (0, 2, 4):
+        assert got[("p0", i)] == want[i]
+        assert len(want[i]) == 60 + (32 + i) % 40
+
+
 def test_multimodal_corpus_slot():
     for k in (32, 96, 160, 1000032):
         meta, err = mm.decode_media(mm.encode_mp4(k))

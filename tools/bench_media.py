@@ -38,9 +38,19 @@ from canned_yaml_spark import multimodal
 import pandas as pd
 spark = get_spark("media_build", cores=32, shuffle_partitions=64)
 
+mix = os.environ.get("SG_MIX", "mix")
+
 def gen(batches):
     for pdf in batches:
-        rows = [multimodal.media_row(int(k)) for k in pdf["id"]]
+        if mix == "jpeg":
+            # compute-dense control: all healthy JPEGs — maximal
+            # Python work (Huffman walk + IDCT) per byte moved, the
+            # media analogue of the s64 row-suite control
+            rows = [(f"media_{{int(k):010d}}", int(k) % 64,
+                     bytearray(multimodal.encode_jpeg(int(k))))
+                    for k in pdf["id"]]
+        else:
+            rows = [multimodal.media_row(int(k)) for k in pdf["id"]]
         yield pd.DataFrame(rows, columns=["media_id", "part_id",
                                           "media"]) \
             .astype({{"part_id": "int32"}})
@@ -89,7 +99,8 @@ def run_child(script: str, env: dict) -> dict:
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    path = f"/dev/shm/media_corpus_{n_rows}"
+    mix = os.environ.get("SG_MIX", "mix")
+    path = f"/dev/shm/media_corpus_{mix}_{n_rows}"
     os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         subprocess.run([sys.executable, "-c",
@@ -107,7 +118,7 @@ def main() -> None:
     best = {c: min(x["secs"] for x in results[c]) for c in (8, 32)}
     thr = {c: n_rows / best[c] for c in (8, 32)}
     eff = (thr[32] / thr[8]) / 4.0
-    line = {"op": "extract_media_meta (6-container decode pass)",
+    line = {"op": f"extract_media_meta ({mix} corpus)",
             "n_rows": n_rows,
             "t8": best[8], "t32": best[32],
             "rows_per_sec_8": round(thr[8]),
@@ -119,9 +130,12 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", "MEDIA.md"), "a") as f:
         if f.tell() == 0:
             f.write("# Media decode scaling (extract_media_meta)\n")
-        f.write(f"\n## {n_rows} rows — {stamp}\n\n"
-                f"media_row slot mix (WAV/BMP/Y4M/PNG/JPEG/GIF/stub, "
-                f"every 10th truncated), corpus + shuffle on /dev/shm, "
+        desc = ("ALL-JPEG compute-dense control (healthy, Huffman+IDCT "
+                "per row)" if mix == "jpeg" else
+                "media_row slot mix (WAV/BMP/Y4M/PNG/JPEG/GIF/MP4/stub, "
+                "every 10th truncated)")
+        f.write(f"\n## {n_rows} rows ({mix}) — {stamp}\n\n"
+                f"{desc}, corpus + shuffle on /dev/shm, "
                 f"process tree pinned, fresh JVM per run, levels "
                 f"alternated, min of {runs}.\n\n"
                 f"| cores | secs (min) | rows/s | all runs |\n"

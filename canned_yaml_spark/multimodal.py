@@ -17,9 +17,11 @@ Synthetic container format (deterministic, self-describing):
 
 SEVEN real containers ride alongside the stubs, covering every
 modality, each needing no external library:
-- RIFF/WAVE 16-bit PCM (r4): spec-conformant writer (fmt chunk, a
-  LIST chunk so parsers must actually walk, word-aligned data chunk)
-  + a generic RIFF chunk walker, cross-checked against stdlib `wave`.
+- RIFF/WAVE (r4): spec-conformant writer (fmt chunk, a LIST chunk so
+  parsers must actually walk, word-aligned data chunk) + a generic
+  RIFF chunk walker, cross-checked against stdlib `wave`; accepts
+  PCM16 and the real-world telephony variants WAVE_FORMAT_MULAW/ALAW
+  (fmt 6/7), decoded through the audioop-cross-checked G.711 codecs.
 - Windows BMP, 24 bpp uncompressed (r5): both headers validated;
   parser honors the pixel-data offset, 4-byte row stride, and
   bottom-up vs top-down row order.
@@ -159,10 +161,19 @@ def wav_pcm(buf: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr_hz, _, block, bits = \
         struct.unpack("<HHIIHH", fmt[:16])
-    if audio_format != 1 or bits != 16:
+    if audio_format == 1 and bits == 16:
+        pcm = np.frombuffer(data, dtype="<i2")
+    elif audio_format in (6, 7) and bits == 8:
+        # WAVE_FORMAT_ALAW / _MULAW: real-world telephony WAVs carry
+        # G.711 bytes; decode through the same audioop-cross-checked
+        # codecs the payload family uses (audio.py)
+        from canned_yaml_spark import audio as _audio
+        g711 = np.frombuffer(data, dtype=np.uint8)
+        pcm = (_audio.alaw_decode(g711) if audio_format == 6
+               else _audio.ulaw_decode(g711))
+    else:
         raise ValueError(f"unsupported WAV: format={audio_format} "
                          f"bits={bits}")
-    pcm = np.frombuffer(data, dtype="<i2")
     if pcm.size % channels:
         raise ValueError("data chunk not a whole number of frames")
     del sr_hz                              # parsed + validated, callers don't need it

@@ -138,6 +138,36 @@ def test_wav_roundtrip_real_container():
     assert abs(meta["mean_luma"] - pcm.mean()) < 1e-9
 
 
+def test_wav_g711_formats_decode():
+    # real-world telephony WAVs: WAVE_FORMAT_MULAW (7) / _ALAW (6)
+    # with 8-bit payloads decode through the audioop-cross-checked
+    # G.711 codecs; other format tags stay rejected
+    import struct
+
+    from canned_yaml_spark import audio
+
+    def g711_wav(code, payload, sr=8000):
+        fmt = struct.pack("<HHIIHH", code, 1, sr, sr, 1, 8)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(payload)) + payload)
+        if len(payload) % 2:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) \
+            + b"WAVE" + chunks
+
+    pcm = ((np.arange(300) * 37) % 2048 - 1024).astype(np.int16)
+    for code, enc, dec in ((7, audio.ulaw_encode, audio.ulaw_decode),
+                           (6, audio.alaw_encode, audio.alaw_decode)):
+        comp = enc(pcm).astype(np.uint8).tobytes()
+        out, ch = mm.wav_pcm(g711_wav(code, comp))
+        assert ch == 1
+        assert np.array_equal(out, dec(np.frombuffer(comp, np.uint8)))
+        meta, err = mm.decode_media(g711_wav(code, comp))
+        assert err is None and meta["n_frames"] == 300
+    m, e = mm.decode_media(g711_wav(3, b"\x00" * 10))
+    assert m is None and "unsupported WAV" in e
+
+
 def test_wav_walker_rejects_malformed():
     buf = mm.encode_wav(5)
     _, err = mm.decode_media(buf[: len(buf) // 2])      # truncated

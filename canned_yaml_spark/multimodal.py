@@ -3,7 +3,7 @@
 The audio path (audio.py/payload.py) is this engine's fully-worked
 modality. This module generalizes the same plumbing — binary column,
 Arrow batches through mapInPandas, bounded batch memory, violation
-rows out — to image/video payloads. Decoders are REAL for seven public
+rows out — to image/video payloads. Decoders are REAL for eight public
 container formats (below, all implemented from their specs in pure
 numpy/stdlib); the synthetic IMG1/VID1 containers remain as
 deterministic fakes exercising the declared-stub plumbing that a
@@ -15,7 +15,7 @@ Synthetic container format (deterministic, self-describing):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw pixels
   b"VID1" + n_frames:uint16 + width:uint16 + height:uint16 + raw frames
 
-SEVEN real containers ride alongside the stubs, covering every
+EIGHT real containers ride alongside the stubs, covering every
 modality, each needing no external library:
 - RIFF/WAVE (r4): spec-conformant writer (fmt chunk, a LIST chunk so
   parsers must actually walk, word-aligned data chunk) + a generic
@@ -42,6 +42,13 @@ modality, each needing no external library:
   Global/Local Color Tables, sub-rectangle frame composition, 4-pass
   interlace. Lossless over palette indices, so the corpus oracle is
   the generator arithmetic itself.
+- Ogg (r5, ogg.py): RFC 3533 page layer — lacing, packet reassembly
+  across pages, granule rules, page-sequence continuity, and EVERY
+  page CRC verified (bit rot anywhere in the stream is DETECTED; a
+  full single-byte corruption sweep is pinned in tests). The codec
+  payload (opus/vorbis) stays the declared external stub, so
+  channels/mean_luma are NULL and n_frames is the container's own
+  final-granule claim.
 - ISO BMFF / MP4 (r5, mp4.py): the CONTAINER layer is fully real —
   box walk, tkhd dimensions, stts frame count, stco/stsz verified
   against mdat — which is how a pipeline treats video at scale
@@ -64,6 +71,7 @@ from pyspark.sql import functions as F
 from canned_yaml_spark import gif as _gif
 from canned_yaml_spark import jpeg as _jpeg
 from canned_yaml_spark import mp4 as _mp4
+from canned_yaml_spark import ogg as _ogg
 
 META_SCHEMA = ("media_id string, part_id int, kind string, ok boolean, "
                "width int, height int, channels int, n_frames int, "
@@ -564,6 +572,18 @@ def _decode_gif(buf: bytes) -> dict:
             "mean_luma": float(frames.astype(np.float64).mean())}
 
 
+def _decode_ogg(buf: bytes) -> dict:
+    """Real Ogg page-layer parse (ogg.py, RFC 3533): capture pattern,
+    lacing, page-sequence continuity, and EVERY page CRC verified —
+    bit rot anywhere in the stream is detected. The codec payload
+    (opus/vorbis) is the declared external stub, so channels and
+    mean_luma report NULL; n_frames is the container's own final
+    granule position (its sample-count claim)."""
+    _, final_granule = _ogg.ogg_packets(buf)
+    return {"width": None, "height": None, "channels": None,
+            "n_frames": int(final_granule), "mean_luma": None}
+
+
 def _decode_mp4(buf: bytes) -> dict:
     """Real ISO BMFF box-layer parse (mp4.py): box walk, tkhd
     dimensions, stts frame count, stco/stsz-vs-mdat consistency.
@@ -597,6 +617,7 @@ _DECODERS = {
     b"\x89PNG": _decode_png,               # real container, real parser
     b"\xff\xd8\xff": _decode_jpeg,         # real codec (jpeg.py, T.81)
     b"GIF8": _decode_gif,                  # real codec (gif.py, LZW)
+    b"OggS": _decode_ogg,                  # real container (ogg.py, CRC)
     b"BM": _decode_bmp,                    # real container, real parser
     b"YUV4MPEG2": _decode_y4m,             # real container, real parser
 }
@@ -645,6 +666,24 @@ IMG_W, IMG_H, IMG_C = 8, 8, 3
 VID_F, VID_W, VID_H = 4, 4, 4
 GIF_F, GIF_W, GIF_H = 4, 16, 8
 MP4_F, MP4_W, MP4_H = 5, 12, 10
+
+
+def ogg_final_granule(k: int) -> int:
+    """Final granule position of corpus Ogg k — the value the oracle
+    restates."""
+    return 960 + 480 * (1 + k % 5)
+
+
+def encode_ogg(k: int) -> bytes:
+    """Deterministic 3-packet one-stream Ogg: packet sizes
+    40+(k%50)/140/80 with granules 480/960/ogg_final_granule(k). The
+    page layer (lacing, CRCs, flags) is fully real; packet contents
+    are opaque codec bytes by design."""
+    sizes = (40 + k % 50, 140, 80)
+    pkts = [bytes(((np.arange(s, dtype=np.int64) * 23 + k * 11 + i)
+                   % 256).astype(np.uint8))
+            for i, s in enumerate(sizes)]
+    return _ogg.ogg_encode(pkts, [480, 960, ogg_final_granule(k)])
 
 
 def encode_mp4(k: int) -> bytes:
@@ -719,6 +758,8 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
         buf = encode_gif(k)
     elif k % 64 == 32:
         buf = encode_mp4(k)
+    elif k % 128 == 64:
+        buf = encode_ogg(k)
     else:
         buf = encode_image(k, IMG_W, IMG_H, IMG_C)
     if k % 10 == 0:
@@ -764,6 +805,7 @@ def extract_media_meta(df: DataFrame, byte_col: str = "media",
               "image") \
         .when(F.col(byte_col).substr(1, 4) == F.lit(b"GIF8"), "image") \
         .when(F.col(byte_col).substr(5, 4) == F.lit(b"ftyp"), "video") \
+        .when(F.col(byte_col).substr(1, 4) == F.lit(b"OggS"), "audio") \
         .otherwise("unknown")
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(part_col).alias("part_id"),

@@ -748,6 +748,7 @@ _MEDIA_KEYED = """m AS (
          (o_orderkey % 16 = 8) AS is_jpg,
          (o_orderkey % 32 = 16) AS is_gif,
          (o_orderkey % 64 = 32) AS is_mp4,
+         (o_orderkey % 128 = 64) AS is_ogg,
          (o_orderkey % 10 = 0) AS corrupt
   FROM orders)"""
 
@@ -809,24 +810,28 @@ def sql_media_meta() -> str:
 WITH {_MEDIA_KEYED}
 SELECT media_id, part_id,
        CASE WHEN is_vid OR is_mp4 THEN 'video'
-            WHEN is_wav THEN 'audio' ELSE 'image' END AS kind,
+            WHEN is_wav OR is_ogg THEN 'audio'
+            ELSE 'image' END AS kind,
        NOT corrupt AS ok,
-       CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
+       CASE WHEN corrupt OR is_ogg THEN NULL WHEN is_vid THEN 4
             WHEN is_wav THEN 2 WHEN is_bmp THEN 6
             WHEN is_png THEN 5 WHEN is_jpg THEN 24
             WHEN is_gif THEN 16 WHEN is_mp4 THEN 12 ELSE 8 END
            AS width,
-       CASE WHEN corrupt OR is_wav THEN NULL
+       CASE WHEN corrupt OR is_wav OR is_ogg THEN NULL
             WHEN is_vid THEN 4 WHEN is_bmp THEN 5
             WHEN is_png THEN 5 WHEN is_jpg THEN 16
             WHEN is_gif THEN 8 WHEN is_mp4 THEN 10 ELSE 8 END
            AS height,
-       CASE WHEN corrupt OR is_mp4 THEN NULL WHEN is_vid THEN 3
+       CASE WHEN corrupt OR is_mp4 OR is_ogg THEN NULL
+            WHEN is_vid THEN 3
             WHEN is_wav THEN 1 WHEN is_jpg THEN 1 ELSE 3 END AS channels,
        CASE WHEN corrupt THEN NULL WHEN is_vid THEN 4
             WHEN is_wav THEN 200 WHEN is_gif THEN 4
-            WHEN is_mp4 THEN 5 ELSE 1 END AS n_frames,
-       CASE WHEN corrupt OR is_mp4 THEN NULL
+            WHEN is_mp4 THEN 5
+            WHEN is_ogg THEN 960 + 480 * (1 + k % 5)
+            ELSE 1 END AS n_frames,
+       CASE WHEN corrupt OR is_mp4 OR is_ogg THEN NULL
             WHEN is_vid THEN round({vid_mean}, 4)
             WHEN is_wav THEN round({wav_mean}, 4)
             WHEN is_bmp THEN round({bmp_mean}, 4)
@@ -1500,7 +1505,7 @@ SELECT media_id AS clip_id, part_id,
        'x-media.media' AS rule_id,
        CAST(1 AS INT) AS severity
 FROM m
-WHERE NOT is_vid AND NOT is_wav AND NOT is_mp4
+WHERE NOT is_vid AND NOT is_wav AND NOT is_mp4 AND NOT is_ogg
   AND (corrupt OR is_bmp OR is_png)
 """.strip()
 

@@ -78,8 +78,47 @@ def _crc_table(poly: int, width: int) -> np.ndarray:
 _CRC8_TBL = _crc_table(0x07, 8)      # x^8 + x^2 + x + 1 (frame header)
 _CRC16_TBL = _crc_table(0x8005, 16)  # x^16 + x^15 + x^2 + 1 (frame)
 
+# Positional-contribution tables for one-gather CRC over a whole
+# message. Both FLAC CRCs are init-0 / non-reflected / no xor-out, i.e.
+# GF(2)-LINEAR in the message bits, so
+#     crc(msg) = XOR_i  T[len-1-i][msg[i]]
+# where T[p][b] is the crc of byte b followed by p zero bytes. T grows
+# lazily (doubling) up to _CRC_POS_MAX positions; longer messages (not
+# produced by this encoder's frame sizes) fall back to the byte loop.
+# Equivalence with the loop is property-tested in tests/test_flac.py.
+_CRC_POS_MAX = 1 << 14
+_CRC16_POS = _CRC16_TBL.astype(np.uint16).reshape(1, 256)
+_CRC8_POS = _CRC8_TBL.astype(np.uint8).reshape(1, 256)
+
+
+def _grow_pos_tables(n: int) -> None:
+    global _CRC16_POS, _CRC8_POS
+    cur = _CRC16_POS.shape[0]
+    new = cur
+    while new < n:
+        new *= 2
+    t16 = np.empty((new, 256), dtype=np.uint16)
+    t16[:cur] = _CRC16_POS
+    t8 = np.empty((new, 256), dtype=np.uint8)
+    t8[:cur] = _CRC8_POS
+    for p in range(cur, new):
+        c = t16[p - 1]
+        t16[p] = (_CRC16_TBL[(c >> 8) & 0xFF].astype(np.uint16)
+                  ^ ((c << 8) & 0xFFFF).astype(np.uint16))
+        t8[p] = _CRC8_TBL[t8[p - 1]].astype(np.uint8)
+    _CRC16_POS, _CRC8_POS = t16, t8
+
 
 def crc8(data: bytes) -> int:
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= _CRC_POS_MAX:
+        if n > _CRC8_POS.shape[0]:
+            _grow_pos_tables(n)
+        a = np.frombuffer(data, dtype=np.uint8)
+        return int(np.bitwise_xor.reduce(
+            _CRC8_POS[np.arange(n - 1, -1, -1), a]))
     c = 0
     for b in data:
         c = int(_CRC8_TBL[c ^ b])
@@ -87,6 +126,15 @@ def crc8(data: bytes) -> int:
 
 
 def crc16(data: bytes) -> int:
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= _CRC_POS_MAX:
+        if n > _CRC16_POS.shape[0]:
+            _grow_pos_tables(n)
+        a = np.frombuffer(data, dtype=np.uint8)
+        return int(np.bitwise_xor.reduce(
+            _CRC16_POS[np.arange(n - 1, -1, -1), a]))
     c = 0
     for b in data:
         c = int(_CRC16_TBL[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
@@ -197,15 +245,22 @@ class _BitReader:
         self.ones = np.flatnonzero(self.bits).astype(np.int64)
         self.pos = 0
         self._jumps: dict[int, np.ndarray] = {}
+        self._jump_pow_cache: dict[int, list[np.ndarray]] = {}
 
     def read(self, n: int) -> int:
-        if self.pos + n > self.bits.size:
+        # pure-int fast path over the raw byte buffer: header fields
+        # are dozens of tiny reads per frame, and a numpy slice +
+        # packbits per read cost ~8us each where this is ~0.3us.
+        pos = self.pos
+        if pos + n > self.bits.size:
             raise FlacError("truncated stream")
-        b = self.bits[self.pos:self.pos + n]
-        self.pos += n
         if n == 0:
             return 0
-        return int.from_bytes(np.packbits(b).tobytes(), "big") >> ((-n) % 8)
+        self.pos = pos + n
+        first = pos >> 3
+        last = (pos + n - 1) >> 3
+        chunk = int.from_bytes(self.raw[first:last + 1], "big")
+        return (chunk >> (((last + 1) << 3) - pos - n)) & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
@@ -233,19 +288,55 @@ class _BitReader:
             self._jumps[k] = j
         return j
 
+    def _jump_pows(self, k: int) -> list[np.ndarray]:
+        """Doubling tables for _jump(k): pows[s][j] = where index j
+        lands after 2^s jumps (clipped to the sentinel n_ones, which
+        absorbs: once past the end, always past the end)."""
+        pows = self._jump_pow_cache.get(k)
+        if pows is None:
+            n_ones = self.ones.size
+            j1 = np.minimum(self._jump(k), n_ones)
+            base = np.empty(n_ones + 1, dtype=np.int64)
+            base[:n_ones] = j1
+            base[n_ones] = n_ones            # sentinel fixed point
+            pows = [base]
+            self._jump_pow_cache[k] = pows
+        return pows
+
     def read_rice_block(self, m: int, k: int) -> np.ndarray:
         """m rice(k) residuals as int64, vectorized (see class doc)."""
         if m == 0:
             return np.zeros(0, dtype=np.int64)
-        ones, jumps = self.ones, self._jump(k)
-        term = np.empty(m, dtype=np.int64)
-        j = int(np.searchsorted(ones, self.pos))
+        ones = self.ones
         n_ones = ones.size
-        for t in range(m):                    # pointer chase, O(1)/step
-            if j >= n_ones:
+        j = int(np.searchsorted(ones, self.pos))
+        if m <= 16:
+            jumps = self._jump(k)
+            term = np.empty(m, dtype=np.int64)
+            for t in range(m):                # pointer chase, O(1)/step
+                if j >= n_ones:
+                    raise FlacError("truncated rice partition")
+                term[t] = j
+                j = int(jumps[j])
+        else:
+            # log-doubling fill: term[t + 2^s] = f^{2^s}(term[t]); each
+            # step is one vector gather, so the whole chase is
+            # O(m log m) numpy instead of O(m) Python.
+            pows = self._jump_pows(k)
+            term = np.empty(m, dtype=np.int64)
+            term[0] = min(j, n_ones)
+            filled = 1
+            s = 0
+            while filled < m:
+                if s == len(pows):
+                    prev = pows[-1]
+                    pows.append(prev[prev])
+                take = min(filled, m - filled)
+                term[filled:filled + take] = pows[s][term[:take]]
+                filled += take
+                s += 1
+            if int(term[-1]) >= n_ones:
                 raise FlacError("truncated rice partition")
-            term[t] = j
-            j = int(jumps[j])
         tpos = ones[term]
         starts = np.empty(m, dtype=np.int64)
         starts[0] = self.pos
@@ -292,11 +383,16 @@ def _fixed_restore(warm: np.ndarray, res: np.ndarray,
     last element of the j-th difference of the warm-up samples. Pure
     numpy — no per-sample Python (scale posture, module docstring)."""
     cur = res.astype(np.int64)
+    # seeds[j] = last element of the j-th finite difference of warm —
+    # warm has <= 4 elements, so plain-int arithmetic beats numpy's
+    # per-call overhead by ~30us/subframe at equal results
+    d = [int(w) for w in warm]
+    seeds = [d[-1]]
+    for _ in range(order - 1):
+        d = [d[i + 1] - d[i] for i in range(len(d) - 1)]
+        seeds.append(d[-1])
     for j in range(order - 1, -1, -1):
-        dj = warm.astype(np.int64)
-        for _ in range(j):
-            dj = np.diff(dj)
-        cur = dj[-1] + np.cumsum(cur)
+        cur = seeds[j] + np.cumsum(cur)
     return np.concatenate([warm.astype(np.int64), cur])
 
 

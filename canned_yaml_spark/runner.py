@@ -29,25 +29,76 @@ from canned_yaml_spark.checks import Check, CheckSuite, Severity
 VIOLATION_COLS = ("clip_id", "part_id", "rule_id", "severity", "message")
 
 
+def _live_checks(checks: list[Check]) -> list[Check]:
+    return [c for c in sorted(checks, key=lambda c: c.order)
+            if not c.static_ok]
+
+
+def _slot(c: Check) -> Column:
+    return F.when(
+        c.violation,
+        F.struct(
+            F.lit(c.rule_id).alias("rule_id"),
+            F.lit(int(c.severity)).alias("severity"),
+            c.message.alias("message"),
+        ),
+    )
+
+
+def violation_raw_array(checks: list[Check]) -> Column:
+    """array<struct<rule_id,severity,message>> with one slot per live
+    check — NULL slots for checks that did not fire. Unlike
+    violation_array this stays inside whole-stage codegen: the
+    higher-order `filter(...)` is a CodegenFallback expression, and
+    wrapping the slot array in it drags the whole CASE tree into
+    interpreted eval (~2.7x measured on the row suite, guide §7.2).
+    Callers that only explode should explode THIS and drop NULLs with
+    a plain post-filter instead."""
+    slots = [_slot(c) for c in _live_checks(checks)]
+    if not slots:
+        return F.array().cast(
+            "array<struct<rule_id:string,severity:int,message:string>>")
+    return F.array(*slots)
+
+
 def violation_array(checks: list[Check]) -> Column:
     """array<struct<rule_id,severity,message>> of fired checks, in
-    reference keyword order. Static-ok checks cost nothing."""
-    slots = [
-        F.when(
-            c.violation,
-            F.struct(
-                F.lit(c.rule_id).alias("rule_id"),
-                F.lit(int(c.severity)).alias("severity"),
-                c.message.alias("message"),
-            ),
-        )
-        for c in sorted(checks, key=lambda c: c.order)
-        if not c.static_ok
-    ]
+    reference keyword order. Static-ok checks cost nothing.
+
+    NOTE: the compacting `filter` is a higher-order function, which
+    Spark evaluates interpreted (CodegenFallback) — fine for the
+    user-facing array column this produces, but hot paths
+    (row_violations / row_verdicts / streaming) use
+    violation_raw_array + codegen-friendly equivalents instead."""
+    slots = [_slot(c) for c in _live_checks(checks)]
     if not slots:
         return F.array().cast(
             "array<struct<rule_id:string,severity:int,message:string>>")
     return F.filter(F.array(*slots), lambda x: x.isNotNull())
+
+
+def violation_count(checks: list[Check]) -> Column:
+    """Number of fired checks per row == size(violation_array(...)),
+    restated as a conditional sum so it compiles (no HOF)."""
+    live = _live_checks(checks)
+    if not live:
+        return F.lit(0)
+    out = F.when(live[0].violation, 1).otherwise(0)
+    for c in live[1:]:
+        out = out + F.when(c.violation, 1).otherwise(0)
+    return out
+
+
+def max_violation_severity(checks: list[Check]) -> Column:
+    """Max severity among fired checks, -1 when none fired ==
+    coalesce(array_max(transform(violation_array(...), severity)), -1)
+    restated as greatest(CASE...) so it compiles (no HOF)."""
+    live = _live_checks(checks)
+    if not live:
+        return F.lit(-1)
+    terms = [F.when(c.violation, int(c.severity)).otherwise(-1)
+             for c in live]
+    return terms[0] if len(terms) == 1 else F.greatest(*terms)
 
 
 def with_violations(df: DataFrame, suite: CheckSuite,
@@ -61,12 +112,18 @@ def row_violations(df: DataFrame, suite: CheckSuite,
                    part_col: str = "part_id") -> DataFrame:
     """Long-form violations: (clip_id, part_id, rule_id, severity,
     message). Rows with no violations vanish in the explode — the
-    output is proportional to defects, not to table size."""
-    arr = violation_array(suite.row_checks)
+    output is proportional to defects, not to table size.
+
+    The un-fired NULL slots are dropped by a plain post-explode filter
+    rather than a higher-order array filter: HOFs are CodegenFallback
+    and poison the whole check tree into interpreted eval (measured
+    2.7x on this exact shape, OPTIMIZATION_r06.md)."""
+    arr = violation_raw_array(suite.row_checks)
     return (
         df.select(F.col(id_col).alias("clip_id"),
                   F.col(part_col).alias("part_id"),
                   F.explode(arr).alias("v"))
+          .filter(F.col("v").isNotNull())
           .select("clip_id", "part_id", "v.rule_id", "v.severity", "v.message")
     )
 
@@ -77,12 +134,10 @@ def row_verdicts(df: DataFrame, suite: CheckSuite,
     hash agg. pass == no ERROR-severity violation in the partition
     (the reference's verdict rule, canner.cc:1101, lifted from
     document to partition granularity per BASELINE.json)."""
-    arr = violation_array(suite.row_checks)
-    sev = F.array_max(F.transform(arr, lambda v: v.getField("severity")))
     return (
         df.select(F.col(part_col).alias("part_id"),
-                  F.size(arr).alias("n_viol"),
-                  F.coalesce(sev, F.lit(-1)).alias("max_sev"))
+                  violation_count(suite.row_checks).alias("n_viol"),
+                  max_violation_severity(suite.row_checks).alias("max_sev"))
           .groupBy("part_id")
           .agg(F.count(F.lit(1)).alias("n_rows"),
                F.sum("n_viol").alias("n_violations"),

@@ -25,19 +25,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from canned_yaml_spark.checks import CheckSuite, Severity
-from canned_yaml_spark.runner import violation_array
+from canned_yaml_spark.runner import (
+    max_violation_severity, violation_count, violation_raw_array,
+)
 
 
 def stream_violations(stream_df: DataFrame, suite: CheckSuite,
                       id_col: str = "clip_id",
                       part_col: str = "part_id") -> DataFrame:
     """Long-form violations on a streaming DataFrame (stateless map —
-    no shuffle, no state store)."""
-    arr = violation_array(suite.row_checks)
+    no shuffle, no state store). Same codegen-friendly explode +
+    post-filter shape as runner.row_violations (HOF filter is
+    CodegenFallback — interpreted)."""
+    arr = violation_raw_array(suite.row_checks)
     return (stream_df
             .select(F.col(id_col).alias("clip_id"),
                     F.col(part_col).alias("part_id"),
                     F.explode(arr).alias("v"))
+            .filter(F.col("v").isNotNull())
             .select("clip_id", "part_id",
                     "v.rule_id", "v.severity", "v.message"))
 
@@ -163,12 +168,10 @@ def running_verdicts(stream_df: DataFrame, suite: CheckSuite,
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    arr = violation_array(suite.row_checks)
-    sev = F.array_max(F.transform(arr, lambda v: v.getField("severity")))
     pre = stream_df.select(
         F.col(part_col).alias("part_id"),
-        F.size(arr).alias("n_viol"),
-        F.coalesce(sev, F.lit(-1)).alias("max_sev"))
+        violation_count(suite.row_checks).alias("n_viol"),
+        max_violation_severity(suite.row_checks).alias("max_sev"))
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -210,13 +213,11 @@ def windowed_verdicts(stream_df: DataFrame, suite: CheckSuite,
     """Per (event-time window, partition) verdicts with late-data
     tolerance: one stateful windowed aggregation, pass = no ERROR in
     the window (the reference's verdict rule, canner.cc:1101)."""
-    arr = violation_array(suite.row_checks)
-    sev = F.array_max(F.transform(arr, lambda v: v.getField("severity")))
     return (stream_df
             .withWatermark(ts_col, watermark)
             .select(F.col(ts_col), F.col(part_col).alias("part_id"),
-                    F.size(arr).alias("n_viol"),
-                    F.coalesce(sev, F.lit(-1)).alias("max_sev"))
+                    violation_count(suite.row_checks).alias("n_viol"),
+                    max_violation_severity(suite.row_checks).alias("max_sev"))
             .groupBy(F.window(ts_col, window), F.col("part_id"))
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("n_viol").alias("n_violations"),

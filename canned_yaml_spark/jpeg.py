@@ -615,7 +615,10 @@ def jpeg_decode(buf: bytes | bytearray | memoryview
     contract)."""
     try:
         return jpeg_decode_strict(bytes(buf))
-    except (JpegError, struct.error, IndexError):
+    except (ValueError, struct.error, IndexError):
+        # ValueError covers JpegError AND the numpy broadcast error a
+        # truncated DQT raises from tab[_ZZ_FLAT] = frombuffer(...)
+        # (ADVICE r5) — contract is malformed -> None, never a raise
         return None
 
 

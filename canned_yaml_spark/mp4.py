@@ -198,17 +198,34 @@ def mp4_meta(buf: bytes) -> dict:
         raise Mp4Error("zero track dimensions")
 
     md_a, md_e = _find(b, tk_e, tr_e, b"mdia")
-    mh_a, _ = _find(b, md_a, md_e, b"mdhd")
-    mh_off = mh_a + 4 + (16 if b[mh_a] == 1 else 8)
-    m_timescale, m_duration = struct.unpack(">II",
-                                            b[mh_off: mh_off + 8])
+    mh_a, mh_e = _find(b, md_a, md_e, b"mdhd")
+    # mdhd v1: creation/modification are u64, duration is u64
+    # (ADVICE r5: '>II' on a v1 box read only duration's high half)
+    if b[mh_a] == 1:
+        mh_off = mh_a + 4 + 16
+        if mh_off + 12 > mh_e:
+            raise Mp4Error("mdhd too short")
+        m_timescale, m_duration = struct.unpack(">IQ",
+                                                b[mh_off: mh_off + 12])
+    else:
+        mh_off = mh_a + 4 + 8
+        if mh_off + 8 > mh_e:
+            raise Mp4Error("mdhd too short")
+        m_timescale, m_duration = struct.unpack(">II",
+                                                b[mh_off: mh_off + 8])
     if m_timescale == 0:
         raise Mp4Error("zero media timescale")
 
     mi_a, mi_e = _find(b, md_a, md_e, b"minf")
     st_a, st_e = _find(b, mi_a, mi_e, b"stbl")
-    tt_a, _ = _find(b, st_a, st_e, b"stts")
+    tt_a, tt_e = _find(b, st_a, st_e, b"stts")
+    if tt_a + 8 > tt_e:
+        raise Mp4Error("stts too short")
     n_entries = struct.unpack(">I", b[tt_a + 4: tt_a + 8])[0]
+    # bound the entry walk by the stts box's own end (ADVICE r5: a
+    # corrupt count otherwise walks into sibling box bytes)
+    if tt_a + 8 + 8 * n_entries > tt_e:
+        raise Mp4Error("stts table truncated")
     n_frames = 0
     for i in range(n_entries):
         cnt, _delta = struct.unpack(">II",

@@ -580,8 +580,15 @@ def _decode_ogg(buf: bytes) -> dict:
     mean_luma report NULL; n_frames is the container's own final
     granule position (its sample-count claim)."""
     _, final_granule = _ogg.ogg_packets(buf)
+    # granule is u64 in the container but n_frames is int32 in
+    # META_SCHEMA: a legitimate ~13h 44.1kHz stream would break the
+    # pandas->Arrow conversion and fail the task (ADVICE r5); report
+    # NULL (unknown) instead for out-of-range claims
+    g = int(final_granule)
+    if not (-2**31 <= g < 2**31):
+        g = None
     return {"width": None, "height": None, "channels": None,
-            "n_frames": int(final_granule), "mean_luma": None}
+            "n_frames": g, "mean_luma": None}
 
 
 def _decode_mp4(buf: bytes) -> dict:
@@ -894,14 +901,19 @@ def frame_sample(df: DataFrame, every: int = 2, byte_col: str = "media",
                 if buf[4:8] == b"ftyp":
                     try:
                         samples = _mp4.mp4_samples(buf)
-                    except ValueError:
+                    except (ValueError, struct.error):
+                        # struct.error: consistent box sizes but
+                        # short mvhd/mdhd/stts payloads (ADVICE r5)
                         continue           # structural lie: no frames
                     for k in range(0, len(samples), every):
                         ids.append(pdf["media_id"].iat[i])
                         idxs.append(k)
                         frames.append(samples[k])
                     continue
-                f, w, h = struct.unpack("<HHH", buf[4:10])
+                try:
+                    f, w, h = struct.unpack("<HHH", buf[4:10])
+                except struct.error:
+                    continue               # 5-9 byte VID1 stub payload
                 body = buf[10:]
                 fsz = w * h
                 for k in range(0, f, every):

@@ -179,3 +179,16 @@ def test_multimodal_corpus_slot():
     assert bytes(buf[:3]) == b"\xff\xd8\xff"
     meta, err = mm.decode_media(bytes(mm.media_row(40)[2]))  # corrupt
     assert meta is None and err
+
+
+def test_truncation_sweep_returns_none_everywhere():
+    # ADVICE r5: a DQT cut mid-table raised a numpy broadcast
+    # ValueError through jpeg_decode instead of the documented None.
+    # Sweep EVERY prefix length (the DQT lives early, so the cheap
+    # dense sweep below 200 bytes covers it; sparse beyond).
+    img = (np.arange(24 * 16, dtype=np.uint8).reshape(24, 16) * 7) % 256
+    enc = J.jpeg_encode(img, quality=80)
+    lengths = list(range(2, min(len(enc), 220))) + \
+        list(range(220, len(enc), 97))
+    for k in lengths:
+        assert J.jpeg_decode(enc[:k]) is None, f"prefix {k} not None"

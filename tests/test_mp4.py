@@ -132,3 +132,75 @@ def test_multimodal_corpus_slot():
     assert bytes(buf[4:8]) == b"ftyp"
     meta, err = mm.decode_media(bytes(mm.media_row(160)[2]))  # corrupt
     assert meta is None and err.startswith("undecodable")
+
+
+def _bump_box_size(buf: bytearray, box_start: int, delta: int) -> None:
+    old = struct.unpack(">I", buf[box_start: box_start + 4])[0]
+    buf[box_start: box_start + 4] = struct.pack(">I", old + delta)
+
+
+def test_mdhd_v1_duration_is_64_bit():
+    # ADVICE r5: a version-1 mdhd stores duration as u64; the parser
+    # must read '>IQ', not '>II' (which lands on the HIGH half and
+    # reports ~0 for any real file). Surgery: swap the encoder's v0
+    # mdhd (24-byte payload) for a v1 one (36-byte payload) carrying
+    # the same timescale/duration, bumping every ancestor box size.
+    buf = bytearray(M.mp4_encode([100, 120], width=12, height=10))
+    mh = buf.find(b"mdhd") - 4
+    # v0 payload layout after the 8-byte header: ver/flags 4, c 4,
+    # m 4, timescale 4 (at +20), duration 4 (at +24), lang+q 4 (+28)
+    ts, dur = struct.unpack(">II", buf[mh + 20: mh + 28])
+    lang_q = bytes(buf[mh + 28: mh + 32])
+    v1_payload = (struct.pack(">B", 1) + b"\x00" * 3
+                  + struct.pack(">QQIQ", 0, 0, ts, dur) + lang_q)
+    new_mdhd = struct.pack(">I", 8 + len(v1_payload)) + b"mdhd" + v1_payload
+    delta = len(new_mdhd) - (struct.unpack(">I", buf[mh: mh + 4])[0])
+    for tag in (b"moov", b"trak", b"mdia"):
+        _bump_box_size(buf, buf.find(tag) - 4, delta)
+    patched = bytes(buf[:mh]) + new_mdhd + bytes(
+        buf[mh + struct.unpack(">I", buf[mh: mh + 4])[0]:])
+    m = M.mp4_meta(patched)
+    assert m["duration_ms"] == 80            # 2 x 40 @ timescale 1000
+    assert m["n_frames"] == 2
+
+
+def test_stts_truncated_count_is_clean_error():
+    # ADVICE r5: a corrupt stts entry count must not walk into sibling
+    # box bytes — it must fail with Mp4Error, not accumulate garbage
+    buf = bytearray(M.mp4_encode([50, 50, 50], width=8, height=8))
+    tt = buf.find(b"stts") - 4
+    buf[tt + 12: tt + 16] = struct.pack(">I", 1000)   # entry count lie
+    with pytest.raises(M.Mp4Error):
+        M.mp4_meta(bytes(buf))
+
+
+def test_short_mvhd_payload_is_clean_error():
+    # crafted ftyp+mdat+moov/mvhd whose mvhd payload is shorter than
+    # the fixed field offsets previously escaped as struct.error
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    mdat = struct.pack(">I", 9) + b"mdat" + b"x"
+    mvhd = struct.pack(">I", 12) + b"mvhd" + b"\x00" * 4
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    bad = ftyp + mdat + moov
+    with pytest.raises((M.Mp4Error, struct.error)):
+        M.mp4_meta(bad)
+    # ...but the Spark-facing frame_sample contract is "no rows", so
+    # the multimodal branch must swallow it (exercised below)
+
+
+def test_frame_sample_survives_malformed_mp4_and_vid1(spark):
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+    mdat = struct.pack(">I", 9) + b"mdat" + b"x"
+    mvhd = struct.pack(">I", 12) + b"mvhd" + b"\x00" * 4
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    bad_mp4 = ftyp + mdat + moov
+    short_vid1 = b"VID1\x01\x00\x02"         # 7-byte stub payload
+    good = mm.encode_mp4(32)
+    rows = [("bad", 0, bytearray(bad_mp4)),
+            ("short", 1, bytearray(short_vid1)),
+            ("good", 2, bytearray(good))]
+    df = spark.createDataFrame(rows, "media_id string, part_id int, media binary")
+    out = mm.frame_sample(df, every=1).collect()
+    ids = {r.media_id for r in out}
+    assert "bad" not in ids and "short" not in ids
+    assert "good" in ids

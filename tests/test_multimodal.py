@@ -657,3 +657,17 @@ def test_video_hashes_skip_rules(spark):
     out = mm.video_hashes(df).collect()
     assert [r.media_id for r in out] == ["good"]
     assert out[0].n_frames == _VF and len(out[0].fp) == _VF
+
+
+def test_ogg_giant_granule_reports_null_n_frames():
+    # ADVICE r5: the container granule is u64 but META_SCHEMA's
+    # n_frames is int32 — a ~13h 44.1kHz stream's claim must surface
+    # as NULL (unknown), not crash the Arrow conversion.
+    from canned_yaml_spark import ogg as O
+    buf = O.ogg_encode([b"OpusHead" + b"\x01" * 8, b"payload"],
+                       granules=[0, 2**31 + 5])
+    meta = mm._decode_ogg(buf)
+    assert meta["n_frames"] is None
+    small = O.ogg_encode([b"OpusHead" + b"\x01" * 8, b"payload"],
+                         granules=[0, 4800])
+    assert mm._decode_ogg(small)["n_frames"] == 4800

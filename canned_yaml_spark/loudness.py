@@ -329,6 +329,10 @@ _LOUD_SCHEMA = ("clip_id string, part_id int, n_samples long, "
                 "n_blocks long, n_gated_blocks long, lufs double, "
                 "true_peak_dbtp double, lra_lu double")
 
+#: per-chunk input budget for the batched filter pipeline (the padded
+#: FFT working set is ~8-16x this; 16 MB keeps a task under ~256 MB)
+_CHUNK_BYTES = 16 << 20
+
 
 def loudness_stats(clips: DataFrame,
                    byte_col: str = "bytes", codec_col: str = "codec",
@@ -393,20 +397,30 @@ def loudness_stats(clips: DataFrame,
                         nb[i] = 0
                         ng[i] = 0
                     continue
-                mat = np.empty((len(idx), size), dtype=np.float64)
-                for j, i in enumerate(idx):
-                    mat[j] = payloads[i]
-                mat /= 32768.0
-                y = k_weight(mat, sr)              # weighted ONCE, reused
-                lf, b, g = _integrated_from_weighted(y, sr)
-                lr, _ = _lra_from_weighted(y, sr)
-                ix = np.asarray(idx)
-                lufs[ix] = lf
-                nb[ix] = b
-                ng[ix] = g
-                lra[ix] = lr
-                with np.errstate(divide="ignore"):
-                    tp[ix] = 20.0 * np.log10(true_peak_batch(mat))
+                # chunk the length group so the working set stays
+                # bounded: the pipeline holds ~6 float64/complex128
+                # matrices of the FFT-padded width at once, and an
+                # unchunked 8k-row batch of 72k-sample clips peaks at
+                # multiple GB PER TASK (x32 tasks = the 54 s lra_rule
+                # pathology, guide §4.2/§5). Row-independent math →
+                # chunking is bit-identical.
+                step = max(1, _CHUNK_BYTES // (8 * size))
+                for lo in range(0, len(idx), step):
+                    part = idx[lo:lo + step]
+                    mat = np.empty((len(part), size), dtype=np.float64)
+                    for j, i in enumerate(part):
+                        mat[j] = payloads[i]
+                    mat /= 32768.0
+                    y = k_weight(mat, sr)          # weighted ONCE, reused
+                    lf, b, g = _integrated_from_weighted(y, sr)
+                    lr, _ = _lra_from_weighted(y, sr)
+                    ix = np.asarray(part)
+                    lufs[ix] = lf
+                    nb[ix] = b
+                    ng[ix] = g
+                    lra[ix] = lr
+                    with np.errstate(divide="ignore"):
+                        tp[ix] = 20.0 * np.log10(true_peak_batch(mat))
             yield pd.DataFrame({
                 "clip_id": pdf["clip_id"],
                 "part_id": pdf["part_id"].astype("int32"),

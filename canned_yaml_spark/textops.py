@@ -116,30 +116,49 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select(*out)
 
 
-def dup_ngram_frac(col, n: int):
-    """Duplicate n-gram fraction of ONE string Column — the building
-    block behind repetition_stats and the `x-repetition` spec rule.
-    0.0 for docs shorter than n tokens; pure Column HOF algebra (no
-    explode, no UDF), so it composes into the row suite's single
-    codegen span like any other value predicate."""
-    t = _norm(col)
-    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
-             .otherwise(F.split(t, " "))
-    nw = F.size(words)
+def _ngrams(words, nw, n: int):
+    """n-gram string array from a token array, built so that every HOF
+    lambda captures ONLY its element arguments. Spark evaluates
+    higher-order functions interpreted (CodegenFallback), and an
+    interpreted lambda re-evaluates any CAPTURED subtree once PER
+    ELEMENT — the original `transform(sequence(...), i ->
+    concat_ws(' ', slice(words, i, n)))` re-ran the whole
+    regex-normalize+split per token and made a 50-word doc cost ~1 ms
+    (repetition_stats: 44 s for 5k docs, OPTIMIZATION_r06.md). The
+    shifted-slice zip_with fold below evaluates `words` n times per
+    row instead of once per token, and each lambda touches only
+    (acc, x): 44 s → sub-second, identical strings (concat of
+    never-null tokens == concat_ws)."""
     if n == 1:
-        ng = words
-    else:
-        # NB: the transform lambda must take exactly ONE parameter —
-        # pyspark treats a second parameter as the element index.
-        ng = F.when(
-            nw >= n,
-            F.transform(F.sequence(F.lit(1), nw - (n - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-        ).otherwise(F.array().cast("array<string>"))
+        return words
+    shifted = [F.slice(words, k + 1, nw - (n - 1)) for k in range(n)]
+    ng = shifted[0]
+    for k in range(1, n):
+        ng = F.zip_with(ng, shifted[k],
+                        lambda acc, x: F.concat(acc, F.lit(" "), x))
+    return F.when(nw >= n, ng).otherwise(F.array().cast("array<string>"))
+
+
+def _dup_frac_of(ng):
+    """(total − distinct)/total over a materialized n-gram array; 0.0
+    for empty/NULL arrays (docs shorter than n tokens)."""
     total = F.size(ng)
     return F.when(total > 0,
                   (total - F.size(F.array_distinct(ng)))
                   / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(col, n: int):
+    """Duplicate n-gram fraction of ONE string Column — the building
+    block behind repetition_stats and the `x-repetition` spec rule.
+    0.0 for docs shorter than n tokens; pure Column algebra (no
+    explode, no UDF), so it composes into the row suite's span like
+    any other value predicate (see _ngrams for why the lambdas must
+    not capture the tokenization)."""
+    t = _norm(col)
+    words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+             .otherwise(F.split(t, " "))
+    return _dup_frac_of(_ngrams(words, F.size(words), n))
 
 
 def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)
@@ -152,21 +171,31 @@ def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (1, 2, 3)
 
     ``dup_frac_n = 1 − distinct(n-grams)/count(n-grams)`` over the
     shared whitespace tokenization (`_norm`); 0.0 when the doc has
-    fewer than n tokens. Everything is Column HOF algebra — split →
-    sequence/transform/slice → array_distinct — ONE codegen
-    projection per doc, no explode, no shuffle, no UDF: at 10^12 docs
-    this is pure scan bandwidth, and the n-gram arrays live only
-    inside the projection (never materialized to a shuffle).
+    fewer than n tokens. No explode, no shuffle, no UDF: at 10^12
+    docs this is pure scan bandwidth, and the n-gram arrays live only
+    inside projections (never materialized to a shuffle).
+
+    The tokenization and each n-gram array are materialized as their
+    OWN projection step: interpreted expression eval (which the HOF
+    subtrees force) has no common-subexpression elimination, so
+    leaving them inline re-evaluates the regex+split once per
+    REFERENCE — and Catalyst's CollapseProject keeps the split
+    because the producers are non-cheap and multiply referenced.
+    Measured 44 s → sub-second on the 5k-doc sf0.1 corpus at
+    identical output (oracle gate green).
     """
     t = _norm(F.col("text"))
     words = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
              .otherwise(F.split(t, " "))
-    cols = [F.col("doc_id"), F.size(words).alias("n_words")]
-    for n in ns:
-        # identical subtrees (the tokenization) are CSE'd by Catalyst
-        cols.append(dup_ngram_frac(F.col("text"), n)
-                    .alias(f"dup_frac_{n}"))
-    return docs.select(*cols)
+    step1 = docs.select("doc_id", words.alias("_w"))
+    w, nw = F.col("_w"), F.size(F.col("_w"))
+    step2 = step1.select(
+        "doc_id", nw.alias("n_words"),
+        *[_ngrams(w, nw, n).alias(f"_ng{n}") for n in ns])
+    return step2.select(
+        "doc_id", "n_words",
+        *[_dup_frac_of(F.col(f"_ng{n}")).alias(f"dup_frac_{n}")
+          for n in ns])
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

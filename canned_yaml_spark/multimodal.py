@@ -774,12 +774,23 @@ def media_row(k: int) -> tuple[str, int, bytearray]:
     return (f"media_{k:010d}", k % 64, bytearray(buf))
 
 
-def media_corpus_df(spark, sf_dir: str) -> DataFrame:
+def media_corpus_df(spark, sf_dir: str,
+                    keys_where: str | None = None) -> DataFrame:
     """Deterministic media table derived from the sf dir's orders keys
     (same two-engine discipline as derive.clips_df: the DuckDB oracle
     recomputes every expected metadata value ANALYTICALLY from k, so
-    agreement cross-checks the real decode path, not the generator)."""
+    agreement cross-checks the real decode path, not the generator).
+
+    keys_where: optional SQL predicate on o_orderkey applied BEFORE
+    the Python generation stage. Spark cannot push a post-generation
+    filter through the opaque mapInPandas (guide §4.1), so a consumer
+    that only wants one media kind — e.g. the RIFF/WAVE rows, k%4==1 —
+    would otherwise pay the encode cost of the whole corpus (measured
+    4x the rows for the audio_stats gate)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = orders.select("o_orderkey")
+    if keys_where:
+        keys = keys.filter(keys_where)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -788,9 +799,8 @@ def media_corpus_df(spark, sf_dir: str) -> DataFrame:
                                               "media"]) \
                 .astype({"part_id": "int32"})
 
-    return (orders.select("o_orderkey")
-                  .mapInPandas(gen, "media_id string, part_id int, "
-                                    "media binary"))
+    return keys.mapInPandas(gen, "media_id string, part_id int, "
+                                 "media binary")
 
 
 # ------------------------------------------------------ Spark plumbing

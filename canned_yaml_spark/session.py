@@ -62,6 +62,13 @@ def get_spark(app: str = "canned_yaml_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # whole-stage codegen deactivates above this many fields
+        # (default 100) — the K=130 minhash signature aggregation then
+        # runs interpreted at ~2x the cost (measured 7.9 s -> 4.4 s on
+        # the sf0.1 dedup corpus). 260 covers every schema this engine
+        # builds (widest: 130 agg buffers) with generated-code size
+        # still far under JIT limits; scale-independent setting.
+        .config("spark.sql.codegen.maxFields", "260")
         .config("spark.ui.enabled", "false")
         # shuffle files live until the ContextCleaner GCs their
         # dependencies; the 30min default lets a many-job driver

@@ -310,7 +310,13 @@ class _BitReader:
         ones = self.ones
         n_ones = ones.size
         j = int(np.searchsorted(ones, self.pos))
-        if m <= 16:
+        if k == 0:
+            # no remainder bits -> every one-bit IS a terminator: the
+            # chain is j, j+1, ..., j+m-1 with no jump table at all
+            if j + m > n_ones:
+                raise FlacError("truncated rice partition")
+            term = np.arange(j, j + m, dtype=np.int64)
+        elif m <= 16:
             jumps = self._jump(k)
             term = np.empty(m, dtype=np.int64)
             for t in range(m):                # pointer chase, O(1)/step
@@ -867,16 +873,19 @@ def _decode_frames(buf: bytes, info: dict, collect_labels: list | None
     expect_fi = 0
     while br.pos < br.bits.size:
         start_byte = br.pos // 8
-        if br.read(14) != 0b11111111111110:
+        # the fixed 32-bit frame-header prefix in one read (sync 14,
+        # reserved 1, blocking 1, bs 4, sr 4, ch 4, ss 3, reserved 1)
+        hdr = br.read(32)
+        if hdr >> 18 != 0b11111111111110:
             raise FlacError("bad frame sync")
-        if br.read(1):
+        if hdr & (1 << 17):
             raise FlacError("frame reserved bit set")
-        blocking = br.read(1)
-        bs_code = br.read(4)
-        sr_code = br.read(4)
-        ch_code = br.read(4)
-        ss_code = br.read(3)
-        if br.read(1):
+        blocking = (hdr >> 16) & 1
+        bs_code = (hdr >> 12) & 0xF
+        sr_code = (hdr >> 8) & 0xF
+        ch_code = (hdr >> 4) & 0xF
+        ss_code = (hdr >> 1) & 0x7
+        if hdr & 1:
             raise FlacError("frame reserved bit 2 set")
         coded = _coded_number_decode(br)
         block = _block_size_from_code(bs_code, br)
